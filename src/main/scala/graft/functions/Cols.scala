@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
+
+/** Column helpers shared across operators.
+  *
+  * Money aggregation: summing doubles is order-dependent across partitions,
+  * so a double `sum` is not reproducible run-to-run (and never hash-matches a
+  * DuckDB oracle). We round each value to exact decimal cents first; decimal
+  * addition is exact and associative, so the aggregate is deterministic under
+  * any partitioning. Cast the final sum back to double for a stable,
+  * engine-neutral output type. The DuckDB oracle uses the same
+  * `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)` shape.
+  */
+object Cols {
+
+  /** Deterministic money sum: exact decimal accumulate, double result. */
+  def moneySum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Deterministic average = decimal sum / non-null count (double / long). */
+  def moneyAvg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(c)
+
+  /** `yyyy-MM` month bucket from a date/timestamp column, reproducing the
+    * reference's `substring(col, 1, 7)`-over-implicit-string-cast idiom
+    * (reference: src/main/transformations/customer_mart_sql_tranform_write.py:12-13).
+    * Kept as substring-of-cast (not `date_format`) for oracle parity:
+    * DuckDB `substr(CAST(ts AS VARCHAR), 1, 7)` yields the same bytes.
+    */
+  def monthBucket(c: Column): Column = substring(c.cast(StringType), 1, 7)
+}
