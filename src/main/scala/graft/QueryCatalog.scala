@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
+
+import graft.etl.{CustomerMart, Enrichment, SalesMart, Validation}
+import graft.functions.Cols
+import graft.io.Sources
+
+/** One registered query per operator family in SURVEY.md §2 (plus scale
+  * extensions registered from [[graft.ops]]). Each entry optionally carries
+  * DuckDB-equivalent ANSI SQL; queries without an oracle get the driver's
+  * rows-only check.
+  *
+  * Oracle-parity rules (see graft.functions.Cols): money sums via exact
+  * decimal accumulate cast back to double; identical output aliases on both
+  * sides; ties in top-k broken by a unique key.
+  */
+final case class CatalogEntry(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryCatalog {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects. Read nanos as long (legacy conf, runtime-settable) and
+    * rebuild an NTZ timestamp at micros precision: `ts div 1000` is exact
+    * integer math (a double round-trip would lose precision at 1e18 ns).
+    */
+  def eventsTable(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(s, dir, "events")
+      .withColumn("ts", expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+  }
+
+  private val customerMartSql =
+    """SELECT c_custkey AS customer_id, c_name AS full_name,
+      |  substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS sales_month,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Reference-parity queries (SURVEY.md §2). */
+  val parity: Seq[CatalogEntry] = Seq(
+
+    // A1/W1-idiomatic + J-family + C3 month bucket (customer mart)
+    CatalogEntry("customer_mart",
+      (s, d) => CustomerMart.monthlyPurchases(T(s, d, "orders"), T(s, d, "customer")),
+      Some(customerMartSql)),
+
+    // W1 + A3: the reference's window-sum + distinct idiom, same oracle
+    CatalogEntry("customer_mart_window",
+      (s, d) => CustomerMart.monthlyPurchasesWindowIdiom(T(s, d, "orders"), T(s, d, "customer")),
+      Some(customerMartSql)),
+
+    // A2 + W2 rank + F2/C6/C7 incentive (sales mart)
+    CatalogEntry("sales_mart_incentive",
+      (s, d) => SalesMart.build(T(s, d, "orders"), T(s, d, "customer")),
+      Some("""WITH t AS (
+        |  SELECT c_nationkey AS store_id, o_custkey AS sales_person_id,
+        |    substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS sales_month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT store_id, sales_person_id, sales_month, total_sales, rnk,
+        |  CASE WHEN rnk = 1 THEN total_sales * CAST(0.01 AS DOUBLE)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS incentive
+        |FROM (SELECT t.*, CAST(rank() OVER (PARTITION BY store_id, sales_month
+        |        ORDER BY total_sales DESC) AS BIGINT) AS rnk FROM t) r""".stripMargin)),
+
+    // J1–J3 three-way broadcast join + P1/P4 aliased projection
+    CatalogEntry("three_way_join",
+      (s, d) => Enrichment.enrich(T(s, d, "lineitem"), T(s, d, "orders"), T(s, d, "customer")),
+      Some("""SELECT l_orderkey AS order_id, l_linenumber AS line_number,
+        |  l_quantity AS quantity, l_extendedprice AS price,
+        |  o_orderstatus AS order_status, o_orderdate AS sales_date,
+        |  c_custkey AS customer_id, c_name AS customer_name,
+        |  c_nationkey AS store_id, c_mktsegment AS segment
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
+    // U1 union + S4 empty seed + C1 concat_ws fold + C5 null fill
+    CatalogEntry("conformed_union",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        val base = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        val withExtra = Validation.conform(
+          li.filter(col("l_linenumber") <= 3)
+            .select((base ++ Seq("l_returnflag", "l_linestatus")).map(col): _*),
+          mandatory = base)
+        val plain = Validation.conform(
+          li.filter(col("l_linenumber") > 3).select(base.map(col): _*),
+          mandatory = base)
+        Sources.empty(s, withExtra.schema).union(withExtra).union(plain)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  concat_ws(',', l_linestatus, l_returnflag) AS additional_column
+        |FROM lineitem WHERE l_linenumber <= 3
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  CAST(NULL AS VARCHAR) AS additional_column
+        |FROM lineitem WHERE l_linenumber > 3""".stripMargin)),
+
+    // A3/A4 distinct
+    CatalogEntry("distinct_flags",
+      (s, d) => T(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // F1/F4 filters: isin + equality conjunction (pushed to the parquet scan)
+    CatalogEntry("filter_isin",
+      (s, d) => T(s, d, "orders")
+        .filter(col("o_orderstatus").isin("F", "O") && col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_orderpriority")),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IN ('F','O') AND o_orderpriority = '1-URGENT'""".stripMargin)),
+
+    // P1/P2/P3 + rename: select, derive, drop, withColumnRenamed
+    CatalogEntry("projection_ops",
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .withColumn("gross", col("l_extendedprice") * col("l_quantity"))
+        .drop("l_returnflag")
+        .withColumnRenamed("l_linenumber", "line_no"),
+      Some("""SELECT l_orderkey, l_linenumber AS line_no, l_quantity,
+        |  l_extendedprice, l_extendedprice * l_quantity AS gross
+        |FROM lineitem""".stripMargin)),
+
+    // C1–C8 scalar-function surface in one projection
+    CatalogEntry("scalar_funcs",
+      (s, d) => T(s, d, "customer").select(
+        col("c_custkey").as("customer_id"),
+        concat(col("c_name"), lit(" "), col("c_mktsegment")).as("name_segment"),
+        concat_ws(",", col("c_name"), col("c_mktsegment")).as("additional_column"),
+        expr("substring(c_name, 1, 10)").as("name_prefix"),
+        when(col("c_acctbal") > lit(0.0), col("c_acctbal") * lit(2))
+          .otherwise(lit(0.0)).as("doubled_bal")),
+      Some("""SELECT c_custkey AS customer_id,
+        |  c_name || ' ' || c_mktsegment AS name_segment,
+        |  concat_ws(',', c_name, c_mktsegment) AS additional_column,
+        |  substr(c_name, 1, 10) AS name_prefix,
+        |  CASE WHEN c_acctbal > 0.0 THEN c_acctbal * 2
+        |       ELSE CAST(0.0 AS DOUBLE) END AS doubled_bal
+        |FROM customer""".stripMargin)),
+
+    // §2.8 sort + limit (top-k), tiebroken by unique key for determinism
+    CatalogEntry("topk_orders",
+      (s, d) => T(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // A-family beyond the reference: sum/avg/min/max/count/count-distinct
+    CatalogEntry("agg_suite",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Cols.moneySum(col("l_quantity")).as("sum_qty"),
+          Cols.moneySum(col("l_extendedprice")).as("sum_price"),
+          Cols.moneyAvg(col("l_quantity")).as("avg_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("cnt"),
+          countDistinct(col("l_orderkey")).as("n_orders")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        |  COUNT(*) AS cnt, COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY 1, 2""".stripMargin)),
+
+    // Tumbling event-time window (batch twin of the streaming op)
+    CatalogEntry("events_hourly",
+      (s, d) => eventsTable(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("cnt"), col("total_value")),
+      Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+  )
+
+  def all: Seq[CatalogEntry] = parity
+}

@@ -1,0 +1,46 @@
+package graft.io
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source operators (SURVEY.md §2.1).
+  *
+  * S1 header-probe and S2 inferred CSV scans live in
+  * [[graft.etl.Validation]]; this module holds the generic readers.
+  */
+object Sources {
+
+  /** S2: full CSV scan with header + type inference. */
+  def csv(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(paths: _*)
+
+  /** CSV scan with an explicit contract schema — preferred at scale: no
+    * inference pass, stable types, malformed rows to a corrupt-record column.
+    */
+  def csvWithSchema(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(paths: _*)
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S3: JDBC table scan (reference: src/main/read/database_read.py:6-10,
+    * which reads single-partition). For big tables pass a partition column so
+    * the read parallelizes across executors — the reference's single-pull
+    * would bottleneck one task at scale.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String, props: Properties,
+      partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame =
+    partitionColumn match {
+      case Some((colName, lower, upper, numParts)) =>
+        spark.read.jdbc(url, table, colName, lower, upper, numParts, props)
+      case None => spark.read.jdbc(url, table, props)
+    }
+
+  /** S4: empty relation with an explicit schema (union seed;
+    * reference: main.py:246).
+    */
+  def empty(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+}

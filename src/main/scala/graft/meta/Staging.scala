@@ -1,0 +1,56 @@
+package graft.meta
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Run-state bookkeeping: the reference's MySQL staging table
+  * (product_staging_table, status 'A' active → 'I' inactive;
+  * src/main/transformations/main.py:196-225,428-448, pre-flight :46-75).
+  *
+  * Re-expressed as an append-only parquet ledger keyed by (batch_id,
+  * file_name): a run appends ACTIVE rows before processing and INACTIVE rows
+  * after success; the *latest* status per file wins. Append-only makes the
+  * state machine idempotent and cluster-safe (no in-place UPDATE, which
+  * object stores can't do transactionally) — re-running a failed batch
+  * appends a fresh ACTIVE generation instead of mutating rows, and the
+  * pre-flight check is a one-partition aggregate over a tiny table.
+  */
+class Staging(spark: SparkSession, ledgerPath: String) {
+  import Staging._
+
+  private def ledger: DataFrame =
+    try spark.read.schema(spark.createDataFrame(Seq.empty[StagingRow]).schema).parquet(ledgerPath)
+    catch { case _: Throwable => spark.createDataFrame(Seq.empty[StagingRow]) }
+
+  private def append(rows: Seq[StagingRow]): Unit =
+    spark.createDataFrame(rows).write.mode(SaveMode.Append).parquet(ledgerPath)
+
+  /** Stage files ACTIVE before processing (reference main.py:196-219). */
+  def markActive(batchId: String, files: Seq[String], now: Timestamp): Unit =
+    append(files.map(f => StagingRow(batchId, f, Active, now)))
+
+  /** Flip to INACTIVE after success (reference main.py:428-448). */
+  def markInactive(batchId: String, files: Seq[String], now: Timestamp): Unit =
+    append(files.map(f => StagingRow(batchId, f, Inactive, now)))
+
+  /** Pre-flight: files whose most recent status is still ACTIVE — evidence of
+    * a prior failed run (reference main.py:56-75).
+    */
+  def activeFiles(): Seq[String] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fileName")).orderBy(col("updatedAt").desc, col("status"))
+    ledger
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("status") === Active)
+      .select("fileName")
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+}
+
+object Staging {
+  val Active = "A"
+  val Inactive = "I"
+  case class StagingRow(batchId: String, fileName: String, status: String, updatedAt: Timestamp)
+}
