@@ -194,5 +194,132 @@ object QueryCatalog {
         |FROM events GROUP BY 1, 2""".stripMargin)),
   )
 
-  def all: Seq[CatalogEntry] = parity
+  // ------------------------------------------------------------ extensions
+
+  private def docs(s: SparkSession, d: String): DataFrame = T(s, d, "documents")
+  private def embs(s: SparkSession, d: String): DataFrame = T(s, d, "embeddings")
+
+  /** Raw events with ts as microsecond longs — µs (not ns) because DuckDB
+    * truncates parquet NANOS to micros on read, so µs is the finest exactly
+    * comparable epoch unit. `div` keeps the math in integer space.
+    */
+  def eventsRaw(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")).drop("ts")
+  }
+
+  /** Query embedding: the vector of vec_id = 0 (driver-side 1-row lookup). */
+  private def queryVec(s: SparkSession, d: String): Seq[Float] =
+    embs(s, d).filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+
+  private val eventsHourlySql =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** LSH geometry shared by the embedding queries: 8 tables × 4 bits keeps
+    * per-bucket candidate counts ~|table|/16 with ~75% recall at cosine 0.3
+    * (see graft.ops.Similarity scaladoc for the tradeoff).
+    */
+  private lazy val lshPlanes = ops.Similarity.hyperplanes(dim = 64, tables = 8, bitsPerTable = 4)
+
+  /** Training-data-pipeline extensions (dedup, similarity, text analysis,
+    * multimodal, sessionization, streaming) — SURVEY.md §7.2 step 6.
+    */
+  val extensions: Seq[CatalogEntry] = Seq(
+
+    CatalogEntry("text_stats",
+      (s, d) => ops.TextAnalysis.textStats(docs(s, d)),
+      Some("""SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(length(text) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')) AS avg_word_len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS upper_ratio
+        |FROM documents""".stripMargin)),
+
+    CatalogEntry("token_counts",
+      (s, d) => ops.TextAnalysis.tokenCounts(docs(s, d)),
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS lex_tokens
+        |FROM documents""".stripMargin)),
+
+    CatalogEntry("lang_id",
+      (s, d) => ops.TextAnalysis.languageId(docs(s, d)), None),
+
+    CatalogEntry("doc_fingerprints",
+      (s, d) => ops.TextAnalysis.fingerprints(docs(s, d)), None),
+
+    CatalogEntry("dedup_exact",
+      (s, d) => ops.Dedup.exactGroups(docs(s, d)),
+      Some("""SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
+        |  COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    CatalogEntry("dedup_exact_keep_first",
+      (s, d) => ops.Dedup.dropExactDuplicates(docs(s, d)),
+      Some("""SELECT doc_id, text, lang, source, n_chars
+        |FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM documents) t
+        |WHERE rn = 1""".stripMargin)),
+
+    CatalogEntry("dedup_minhash",
+      (s, d) => ops.Dedup.minhashCandidates(docs(s, d),
+        k = 64, bands = 16, shingleLen = 5, maxBucket = 100, minEstJaccard = 0.25), None),
+
+    CatalogEntry("dedup_simhash",
+      (s, d) => ops.Dedup.simhashPairs(docs(s, d), maxHamming = 8, maxBucket = 200), None),
+
+    CatalogEntry("ngram_jaccard",
+      (s, d) => ops.Dedup.ngramJaccardPairs(docs(s, d),
+        n = 3, threshold = 0.01, maxBucket = 200), None),
+
+    CatalogEntry("embedding_neardup",
+      (s, d) => ops.Similarity.nearDupPairs(embs(s, d), threshold = 0.3, lshPlanes), None),
+
+    CatalogEntry("knn_bruteforce",
+      (s, d) => ops.Similarity.bruteForceTopK(embs(s, d), queryVec(s, d), k = 20), None),
+
+    CatalogEntry("knn_ann",
+      (s, d) => ops.Similarity.annTopK(embs(s, d), queryVec(s, d), k = 20, lshPlanes), None),
+
+    CatalogEntry("sessionize",
+      (s, d) => ops.Sessions.sessionize(eventsRaw(s, d), gapMicros = 1800L * 1000 * 1000),
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, ts_us, value,
+        |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+        |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |              > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, ts_us, value,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM m
+        |)
+        |SELECT user_id, session_seq,
+        |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY 1, 2""".stripMargin)),
+
+    CatalogEntry("events_hourly_stream",
+      (s, d) => streaming.EventsStream.hourlyCounts(s, d),
+      Some(eventsHourlySql)),
+
+    CatalogEntry("multimodal_features",
+      (s, d) => ops.Multimodal.extractFeatures(ops.Multimodal.asMediaTable(docs(s, d))).toDF(),
+      None),
+  )
+
+  def all: Seq[CatalogEntry] = parity ++ extensions
 }

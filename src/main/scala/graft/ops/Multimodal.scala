@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, decoded/feature-extracted per partition.
+  *
+  * The decode itself is STUBBED (no media libraries in this container — see
+  * [[Multimodal.decodeStub]]); everything Spark-side is real: the schema
+  * (binary payload + typed metadata), the typed Dataset boundary, the
+  * per-partition iteration (where a real decoder handle would be opened once
+  * per partition and reused across rows), and the deterministic feature
+  * output shape.
+  *
+  * Scale notes: media rows are orders of magnitude wider than text rows —
+  * repartition by a size-balanced key before decode so one executor doesn't
+  * get all the 4K videos, and keep `spark.sql.files.maxPartitionBytes`
+  * small enough that a partition of payloads fits in executor memory.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte], format: String, width: Int, height: Int)
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long, feature: Array[Float])
+
+  /** Deterministic fake media table derived from documents: payload = utf8
+    * bytes of the text, metadata derived from doc stats. Stands in for a
+    * real (path, bytes, metadata) ingest of image/audio files.
+    */
+  def asMediaTable(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("binary").as("media"),
+      lit("fake/utf8").as("format"),
+      (length(col(textCol)) % 640).cast("int").as("width"),
+      (length(col(textCol)) % 480).cast("int").as("height"))
+
+  /** STUB for the real decoder: a production build would call an image/audio
+    * codec here (e.g. JNI into libjpeg/ffmpeg). The fake is deterministic —
+    * byte-histogram moments over the payload — so tests can assert exact
+    * values while the real codec slots in without touching the plumbing.
+    */
+  def decodeStub(r: MediaRow): MediaFeatures = {
+    val bytes = r.media
+    var checksum = 1125899906842597L // deterministic FNV-ish rolling hash
+    var sum = 0.0
+    var sumSq = 0.0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      checksum = checksum * 31 + b
+      sum += b
+      sumSq += b.toDouble * b
+      i += 1
+    }
+    val n = math.max(bytes.length, 1)
+    val mean = sum / n
+    val variance = sumSq / n - mean * mean
+    MediaFeatures(r.doc_id, bytes.length.toLong, checksum,
+      Array(mean.toFloat, variance.toFloat, bytes.length.toFloat))
+  }
+
+  /** Feature extraction over the media table: typed mapPartitions so a real
+    * decoder is initialized once per partition, not once per row.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val ds = media.select("doc_id", "media", "format", "width", "height")
+      .as(Encoders.product[MediaRow])
+    ds.mapPartitions { rows =>
+      // real impl: open codec/handle here, close via iterator completion
+      rows.map(decodeStub)
+    }(Encoders.product[MediaFeatures])
+  }
+}

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Gap-based sessionization of the events table (batch form; the streaming
+  * twin with flatMapGroupsWithState lives in graft.streaming).
+  *
+  * Window shape: one shuffle on user_id, then lag + running sum inside the
+  * partition sort — linear in events per user. At 100 TB the per-user
+  * partition fits easily (users ≪ events); a single viral user would be the
+  * skew case, handled by AQE skew-split on the shuffle.
+  */
+object Sessions {
+
+  /** events must carry raw microsecond ts as long (`ts_us`). A gap greater
+    * than `gapMicros` (or the first event) opens a new session.
+    */
+  def sessionize(events: DataFrame, gapMicros: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || (col("ts_us") - col("prev_ts")) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(running))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+  }
+}

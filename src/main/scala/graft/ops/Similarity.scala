@@ -1,0 +1,119 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — a single map-only scoring pass (the
+  * codegen'd [[graft.functions.CosineSimilarity]] kernel) followed by a
+  * TakeOrderedAndProject, so the cluster-wide cost is one read of the
+  * embedding table and a k-row-per-partition heap merge; no shuffle of the
+  * vectors themselves.
+  *
+  * Scale path: random-hyperplane LSH. Each vector gets `tables` bucket ids
+  * (signs of `bitsPerTable` fixed random projections); a query probes only
+  * its own buckets, reducing scored candidates by ~(1 - (1-p^b)^L). The
+  * hyperplanes are generated from a fixed seed so bucketing is deterministic
+  * and reproducible across runs and clusters. At 100 TB the bucketed table
+  * would be written out partitioned by (table_idx, bucket) so probes prune
+  * parquet partitions instead of scanning.
+  */
+object Similarity {
+
+  /** Deterministic unit-less random hyperplanes: tables × bitsPerTable
+    * planes, each of dimension `dim`, from a seeded Gaussian.
+    */
+  def hyperplanes(dim: Int, tables: Int, bitsPerTable: Int, seed: Long = 42L): Seq[Seq[Seq[Float]]] = {
+    val rng = new Random(seed)
+    Seq.fill(tables)(Seq.fill(bitsPerTable)(Seq.fill(dim)(rng.nextGaussian().toFloat)))
+  }
+
+  /** Sign-bit bucket of `vec` for one table of hyperplanes. */
+  def bucketFor(vec: Column, planes: Seq[Seq[Float]]): Column =
+    planes.foldLeft(lit(0L)) { (acc, plane) =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(plane), (x, y) => x * y),
+        lit(0.0), (s, v) => s + v)
+      acc * 2 + when(dot >= 0, 1L).otherwise(0L)
+    }
+
+  /** Attach `tables` LSH bucket ids per row: output (…, table_idx, bucket). */
+  def withLshBuckets(embs: DataFrame, vecCol: String,
+      planes: Seq[Seq[Seq[Float]]]): DataFrame = {
+    val buckets = array(planes.zipWithIndex.map { case (tablePlanes, t) =>
+      struct(lit(t).as("table_idx"), bucketFor(col(vecCol), tablePlanes).as("bucket"))
+    }: _*)
+    embs.withColumn("tb", explode(buckets))
+      .withColumn("table_idx", col("tb.table_idx"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb")
+  }
+
+  /** Brute-force exact cosine top-k against a literal query vector.
+    * Ties broken by id for determinism.
+    */
+  def bruteForceTopK(embs: DataFrame, query: Seq[Float], k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    embs
+      .select(col(idCol), VectorFunctions.cosine(col(vecCol), typedLit(query)).as("score"))
+      .filter(!isnan(col("score")))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
+  /** ANN top-k: score only vectors sharing an LSH bucket with the query in
+    * any table, then exact-rank the candidates. Recall < 1 by construction;
+    * tables/bitsPerTable trade recall vs candidate count.
+    */
+  def annTopK(embs: DataFrame, query: Seq[Float], k: Int,
+      planes: Seq[Seq[Seq[Float]]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val bucketed = withLshBuckets(embs, vecCol, planes)
+    val queryBuckets = planes.zipWithIndex.map { case (tablePlanes, t) =>
+      (t, bucketOfVector(query, tablePlanes))
+    }
+    val probe = queryBuckets
+      .map { case (t, b) => col("table_idx") === t && col("bucket") === b }
+      .reduce(_ || _)
+    bucketed.filter(probe)
+      .select(col(idCol), col(vecCol)).dropDuplicates(idCol)
+      .select(col(idCol), VectorFunctions.cosine(col(vecCol), typedLit(query)).as("score"))
+      .filter(!isnan(col("score")))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Driver-side twin of [[bucketFor]] for hashing the query vector. */
+  def bucketOfVector(vec: Seq[Float], planes: Seq[Seq[Float]]): Long =
+    planes.foldLeft(0L) { (acc, plane) =>
+      val dot = vec.zip(plane).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      acc * 2 + (if (dot >= 0) 1L else 0L)
+    }
+
+  /** Embedding near-duplicate pairs: candidates from shared LSH buckets,
+    * verified by exact cosine ≥ threshold. The pair join moves only
+    * (bucket, id, vector); `maxBucket` caps degenerate buckets.
+    */
+  def nearDupPairs(embs: DataFrame, threshold: Double,
+      planes: Seq[Seq[Seq[Float]]], maxBucket: Int = 1000,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val bucketed = withLshBuckets(embs.select(col(idCol), col(vecCol)), vecCol, planes)
+      .withColumn("bucket_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("table_idx"), col("bucket"))))
+      .filter(col("bucket_size") <= maxBucket)
+    val a = bucketed.select(col("table_idx"), col("bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = bucketed.select(col("table_idx"), col("bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("table_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .distinct()
+      .filter(!isnan(col("cosine")) && col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: stats/quality scoring,
+  * token counting, language ID, and document fingerprinting. All map-only
+  * column expressions — each metric is computed where the document is read.
+  */
+object TextAnalysis {
+
+  /** Per-document surface statistics + a simple quality score.
+    * All metrics are built-in string functions (codegen'd, oracle-friendly).
+    */
+  def textStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nWords = size(split(trim(t), "\\s+"))
+    val nPunct = nChars - length(regexp_replace(t, "[.,;:!?]", ""))
+    val nUpper = nChars - length(regexp_replace(t, "[A-Z]", ""))
+    docs.select(
+      col(idCol).as("doc_id"),
+      nChars.cast("long").as("n_chars"),
+      nWords.cast("long").as("n_words"),
+      (nChars.cast("double") / nWords).as("avg_word_len"),
+      (nPunct.cast("double") / nChars).as("punct_ratio"),
+      (nUpper.cast("double") / nChars).as("upper_ratio"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish lexical split
+    * (letter runs | single digits | single punctuation). The regex is
+    * RE2-compatible so the same pattern runs in DuckDB for the oracle.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(split(trim(t), "\\s+")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("lex_tokens"))
+  }
+
+  /** Tiny per-language stopword marker sets for the heuristic language ID.
+    * Public common function words; enough signal for coarse routing.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "avec", "une"),
+    "es" -> Seq("el", "los", "las", "es", "en", "con", "una", "por"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "不", "我"))
+
+  /** Heuristic language ID: count marker-token hits per language over the
+    * token multiset, pick the argmax (ties broken by language code order,
+    * "und" = undetermined when nothing matches). For zh (no whitespace
+    * segmentation) markers are matched as substrings.
+    */
+  def languageId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = Shingles.tokens(col(textCol))
+    val scores: Seq[(String, Column)] = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val score =
+        if (lang == "zh")
+          words.map(w => when(col(textCol).contains(w), 1).otherwise(0)).reduce(_ + _)
+        else
+          size(filter(toks, t => t.isInCollection(words)))
+      lang -> score
+    }
+    val best = scores.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
+      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    docs.select(col(idCol).as("doc_id"), best._1.as("pred_lang"), best._2.as("marker_hits"))
+  }
+
+  /** Winnowing-style document fingerprint: hash all char k-grams, keep the
+    * minimum hash in each sliding window of `w` consecutive k-grams, distinct
+    * the survivors. Robust to small edits; map-only.
+    */
+  def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val hashes = transform(Shingles.charShinglesOrdered(col(textCol), k), g => xxhash64(g))
+    docs
+      .withColumn("gram_hashes", hashes)
+      .filter(size(col("gram_hashes")) >= w)
+      .select(col(idCol).as("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("gram_hashes")) - lit(w - 1)),
+          j => array_min(slice(col("gram_hashes"), j, lit(w))))).as("fingerprint"),
+        xxhash64(col(textCol)).as("content_hash"))
+  }
+}

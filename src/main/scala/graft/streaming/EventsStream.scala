@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table.
+  *
+  * The reference is batch-only (SURVEY.md §2.11); this is the extension the
+  * events table exists for. Streaming and batch share the same transform, so
+  * the streaming result is oracle-verifiable against the batch GROUP BY.
+  */
+object EventsStream {
+
+  /** Raw parquet schema of events.parquet — ts is TIMESTAMP(NANOS), read as
+    * long via the nanosAsLong legacy conf (same as the batch path).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Hourly tumbling-window aggregate as a streaming query over the events
+    * parquet, driven to completion with Trigger.AvailableNow against a
+    * memory sink, returning the final result — identical to the batch
+    * events_hourly query (same oracle SQL).
+    *
+    * On a real cluster this would be `readStream` on an arriving directory
+    * with `writeStream.outputMode("append")` + watermark for state eviction;
+    * complete-mode-to-memory is the local harness. State scales with
+    * |open windows × event types|, bounded by the watermark.
+    */
+  def hourlyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-stream source requires a directory: stream the sf dir with a
+    // glob pinned to the events table (explicit schema, no inference pass)
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      // watermarks require TIMESTAMP (with-tz); session tz is UTC so the
+      // wall clock matches the batch NTZ path — cast back to NTZ on output
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("total_value"))
+    val sinkName = "events_hourly_stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .withColumn("hour_start", expr("CAST(hour_start AS TIMESTAMP_NTZ)"))
+  }
+}
