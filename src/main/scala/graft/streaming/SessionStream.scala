@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming gap-sessionization with custom state
+  * (KeyValueGroupedDataset.flatMapGroupsWithState) — the stateful twin of
+  * [[graft.ops.Sessions.sessionize]].
+  *
+  * State per user is one open session (constant size); closed sessions are
+  * emitted as soon as a gap larger than `gapMicros` is observed. With event-
+  * time timeout + watermark this bounds state to |active users| on a real
+  * stream; the local harness drives it with MemoryStream batches.
+  */
+object SessionStream {
+
+  case class Event(user_id: Long, event_id: Long, ts_us: Long, value: Double)
+  case class OpenSession(start_us: Long, end_us: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
+      n_events: Long, total_value: Double)
+
+  /** Fold a user's new events (sorted by ts) into the open session, emitting
+    * every session closed by a gap. Events arriving within one batch are
+    * sorted here; cross-batch ordering relies on the upstream watermark.
+    */
+  def updateUser(gapMicros: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var open = state.getOption
+    val closed = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      open match {
+        case Some(s) if e.ts_us - s.end_us <= gapMicros =>
+          open = Some(OpenSession(s.start_us, e.ts_us, s.n + 1, s.total + e.value))
+        case Some(s) =>
+          closed += SessionOut(userId, s.start_us, s.end_us, s.n, s.total)
+          open = Some(OpenSession(e.ts_us, e.ts_us, 1L, e.value))
+        case None =>
+          open = Some(OpenSession(e.ts_us, e.ts_us, 1L, e.value))
+      }
+    }
+    open.foreach(state.update)
+    closed.result().iterator
+  }
+
+  /** Wire the stateful sessionizer over a (possibly streaming) event
+    * Dataset. Works identically on batch Datasets for testing.
+    */
+  def sessionize(events: Dataset[Event], gapMicros: Long): Dataset[SessionOut] =
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(updateUser(gapMicros))(
+        Encoders.product[OpenSession], Encoders.product[SessionOut])
+}

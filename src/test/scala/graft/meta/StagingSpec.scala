@@ -1,0 +1,27 @@
+package graft.meta
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class StagingSpec extends SparkSpec {
+
+  test("A/I lifecycle: active set reflects latest status per file") {
+    val ledger = Files.createTempDirectory("graft-staging").toString + "/ledger"
+    val st = new Staging(spark, ledger)
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2026-01-01 01:00:00")
+
+    assert(st.activeFiles().isEmpty)
+    st.markActive("b1", Seq("a.csv", "b.csv"), t0)
+    assert(st.activeFiles() === Seq("a.csv", "b.csv"))
+    st.markInactive("b1", Seq("a.csv"), t1)
+    assert(st.activeFiles() === Seq("b.csv"))
+    // idempotent re-run of a failed batch: appending a new generation works
+    st.markActive("b2", Seq("b.csv"), t1)
+    st.markInactive("b2", Seq("b.csv"),
+      Timestamp.valueOf("2026-01-01 02:00:00"))
+    assert(st.activeFiles().isEmpty)
+  }
+}

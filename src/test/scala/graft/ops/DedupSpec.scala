@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumped over the lazy dog"), // near dup of 1
+    (4L, "completely unrelated text about spark engines and parquet files"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses exact duplicates, keeps lowest id") {
+    val g = Dedup.exactGroups(docs)
+    assert(g.count() === 4) // 1&2 merge; 3,4,5 singletons
+    val dupRow = g.filter(col("dup_count") === 2).head()
+    assert(dupRow.getAs[Long]("keeper_id") === 1L)
+  }
+
+  test("dropExactDuplicates keeps one deterministic row per text") {
+    val kept = Dedup.dropExactDuplicates(docs)
+    assert(kept.count() === 4)
+    assert(kept.filter(col("doc_id") === 2).isEmpty)
+    assert(!kept.filter(col("doc_id") === 1).isEmpty)
+  }
+
+  test("minhash: identical docs get identical signatures; near-dups high est_jaccard") {
+    val sigs = Dedup.signatures(docs, k = 32, shingleLen = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(!sigs.contains(5L)) // empty doc dropped
+    val cands = Dedup.minhashCandidates(docs, k = 32, bands = 16, shingleLen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cands((1L, 2L)) === 1.0)
+    assert(cands((1L, 3L)) > 0.5) // one-word edit
+    assert(!cands.contains((1L, 4L)) || cands((1L, 4L)) < 0.3)
+  }
+
+  test("simhash: exact dups identical, near-dups close, unrelated far") {
+    val sh = Dedup.simhashes(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) === sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard finds the near-dup pair with high overlap") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+}

@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("media table plumbing: binary payload round-trips through partitioned decode") {
+    val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs)
+    assert(media.schema("media").dataType.typeName === "binary")
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes === 3L)
+    // mean byte of "abc" = (97+98+99)/3 = 98
+    assert(math.abs(feats(1L).feature(0) - 98.0f) < 1e-6)
+    assert(feats(2L).n_bytes === 0L)
+    // deterministic checksum (stub decode is reproducible)
+    val again = Multimodal.extractFeatures(media).collect().map(f => f.doc_id -> f.checksum).toMap
+    assert(again === feats.view.mapValues(_.checksum).toMap)
+  }
+
+  test("repartitioned decode produces identical results (partition-independence)") {
+    val docs = Seq.tabulate(50)(i => (i.toLong, s"payload-$i")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs)
+    val one = Multimodal.extractFeatures(media.coalesce(1)).collect().sortBy(_.doc_id)
+    val many = Multimodal.extractFeatures(media.repartition(7)).collect().sortBy(_.doc_id)
+    assert(one.map(_.checksum).toSeq === many.map(_.checksum).toSeq)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "Hello, World! This is a TEST."),
+    (2L, "the cat and the dog went to the park"),
+    (3L, "der Hund und die Katze sind nicht hier"),
+    (4L, "le chat est avec une souris et pas le chien")
+  ).toDF("doc_id", "text")
+
+  test("textStats computes exact counts") {
+    val r = TextAnalysis.textStats(docs).filter(col("doc_id") === 1).head()
+    assert(r.getAs[Long]("n_chars") === 29L)
+    assert(r.getAs[Long]("n_words") === 6L)
+    assert(r.getAs[Double]("punct_ratio") === 3.0 / 29)   // "," "!" "."
+    assert(r.getAs[Double]("upper_ratio") === 7.0 / 29)   // H W T TEST
+  }
+
+  test("tokenCounts: ws vs lexical tokens") {
+    val r = TextAnalysis.tokenCounts(docs).filter(col("doc_id") === 1).head()
+    assert(r.getAs[Long]("ws_tokens") === 6L)
+    // Hello , World ! This is a TEST . → 9 lexical tokens
+    assert(r.getAs[Long]("lex_tokens") === 9L)
+  }
+
+  test("languageId picks the marker-dominant language") {
+    val preds = TextAnalysis.languageId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(preds(2L) === "en")
+    assert(preds(3L) === "de")
+    assert(preds(4L) === "fr")
+  }
+
+  test("fingerprints: identical docs share all fingerprints, edits share most") {
+    val trio = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different sentence with other words entirely")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(trio).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) === fps(2L))
+    assert((fps(1L) & fps(3L)).size < fps(1L).size / 2)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{QueryCatalog, SparkSpec}
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly counts equal the batch events_hourly result") {
+    val streamed = EventsStream.hourlyCounts(spark, sf())
+    val batch = QueryCatalog.all.find(_.name == "events_hourly").get.run(spark, sf())
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stateful session stream over MemoryStream: gaps close sessions across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SessionStream.Event]
+    val gap = 1000L // 1ms gap in micros
+    val q = SessionStream.sessionize(mem.toDS(), gap)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+
+    // batch 1: user 1 has two events 500µs apart (same session)
+    mem.addData(
+      SessionStream.Event(1L, 1L, 1000L, 1.0),
+      SessionStream.Event(1L, 2L, 1500L, 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").isEmpty) // session still open
+
+    // batch 2: a far-future event closes the first session
+    mem.addData(SessionStream.Event(1L, 3L, 10000L, 5.0))
+    q.processAllAvailable()
+    val closed = spark.table("sess_out").as[SessionStream.SessionOut].collect()
+    assert(closed.length === 1)
+    assert(closed.head.session_start_us === 1000L)
+    assert(closed.head.session_end_us === 1500L)
+    assert(closed.head.n_events === 2L)
+    assert(closed.head.total_value === 3.0)
+    q.stop()
+  }
+
+  test("batch sessionize agrees with stateful fold on the same events") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, 1000L, 1.0), (1L, 2L, 1500L, 2.0), (1L, 3L, 999999L, 3.0),
+      (2L, 4L, 50L, 4.0)
+    ).toDF("user_id", "event_id", "ts_us", "value")
+    val batch = graft.ops.Sessions.sessionize(events, gapMicros = 1000L)
+    // 1ms gap: user 1 → sessions {1,2} and {3}; user 2 → {4}
+    assert(batch.count() === 3)
+    val s1 = batch.filter(col("user_id") === 1 && col("session_seq") === 1).head()
+    assert(s1.getAs[Long]("n_events") === 2L)
+  }
+}
