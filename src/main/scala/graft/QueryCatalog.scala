@@ -278,7 +278,7 @@ object QueryCatalog {
 
     CatalogEntry("ngram_jaccard",
       (s, d) => ops.Dedup.ngramJaccardPairs(docs(s, d),
-        n = 3, threshold = 0.01, maxBucket = 200), None),
+        n = 3, threshold = 0.01, maxBucket = 100), None),
 
     CatalogEntry("embedding_neardup",
       (s, d) => ops.Similarity.nearDupPairs(embs(s, d), threshold = 0.3, lshPlanes), None),

@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
   * and n-gram Jaccard.
   *
   * Design for 100 TB:
-  *  - signatures (minhash / simhash) are map-only column expressions — each
-  *    doc's sketch is computed where the doc is read, no shuffle;
-  *  - candidate generation shuffles only (band_key, doc_id) pairs — a few
-  *    dozen bytes per doc per band, never the text;
-  *  - degenerate LSH buckets (boilerplate shared by millions of docs) are
-  *    capped by `maxBucket` before the pair join, which bounds the quadratic
-  *    blowup and doubles as skew protection; the cap is logged in the result
-  *    via the bucket size, not silently dropped;
+  *  - sketches are computed as explode → whole-stage-codegen'd hash
+  *    aggregates with map-side partial combine: the text never shuffles, only
+  *    (doc_id, 64 longs). Higher-order-function lambdas are deliberately kept
+  *    OFF the hot path — they evaluate interpreted, per element;
+  *  - every heavy map stage is preceded by `repartition(doc_id)` so a
+  *    few-files input (one file = one scan partition) still uses the whole
+  *    cluster; at real scale with thousands of input files the repartition
+  *    cost is one pass of the text, traded for balanced compute;
+  *  - candidate generation shuffles only (band_key, doc_id, sketch) — never
+  *    the text; degenerate LSH buckets (boilerplate shared by millions of
+  *    docs) are capped by `maxBucket` before the pair join, bounding the
+  *    quadratic blowup and doubling as skew protection;
   *  - exact-verify joins happen only on surviving candidate pairs.
   */
 object Dedup {
@@ -41,20 +45,25 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** k-permutation MinHash signature over a shingle array: sig[s] =
-    * min over shingles of xxhash64(shingle, s). Map-only.
+  /** doc_id + k-permutation MinHash signature. Shape: repartition →
+    * normalize once → explode distinct shingles → ONE hash aggregate with k
+    * `min(xxhash64(shingle, seed))` buffers (codegen'd, map-side combined) →
+    * re-assembled signature array. Docs shorter than the shingle drop out.
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(shingles, sh => xxhash64(sh, s))))
-
-  /** doc_id + signature, docs with no shingles dropped. */
   def signatures(docs: DataFrame, k: Int = 64, shingleLen: Int = 5,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs
-      .withColumn("shingles", Shingles.charShingles(col(textCol), shingleLen))
-      .filter(size(col("shingles")) > 0)
-      .select(col(idCol).as("doc_id"), minhashSignature(col("shingles"), k).as("sig"))
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val exploded = docs
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .filter(length(col("norm")) >= shingleLen)
+      .select(col(idCol).as("doc_id"),
+        explode(Shingles.charShingles(col("norm"), shingleLen)).as("sh"))
+    val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
+    exploded
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH banding: one row per (doc, band) with the band's hash. Docs sharing
     * any (band_idx, band_hash) are candidates. b bands of r rows: collision
@@ -63,11 +72,11 @@ object Dedup {
   def lshBands(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(
       col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(
-          b.as("band_idx"),
-          xxhash64(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), b)
-            .as("band_hash")))).as("band"))
+      explode(array((0 until bands).map(b =>
+        struct(
+          lit(b).as("band_idx"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
+            .as("band_hash"))): _*)).as("band"))
       .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
 
   /** Candidate near-duplicate pairs with estimated Jaccard =
@@ -79,52 +88,59 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val rowsPerBand = k / bands
     val sigs = signatures(docs, k, shingleLen, textCol, idCol)
+    // persist the sketch table: the self-join below reads it twice, and
+    // without it the whole shingle→signature aggregation runs once per side.
+    // Size is (doc_id + k longs) per doc — MEMORY_AND_DISK spills safely at
+    // any scale; in a production pipeline this is the materialized
+    // signatures table.
     val banded = lshBands(sigs, bands, rowsPerBand)
       .withColumn("bucket_size",
         count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
       .filter(col("bucket_size") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
           .cast("double") / lit(k.toDouble)).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
   // -------------------------------------------------------------- simhash
 
-  /** Classic 64-bit SimHash from a per-token hash array: bit i is set iff
-    * the majority of token hashes have bit i set (the +1/-1 vote sum is
-    * non-negative). `hashes` must be a materialized column reference — the
-    * 64 per-bit filters each reference it, and a bare expression would be
-    * duplicated 64× in the plan tree. Map-only.
+  /** doc_id + classic 64-bit SimHash: bit i set iff the majority of token
+    * hashes have bit i set. Shape: repartition → normalize once → explode
+    * tokens → hash once per token → ONE aggregate with 64 ±1-vote sum
+    * buffers (codegen'd, map-side combined) → bitwise pack (arithmetic *2
+    * would sign-overflow on bit 63 under ANSI).
     */
-  def simhash64(hashes: Column): Column = {
-    val n = size(hashes)
-    (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
-      val setCount = size(filter(hashes,
-        h => shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L)))
-      // bitwise pack (arithmetic *2 would sign-overflow on bit 63 under ANSI)
-      acc.bitwiseOR(shiftleft(when(setCount * 2 >= n, lit(1L)).otherwise(lit(0L)), i))
-    }
+  def simhashes(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .select(col(idCol).as("doc_id"), explode(Shingles.tokensOfNorm(col("norm"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$i"))
+    toks
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+          acc.bitwiseOR(shiftleft(when(col(s"v$i") >= 0, lit(1L)).otherwise(lit(0L)), i))
+        }.as("simhash"))
   }
-
-  /** doc_id + 64-bit simhash fingerprint. */
-  def simhashes(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs
-      .withColumn("toks", Shingles.tokens(col(textCol)))
-      .filter(size(col("toks")) > 0)
-      .withColumn("tok_hashes", transform(col("toks"), t => xxhash64(t)))
-      .select(col(idCol).as("doc_id"), simhash64(col("tok_hashes")).as("simhash"))
 
   /** Near-dup pairs by Hamming distance: 4×16-bit band index (a pair within
     * Hamming ≤ 3 must agree on ≥1 band — pigeonhole), exact bit_count verify
-    * after the band join.
+    * after the band join. `maxBucket` caps degenerate bands.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 200,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -138,6 +154,7 @@ object Dedup {
       .withColumn("bucket_size",
         count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_val"))))
       .filter(col("bucket_size") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // self-join reads twice
     val a = banded.select(col("band_idx"), col("band_val"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band_idx"), col("band_val"),
@@ -160,13 +177,19 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1,
       maxBucket: Int = 200, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val grams = docs
-      .select(col(idCol).as("doc_id"), Shingles.wordNgrams(col(textCol), n).as("grams"))
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .withColumn("toks", Shingles.tokensOfNorm(col("norm")))
+      .select(col(idCol).as("doc_id"), Shingles.wordNgrams(col("toks"), n).as("grams"))
       .filter(size(col("grams")) > 0)
+      // read 3× below (sizes + both join sides) — persist or recompute thrice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.select(col("doc_id"), size(col("grams")).as("n_grams"))
     val inverted = grams
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .withColumn("gram_freq", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .filter(col("gram_freq") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = inverted.select(col("gram"), col("doc_id").as("doc_a"))
       .join(inverted.select(col("gram"), col("doc_id").as("doc_b")), Seq("gram"))
       .filter(col("doc_a") < col("doc_b"))

@@ -4,55 +4,51 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
 
-/** Shingling / n-gram helpers shared by the dedup family. All map-only
-  * column expressions (higher-order functions) — no shuffle, no UDF: they
-  * stay on the executor that read the row, which is what lets signature
-  * computation scale linearly over 100 TB of documents.
+/** Shingling / n-gram helpers shared by the dedup family.
+  *
+  * PERFORMANCE CONTRACT: the positional builders (charShingles,
+  * charShinglesOrdered, wordNgrams) reference their input inside a
+  * higher-order lambda, and Catalyst re-evaluates the lambda body per array
+  * element. Pass a MATERIALIZED column reference (a `withColumn` output),
+  * never a raw expression like `normalize(col("text"))` — otherwise the
+  * regex/split work silently becomes O(len²) per row (observed: 40s+ vs <2s
+  * on 5k docs).
   */
 object Shingles {
 
-  /** Lowercased, whitespace-collapsed text. */
+  /** Lowercased, whitespace-collapsed text. Materialize the result before
+    * feeding it to the positional builders below.
+    */
   def normalize(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Whitespace tokens of normalized text. */
-  def tokens(c: Column): Column =
-    split(normalize(c), " ")
+  /** Whitespace tokens of a materialized normalized column. */
+  def tokensOfNorm(norm: Column): Column = split(norm, " ")
 
-  /** Distinct character k-grams of the normalized text (empty array for
-    * strings shorter than k).
-    */
-  def charShingles(c: Column, k: Int): Column = {
-    val n = normalize(c)
-    when(length(n) >= k,
+  /** Distinct character k-grams of a materialized normalized column. */
+  def charShingles(norm: Column, k: Int): Column =
+    when(length(norm) >= k,
       array_distinct(transform(
-        sequence(lit(1), length(n) - lit(k - 1)),
-        i => substring_index_at(n, i, k))))
+        sequence(lit(1), length(norm) - lit(k - 1)),
+        i => norm.substr(i, lit(k)))))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
-
-  private def substring_index_at(s: Column, i: Column, k: Int): Column =
-    s.substr(i, lit(k))
 
   /** Ordered (non-distinct, positional) character k-grams — for winnowing
-    * fingerprints where window position matters.
+    * fingerprints where window position matters. Same materialization
+    * contract as [[charShingles]].
     */
-  def charShinglesOrdered(c: Column, k: Int): Column = {
-    val n = normalize(c)
-    when(length(n) >= k,
+  def charShinglesOrdered(norm: Column, k: Int): Column =
+    when(length(norm) >= k,
       transform(
-        sequence(lit(1), length(n) - lit(k - 1)),
-        i => substring_index_at(n, i, k)))
+        sequence(lit(1), length(norm) - lit(k - 1)),
+        i => norm.substr(i, lit(k))))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
 
-  /** Distinct word n-grams ("a b c") of the normalized text. */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    when(size(t) >= n,
+  /** Distinct word n-grams ("a b c") of a materialized token-array column. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
       array_distinct(transform(
-        sequence(lit(1), size(t) - lit(n - 1)),
-        j => concat_ws(" ", slice(t, j, lit(n))))))
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        j => concat_ws(" ", slice(toks, j, lit(n))))))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
 }

@@ -105,6 +105,7 @@ object Similarity {
       .withColumn("bucket_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("table_idx"), col("bucket"))))
       .filter(col("bucket_size") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // self-join reads twice
     val a = bucketed.select(col("table_idx"), col("bucket"),
       col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = bucketed.select(col("table_idx"), col("bucket"),
