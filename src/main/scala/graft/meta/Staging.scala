@@ -39,8 +39,10 @@ class Staging(spark: SparkSession, ledgerPath: String) {
     * a prior failed run (reference main.py:56-75).
     */
   def activeFiles(): Seq[String] = {
+    // status desc so INACTIVE ('I' > 'A') wins a same-timestamp tie — a
+    // completion recorded in the same instant as its activation counts
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fileName")).orderBy(col("updatedAt").desc, col("status"))
+      .partitionBy(col("fileName")).orderBy(col("updatedAt").desc, col("status").desc)
     ledger
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("status") === Active)
