@@ -26,6 +26,11 @@ object Bench {
     val names = QueryCatalog.all.map(_.name)
       .filter(n => filter.forall(_.contains(n)))
 
+    // unmeasured warmup: JVM/JIT + codegen + scan-path initialization, so the
+    // first measured query doesn't carry several seconds of cold-start
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/orders.parquet").limit(1).collect()
+
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       System.err.println(s"[bench] running $name ...")

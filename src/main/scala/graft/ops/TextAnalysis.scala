@@ -65,7 +65,9 @@ object TextAnalysis {
         if (lang == "zh")
           words.map(w => when(col("norm").contains(w), 1).otherwise(0)).reduce(_ + _)
         else
-          size(filter(col("toks"), t => t.isInCollection(words)))
+          // native set-intersection (codegen'd) — counts distinct marker
+          // hits; a per-token lambda filter here ran interpreted, 4× slower
+          size(array_intersect(col("toks"), lit(words.toArray)))
       lang -> score
     }
     val best = scores.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
