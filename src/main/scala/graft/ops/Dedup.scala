@@ -88,28 +88,37 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val rowsPerBand = k / bands
     val sigs = signatures(docs, k, shingleLen, textCol, idCol)
-    // persist the sketch table: the self-join below reads it twice, and
-    // without it the whole shingle→signature aggregation runs once per side.
-    // Size is (doc_id + k longs) per doc — MEMORY_AND_DISK spills safely at
-    // any scale; in a production pipeline this is the materialized
-    // signatures table.
     val banded = lshBands(sigs, bands, rowsPerBand)
-      .withColumn("bucket_size",
-        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("bucket_size") <= maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+    bucketPairs(banded, Seq("band_idx", "band_hash"), "doc_id", Seq("sig"), maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
           .cast("double") / lit(k.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Shared LSH candidate-pair generator: aggregate each bucket with
+    * collect_list (ONE shuffle on the bucket key — no self-join, so the
+    * upstream sketch pipeline runs exactly once and needs no persist),
+    * filter buckets to [2, maxBucket] (singletons carry no pairs; oversized
+    * buckets are degenerate boilerplate AND the skew/quadratic guard), then
+    * expand unordered in-bucket pairs with a nested lambda. Output columns:
+    * `a`, `b` — structs of (id, payload…) with a.id < b.id.
+    */
+  private[ops] def bucketPairs(df: DataFrame, bucketKeys: Seq[String],
+      id: String, payloadCols: Seq[String], maxBucket: Int): DataFrame = {
+    val item = struct((id +: payloadCols).map(col): _*)
+    df
+      .groupBy(bucketKeys.map(col): _*)
+      .agg(collect_list(item).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("items"), x =>
+        transform(
+          filter(col("items"), y => y(id) > x(id)),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
   }
 
   // -------------------------------------------------------------- simhash
@@ -151,18 +160,9 @@ object Dedup {
           shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*))
         .as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
-      .withColumn("bucket_size",
-        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_val"))))
-      .filter(col("bucket_size") <= maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // self-join reads twice
-    val a = banded.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+    bucketPairs(banded, Seq("band_idx", "band_val"), "doc_id", Seq("simhash"), maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -182,17 +182,12 @@ object Dedup {
       .withColumn("toks", Shingles.tokensOfNorm(col("norm")))
       .select(col(idCol).as("doc_id"), Shingles.wordNgrams(col("toks"), n).as("grams"))
       .filter(size(col("grams")) > 0)
-      // read 3× below (sizes + both join sides) — persist or recompute thrice
+      // read twice below (sizes + inverted index) — persist or recompute
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.select(col("doc_id"), size(col("grams")).as("n_grams"))
-    val inverted = grams
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .withColumn("gram_freq", count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .filter(col("gram_freq") <= maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shared = inverted.select(col("gram"), col("doc_id").as("doc_a"))
-      .join(inverted.select(col("gram"), col("doc_id").as("doc_b")), Seq("gram"))
-      .filter(col("doc_a") < col("doc_b"))
+    val inverted = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val shared = bucketPairs(inverted, Seq("gram"), "doc_id", Seq.empty, maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
     shared

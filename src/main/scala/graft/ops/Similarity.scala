@@ -102,19 +102,13 @@ object Similarity {
       planes: Seq[Seq[Seq[Float]]], maxBucket: Int = 1000,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val bucketed = withLshBuckets(embs.select(col(idCol), col(vecCol)), vecCol, planes)
-      .withColumn("bucket_size", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("table_idx"), col("bucket"))))
-      .filter(col("bucket_size") <= maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // self-join reads twice
-    val a = bucketed.select(col("table_idx"), col("bucket"),
-      col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = bucketed.select(col("table_idx"), col("bucket"),
-      col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(b, Seq("table_idx", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col(idCol).as("doc_id"), col(vecCol).as("vec"), col("table_idx"), col("bucket"))
+    graft.ops.Dedup.bucketPairs(bucketed, Seq("table_idx", "bucket"), "doc_id", Seq("vec"), maxBucket)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.vec").as("vec_a"), col("b.vec").as("vec_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
-      .distinct()
       .filter(!isnan(col("cosine")) && col("cosine") >= threshold)
   }
 }
