@@ -289,6 +289,13 @@ object QueryCatalog {
     CatalogEntry("knn_ann",
       (s, d) => ops.Similarity.annTopK(embs(s, d), queryVec(s, d), k = 20, lshPlanes), None),
 
+    CatalogEntry("knn_ivf",
+      (s, d) => {
+        val e = embs(s, d)
+        val index = ops.IVF.train(e, c = 16, iters = 3)
+        ops.IVF.topK(e, index, queryVec(s, d), k = 20, nprobe = 4)
+      }, None),
+
     CatalogEntry("sessionize",
       (s, d) => ops.Sessions.sessionize(eventsRaw(s, d), gapMicros = 1800L * 1000 * 1000),
       Some("""WITH e AS (

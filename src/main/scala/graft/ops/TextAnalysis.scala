@@ -70,10 +70,16 @@ object TextAnalysis {
           size(array_intersect(col("toks"), lit(words.toArray)))
       lang -> score
     }
-    val best = scores.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
-      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
-    withToks.select(col(idCol).as("doc_id"), best._1.as("pred_lang"), best._2.as("marker_hits"))
+    // array argmax (a when-chain fold doubles the expression tree per
+    // language); ties → first language in sorted order, 0 hits → "und"
+    val scoreArr = array(scores.map(_._2): _*)
+    val langArr = array(scores.map { case (l, _) => lit(l) }: _*)
+    val bestScore = array_max(scoreArr)
+    withToks.select(
+      col(idCol).as("doc_id"),
+      when(bestScore > 0, element_at(langArr, array_position(scoreArr, bestScore).cast("int")))
+        .otherwise(lit("und")).as("pred_lang"),
+      greatest(bestScore, lit(0)).as("marker_hits"))
   }
 
   /** Winnowing-style document fingerprint: hash all char k-grams, keep the

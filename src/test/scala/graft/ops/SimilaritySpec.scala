@@ -45,6 +45,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF: nprobe=c degenerates to exact brute-force top-k") {
+    val embs = Tables(spark, sf(), "embeddings")
+    val q = embs.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val index = IVF.train(embs, c = 8, iters = 2)
+    assert(index.centroids.size === 8 && index.dim === 64)
+    val brute = Similarity.bruteForceTopK(embs, q, k = 10).collect().map(_.getLong(0)).toSeq
+    val full = IVF.topK(embs, index, q, k = 10, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    assert(full === brute) // probing every cell = exact search
+    val probed = IVF.topK(embs, index, q, k = 10, nprobe = 2).collect()
+    assert(probed.nonEmpty && probed.head.getLong(0) === 0L) // self survives its own cell
+  }
+
   test("near-dup pairs are symmetric-free, above threshold, deterministic") {
     val embs = Tables(spark, sf(), "embeddings")
     val planes = Similarity.hyperplanes(dim = 64, tables = 8, bitsPerTable = 4)
