@@ -179,6 +179,19 @@ object QueryCatalog {
         |  COUNT(*) AS cnt, COUNT(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY 1, 2""".stripMargin)),
 
+    // HLL approximate distinct vs exact — the constant-memory path for
+    // extreme-cardinality counts at 100 TB (rows-only: HLL estimates are
+    // engine-specific, no cross-engine oracle)
+    CatalogEntry("agg_approx",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .withColumn("rel_err",
+          abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts")),
+      None),
+
     // Tumbling event-time window (batch twin of the streaming op)
     CatalogEntry("events_hourly",
       (s, d) => eventsTable(s, d)

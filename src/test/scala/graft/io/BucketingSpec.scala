@@ -1,0 +1,37 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Bucketed-table co-located join: pre-bucketing both sides on the join key
+  * removes the shuffle entirely — the 100 TB pattern for repeated joins on
+  * the same key (SCALE.md "co-locate joins via bucketing").
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("join of tables bucketed on the join key plans with zero shuffle exchanges") {
+    val orders = Tables(spark, sf(), "orders")
+    val customer = Tables(spark, sf(), "customer")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_bkt")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_bkt")
+    // force a non-broadcast plan so the shuffle (or its absence) is visible
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join, got:\n$plan")
+      assert(joined.count() === orders.count()) // FK integrity: every order matches
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+}
