@@ -38,6 +38,16 @@ object QueryCatalog {
       .withColumn("ts", expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
   }
 
+  /** Dialect-shared SQL: runs verbatim on Spark SQL and DuckDB. */
+  val revenueBySegmentSql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   private val customerMartSql =
     """SELECT c_custkey AS customer_id, c_name AS full_name,
       |  substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS sales_month,
@@ -178,6 +188,73 @@ object QueryCatalog {
         |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
         |  COUNT(*) AS cnt, COUNT(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY 1, 2""".stripMargin)),
+
+    // Semi/anti joins (EXISTS / NOT EXISTS) — beyond the reference's inner-
+    // only joins; both plan as broadcast hash joins with no row expansion
+    CatalogEntry("semi_anti_join",
+      (s, d) => {
+        val c = T(s, d, "customer"); val o = T(s, d, "orders")
+        val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"), lit("has_orders").as("status"))
+        val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), lit("no_orders").as("status"))
+        withOrders.union(withoutOrders)
+      },
+      Some("""SELECT c_custkey, c_name, 'has_orders' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'no_orders' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // Left outer join preserving dimension rows with no facts
+    CatalogEntry("left_outer_agg",
+      (s, d) => {
+        val c = T(s, d, "customer"); val o = T(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            Cols.moneySum(col("o_totalprice")).as("total_spend"))
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin)),
+
+    // Rollup with grouping_id — subtotal/grand-total lattice
+    CatalogEntry("rollup_agg",
+      (s, d) => T(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(Cols.moneySum(col("l_quantity")).as("sum_qty"),
+          grouping_id().as("gid")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // Pivot (wide aggregation) — oracle as explicit conditional aggregation
+    CatalogEntry("pivot_agg",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(Cols.moneySum(col("l_quantity")))
+        .select(col("l_linestatus"), col("A").as("qty_a"), col("N").as("qty_n"),
+          col("R").as("qty_r")),
+      Some("""SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // Full SQL surface: the same dialect-shared SQL text runs on Spark's
+    // parser (over temp views) AND as the DuckDB oracle
+    CatalogEntry("sql_revenue_by_segment",
+      (s, d) => {
+        T(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        T(s, d, "orders").createOrReplaceTempView("orders")
+        T(s, d, "customer").createOrReplaceTempView("customer")
+        s.sql(QueryCatalog.revenueBySegmentSql)
+      },
+      Some(revenueBySegmentSql)),
 
     // HLL approximate distinct vs exact — the constant-memory path for
     // extreme-cardinality counts at 100 TB (rows-only: HLL estimates are
