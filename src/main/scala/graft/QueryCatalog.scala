@@ -343,6 +343,9 @@ object QueryCatalog {
     CatalogEntry("lang_id",
       (s, d) => ops.TextAnalysis.languageId(docs(s, d)), None),
 
+    CatalogEntry("doc_quality",
+      (s, d) => ops.TextAnalysis.qualityScore(docs(s, d)), None),
+
     CatalogEntry("doc_fingerprints",
       (s, d) => ops.TextAnalysis.fingerprints(docs(s, d)), None),
 
@@ -412,6 +415,13 @@ object QueryCatalog {
     CatalogEntry("events_hourly_stream",
       (s, d) => streaming.EventsStream.hourlyCounts(s, d),
       Some(eventsHourlySql)),
+
+    CatalogEntry("events_stream_static_join",
+      (s, d) => streaming.EventsStream.segmentTotals(s, d),
+      Some("""SELECT c_mktsegment, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin)),
 
     CatalogEntry("multimodal_features",
       (s, d) => ops.Multimodal.extractFeatures(ops.Multimodal.asMediaTable(docs(s, d))).toDF(),

@@ -17,10 +17,19 @@ object Sources {
     spark.read.option("header", "true").option("inferSchema", "true").csv(paths: _*)
 
   /** CSV scan with an explicit contract schema — preferred at scale: no
-    * inference pass, stable types, malformed rows to a corrupt-record column.
+    * inference pass, stable types. With `corruptCol` set, malformed rows
+    * land in that column (PERMISSIVE) instead of silently nulling — the
+    * row-level twin of the file-level quarantine in etl.Validation.
+    * The corrupt column must also appear (as a string field) in `schema`.
     */
-  def csvWithSchema(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame =
-    spark.read.option("header", "true").schema(schema).csv(paths: _*)
+  def csvWithSchema(spark: SparkSession, schema: StructType, paths: Seq[String],
+      corruptCol: Option[String] = None): DataFrame = {
+    val reader = spark.read.option("header", "true").schema(schema)
+    corruptCol
+      .map(c => reader.option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", c))
+      .getOrElse(reader)
+      .csv(paths: _*)
+  }
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

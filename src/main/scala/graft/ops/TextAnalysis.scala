@@ -27,6 +27,35 @@ object TextAnalysis {
       (nUpper.cast("double") / nChars).as("upper_ratio"))
   }
 
+  /** Composite quality score for training-data filtering: length factor,
+    * punctuation/uppercase sanity, average word length band, and English
+    * stopword presence, combined into [0,1]. Weights are heuristic; the
+    * value of the op is the deterministic, map-only shape — each signal is a
+    * codegen'd column expression over one row.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val withToks = docs
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .withColumn("toks", Shingles.tokensOfNorm(col("norm")))
+    val nWords = size(col("toks"))
+    val nChars = length(col(textCol))
+    val punctRatio = (nChars - length(regexp_replace(col(textCol), "[.,;:!?]", "")))
+      .cast("double") / nChars
+    val avgWordLen = nChars.cast("double") / nWords
+    val stopRatio = size(array_intersect(col("toks"), lit(markers("en").toArray)))
+      .cast("double") / nWords
+    val lengthFactor = least(nWords.cast("double") / 50.0, lit(1.0))
+    val punctFactor = greatest(lit(0.0), lit(1.0) - punctRatio * 5.0)
+    val wordLenFactor = when(avgWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val stopFactor = least(stopRatio * 10.0, lit(1.0))
+    withToks.select(
+      col(idCol).as("doc_id"),
+      nWords.cast("long").as("n_words"),
+      stopRatio.as("stopword_ratio"),
+      (lengthFactor * 0.3 + punctFactor * 0.3 + wordLenFactor * 0.2 + stopFactor * 0.2)
+        .as("quality"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish lexical split
     * (letter runs | single digits | single punctuation). The regex is
     * RE2-compatible so the same pattern runs in DuckDB for the oracle.

@@ -66,4 +66,33 @@ object EventsStream {
     spark.table(sinkName)
       .withColumn("hour_start", expr("CAST(hour_start AS TIMESTAMP_NTZ)"))
   }
+
+  /** Stream-static join: streaming events enriched against the static
+    * customer dimension (broadcast per micro-batch — the standard pattern
+    * for dimension lookup in a stream), aggregated per market segment.
+    * Oracle: the equivalent batch join SQL.
+    */
+  def segmentTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    val agg = stream
+      .join(customer, stream("user_id") === customer("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+    val sinkName = "events_segment_join_" + UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
 }

@@ -1,0 +1,40 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class SourcesSpec extends SparkSpec {
+
+  test("csvWithSchema routes malformed rows to the corrupt-record column") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Files.write(Paths.get(dir, "mixed.csv"), String.join("\n",
+      "customer_id,quantity,price",
+      "1,2,10.5",
+      "2,notanumber,3.25",
+      "3,4,7.0").getBytes)
+    val schema = StructType(Seq(
+      StructField("customer_id", IntegerType),
+      StructField("quantity", IntegerType),
+      StructField("price", DoubleType),
+      StructField("_bad", StringType)))
+    val df = Sources.csvWithSchema(spark, schema, Seq(s"$dir/mixed.csv"),
+      corruptCol = Some("_bad")).cache()
+    assert(df.count() === 3)
+    val bad = df.filter(col("_bad").isNotNull)
+    assert(bad.count() === 1)
+    assert(bad.head().getAs[String]("_bad").contains("notanumber"))
+    // good rows parse with full types
+    assert(df.filter(col("_bad").isNull && col("quantity").isNotNull).count() === 2)
+  }
+
+  test("empty relation has the requested schema and zero rows") {
+    val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val df = Sources.empty(spark, schema)
+    assert(df.schema === schema)
+    assert(df.isEmpty)
+  }
+}
