@@ -256,6 +256,18 @@ object QueryCatalog {
       },
       Some(revenueBySegmentSql)),
 
+    // Top-k per group via bounded-heap Aggregator (partial agg ships ≤k rows
+    // per partition per group — no full window sort; see ops.TopK scaladoc)
+    CatalogEntry("topk_per_group",
+      (s, d) => ops.TopK.perGroup(
+        T(s, d, "orders"), "o_orderstatus", "o_totalprice", "o_orderkey", k = 3),
+      Some("""SELECT o_orderstatus, rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |        CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3""".stripMargin)),
+
     // HLL approximate distinct vs exact — the constant-memory path for
     // extreme-cardinality counts at 100 TB (rows-only: HLL estimates are
     // engine-specific, no cross-engine oracle)
