@@ -397,7 +397,7 @@ object QueryCatalog {
     CatalogEntry("knn_ivf",
       (s, d) => {
         val e = embs(s, d)
-        val index = ops.IVF.train(e, c = 16, iters = 3)
+        val index = ops.IVF.train(e, c = 16, iters = 2)
         ops.IVF.topK(e, index, queryVec(s, d), k = 20, nprobe = 4)
       }, None),
 
