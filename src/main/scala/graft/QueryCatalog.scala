@@ -361,6 +361,9 @@ object QueryCatalog {
     CatalogEntry("doc_fingerprints",
       (s, d) => ops.TextAnalysis.fingerprints(docs(s, d)), None),
 
+    CatalogEntry("fingerprint_overlap",
+      (s, d) => ops.TextAnalysis.fingerprintOverlapPairs(docs(s, d)), None),
+
     CatalogEntry("dedup_exact",
       (s, d) => ops.Dedup.exactGroups(docs(s, d)),
       Some("""SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
@@ -437,6 +440,12 @@ object QueryCatalog {
 
     CatalogEntry("multimodal_features",
       (s, d) => ops.Multimodal.extractFeatures(ops.Multimodal.asMediaTable(docs(s, d))).toDF(),
+      None),
+
+    CatalogEntry("multimodal_frames",
+      (s, d) => ops.Multimodal.sampleFrames(ops.Multimodal.asMediaTable(docs(s, d)))
+        .toDF().drop("frame")
+        .withColumn("frame_hash", xxhash64(col("n_bytes"), col("frame_idx"), col("doc_id"))),
       None),
   )
 

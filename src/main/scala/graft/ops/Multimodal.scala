@@ -60,6 +60,29 @@ object Multimodal {
       Array(mean.toFloat, variance.toFloat, bytes.length.toFloat))
   }
 
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte], n_bytes: Long)
+
+  /** Frame sampling: split each payload into fixed-size chunks ("frames" —
+    * the stub stands in for video keyframe extraction) keeping every
+    * `everyN`-th. Row-expanding op: a media row becomes ≤ payload/frameSize
+    * frame rows, so downstream stages repartition — frames of one doc need
+    * no co-location. STUB boundary is the chunking rule only; the iterator
+    * shape (lazy flatMap, no per-partition buffering of all frames) is the
+    * real pattern for payloads that dwarf executor memory.
+    */
+  def sampleFrames(media: DataFrame, frameSize: Int = 64, everyN: Int = 2): Dataset[Frame] = {
+    val ds = media.select("doc_id", "media", "format", "width", "height")
+      .as(Encoders.product[MediaRow])
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.media.grouped(frameSize).zipWithIndex
+          .collect { case (chunk, i) if i % everyN == 0 =>
+            Frame(r.doc_id, i, chunk, chunk.length.toLong)
+          }
+      }
+    }(Encoders.product[Frame])
+  }
+
   /** Feature extraction over the media table: typed mapPartitions so a real
     * decoder is initialized once per partition, not once per row.
     */

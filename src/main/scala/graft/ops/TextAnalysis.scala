@@ -56,6 +56,32 @@ object TextAnalysis {
         .as("quality"))
   }
 
+  /** Near-dup candidate pairs from winnowing fingerprints: docs sharing at
+    * least `minShared` fingerprint hashes, scored by overlap fraction.
+    * Same inverted-index + capped-bucket shape as the n-gram Jaccard path,
+    * but over the (much smaller) winnowed hash set — the classic
+    * plagiarism/boilerplate detector at corpus scale.
+    */
+  def fingerprintOverlapPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+      minShared: Int = 2, maxBucket: Int = 200, minOverlap: Double = 0.3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fps = fingerprints(docs, k, w, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sizes + index
+    val sizes = fps.select(col("doc_id"), size(col("fingerprint")).as("n_fp"))
+    val inverted = fps.select(col("doc_id"), explode(col("fingerprint")).as("fp"))
+    val shared = Dedup.bucketPairs(inverted, Seq("fp"), "doc_id", Seq.empty, maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_fp", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") / least(col("na"), col("nb"))).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish lexical split
     * (letter runs | single digits | single punctuation). The regex is
     * RE2-compatible so the same pattern runs in DuckDB for the oracle.

@@ -49,6 +49,17 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("∀ data: moneySum is identical under any repartitioning") {
+    samples(3).foreach { rows =>
+      val df = rows.toDF("key", "month", "amount")
+      def total(d: org.apache.spark.sql.DataFrame): Double =
+        d.agg(functions.Cols.moneySum($"amount")).head().getDouble(0)
+      val one = total(df.coalesce(1))
+      assert(total(df.repartition(17)) === one)
+      assert(total(df.repartition($"key")) === one)
+    }
+  }
+
   test("∀ data: rank-1 incentive = 1% of the group max, others zero") {
     samples(5).foreach { rows =>
       val totals = rows.toDF("store_id", "sales_month", "x")

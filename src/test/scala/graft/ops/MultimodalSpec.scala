@@ -23,6 +23,15 @@ class MultimodalSpec extends SparkSpec {
     assert(again === feats.view.mapValues(_.checksum).toMap)
   }
 
+  test("frame sampling keeps every Nth fixed-size chunk") {
+    val docs = Seq((1L, "a" * 300)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.asMediaTable(docs),
+      frameSize = 64, everyN = 2).collect().sortBy(_.frame_idx)
+    // 300 bytes → chunks 0..4 (64,64,64,64,44); kept: 0, 2, 4
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    assert(frames.map(_.n_bytes).toSeq === Seq(64L, 64L, 44L))
+  }
+
   test("repartitioned decode produces identical results (partition-independence)") {
     val docs = Seq.tabulate(50)(i => (i.toLong, s"payload-$i")).toDF("doc_id", "text")
     val media = Multimodal.asMediaTable(docs)

@@ -38,6 +38,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(preds(4L) === "fr")
   }
 
+  test("fingerprint overlap pairs surface the exact-dup pair at overlap 1.0") {
+    val trio = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different sentence with other words entirely")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.fingerprintOverlapPairs(trio, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(!pairs.contains((1L, 3L)))
+  }
+
   test("fingerprints: identical docs share all fingerprints, edits share most") {
     val trio = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
