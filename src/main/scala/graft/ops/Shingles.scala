@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
 /** Shingling / n-gram helpers shared by the dedup family.
   *
   * PERFORMANCE CONTRACT: the positional builders (charShingles,
-  * charShinglesOrdered, wordNgrams) reference their input inside a
+  * wordNgrams) reference their input inside a
   * higher-order lambda, and Catalyst re-evaluates the lambda body per array
   * element. Pass a MATERIALIZED column reference (a `withColumn` output),
   * never a raw expression like `normalize(col("text"))` — otherwise the
@@ -31,17 +31,6 @@ object Shingles {
       array_distinct(transform(
         sequence(lit(1), length(norm) - lit(k - 1)),
         i => norm.substr(i, lit(k)))))
-      .otherwise(array().cast(ArrayType(StringType)))
-
-  /** Ordered (non-distinct, positional) character k-grams — for winnowing
-    * fingerprints where window position matters. Same materialization
-    * contract as [[charShingles]].
-    */
-  def charShinglesOrdered(norm: Column, k: Int): Column =
-    when(length(norm) >= k,
-      transform(
-        sequence(lit(1), length(norm) - lit(k - 1)),
-        i => norm.substr(i, lit(k))))
       .otherwise(array().cast(ArrayType(StringType)))
 
   /** Distinct word n-grams ("a b c") of a materialized token-array column. */
