@@ -245,6 +245,37 @@ object QueryCatalog {
         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
         |FROM lineitem GROUP BY 1""".stripMargin)),
 
+    // TPC-H Q1-shaped pricing summary: filter + wide aggregate, the classic
+    // scan-dominated plan (predicate pushed to parquet, partial+final agg)
+    CatalogEntry("pricing_summary",
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Cols.moneySum(col("l_quantity")).as("sum_qty"),
+          Cols.moneySum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast(DoubleType).as("sum_disc_price"),
+          // 3×2-dp factors ⇒ exactly 6 decimal digits: scale 6 is lossless;
+          // scale 4 would round at a tie and Spark (shortest-string) vs
+          // DuckDB (binary) disagree on ties
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .cast(DecimalType(18, 6))).cast(DoubleType).as("sum_charge"),
+          Cols.moneyAvg(col("l_quantity")).as("avg_qty"),
+          Cols.moneyAvg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin)),
+
     // Full SQL surface: the same dialect-shared SQL text runs on Spark's
     // parser (over temp views) AND as the DuckDB oracle
     CatalogEntry("sql_revenue_by_segment",
