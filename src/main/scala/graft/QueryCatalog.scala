@@ -412,6 +412,14 @@ object QueryCatalog {
       (s, d) => ops.Dedup.minhashCandidates(docs(s, d),
         k = 64, bands = 16, shingleLen = 5, maxBucket = 100, minEstJaccard = 0.25), None),
 
+    CatalogEntry("dedup_corpus",
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = ops.Dedup.minhashCandidates(dd,
+          k = 64, bands = 16, shingleLen = 5, maxBucket = 100, minEstJaccard = 0.5)
+        ops.Dedup.dedupCorpus(dd, pairs).select(col("doc_id"), col("lang"), col("source"))
+      }, None),
+
     CatalogEntry("dedup_simhash",
       (s, d) => ops.Dedup.simhashPairs(docs(s, d), maxHamming = 8, maxBucket = 200), None),
 

@@ -167,6 +167,57 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------- components / corpus dedup
+
+  /** Connected components over an undirected pair list (doc_a, doc_b):
+    * label propagation to the minimum id, iterated to fixpoint (bounded by
+    * `maxIter`). Near-dup clusters have tiny diameters in practice, so this
+    * converges in a handful of iterations; each iteration is one join + one
+    * min-aggregate over (id, label) pairs only — never the documents.
+    * Returns (id, component) where component = min id in the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .union(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts the min label among itself and its neighbours
+      val neighbourMin = sym
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("component"))
+      val updated = labels.select(col("id"), col("component"))
+        .union(neighbourMin)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** The deduplicated corpus: one survivor (minimum id) per near-dup
+    * cluster, all singleton docs kept. `pairs` comes from any of the
+    * candidate generators above after verification/thresholding.
+    */
+  def dedupCorpus(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    docs
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
+
   // -------------------------------------------- n-gram Jaccard (exact)
 
   /** Exact Jaccard similarity on word n-gram sets, for pairs sharing at

@@ -53,6 +53,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("connected components: transitive chains collapse to one survivor") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L) // chain 1-2-3
+    assert(comps(5L) === 5L && comps(6L) === 5L)
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val kept = Dedup.dedupCorpus(corpus, pairs).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 5L)) // one per cluster + untouched singleton
+  }
+
   test("ngram jaccard finds the near-dup pair with high overlap") {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
