@@ -466,6 +466,30 @@ object QueryCatalog {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM s GROUP BY 1, 2""".stripMargin)),
 
+    // Backward as-of join: each purchase picks up the value of the user's
+    // most recent prior-or-simultaneous error (composed single-sort plan,
+    // see ops.AsOf)
+    CatalogEntry("asof_join",
+      (s, d) => {
+        val ev = eventsRaw(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+        val errors = ev.filter(col("event_type") === "error")
+        ops.AsOf.join(purchases, errors, "user_id", "ts_us", "event_id", "value")
+      },
+      Some("""WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+        |), u AS (
+        |  SELECT event_id, user_id, ts_us, value, event_type,
+        |    last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts_us, CASE WHEN event_type = 'error' THEN 0 ELSE 1 END, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        |  FROM e WHERE event_type IN ('purchase', 'error')
+        |)
+        |SELECT event_id, user_id, ts_us, value, asof_value
+        |FROM u WHERE event_type = 'purchase'""".stripMargin)),
+
     CatalogEntry("events_hourly_stream",
       (s, d) => streaming.EventsStream.hourlyCounts(s, d),
       Some(eventsHourlySql)),
