@@ -421,7 +421,7 @@ object QueryCatalog {
       }, None),
 
     CatalogEntry("dedup_simhash",
-      (s, d) => ops.Dedup.simhashPairs(docs(s, d), maxHamming = 8, maxBucket = 200), None),
+      (s, d) => ops.Dedup.simhashPairs(docs(s, d), maxHamming = 3, maxBucket = 200), None),
 
     CatalogEntry("ngram_jaccard",
       (s, d) => ops.Dedup.ngramJaccardPairs(docs(s, d),

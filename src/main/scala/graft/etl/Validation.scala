@@ -28,7 +28,8 @@ import graft.model.Schemas
   */
 object Validation {
 
-  case class FileSplit(correct: Seq[String], error: Seq[String], missing: Map[String, Set[String]])
+  case class FileSplit(correct: Seq[String], error: Seq[String],
+      missing: Map[String, Set[String]], columns: Map[String, Seq[String]] = Map.empty)
 
   /** Header-only probe: the columns a CSV file declares (S1). */
   def probeColumns(spark: SparkSession, path: String): Seq[String] =
@@ -37,11 +38,13 @@ object Validation {
   /** Partition files into correct (all mandatory columns present) vs error. */
   def partitionFiles(spark: SparkSession, paths: Seq[String],
       mandatory: Seq[String] = Schemas.mandatoryColumns): FileSplit = {
-    val probed = paths.map(p => p -> (mandatory.toSet -- probeColumns(spark, p).toSet))
+    val probed = paths.map(p => p -> probeColumns(spark, p))
+    val withMissing = probed.map { case (p, cols) => (p, cols, mandatory.toSet -- cols.toSet) }
     FileSplit(
-      correct = probed.collect { case (p, m) if m.isEmpty => p },
-      error = probed.collect { case (p, m) if m.nonEmpty => p },
-      missing = probed.collect { case (p, m) if m.nonEmpty => p -> m }.toMap)
+      correct = withMissing.collect { case (p, _, m) if m.isEmpty => p },
+      error = withMissing.collect { case (p, _, m) if m.nonEmpty => p },
+      missing = withMissing.collect { case (p, _, m) if m.nonEmpty => p -> m }.toMap,
+      columns = probed.toMap)
   }
 
   /** Conform a raw per-file DataFrame to the fixed 9-column fact: mandatory
@@ -61,10 +64,11 @@ object Validation {
     * multi-path scan (one Spark job per *shape*, not per file).
     */
   def readConformedUnion(spark: SparkSession, correctFiles: Seq[String],
-      mandatory: Seq[String] = Schemas.mandatoryColumns): DataFrame = {
+      mandatory: Seq[String] = Schemas.mandatoryColumns,
+      knownColumns: Map[String, Seq[String]] = Map.empty): DataFrame = {
     require(correctFiles.nonEmpty, "no correct files to ingest")
     val byShape = correctFiles
-      .map(p => probeColumns(spark, p) -> p)
+      .map(p => knownColumns.getOrElse(p, probeColumns(spark, p)) -> p)
       .groupMap(_._1)(_._2)
     byShape.toSeq
       .sortBy(_._1.mkString(","))

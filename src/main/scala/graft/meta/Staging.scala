@@ -20,9 +20,15 @@ import org.apache.spark.sql.functions._
 class Staging(spark: SparkSession, ledgerPath: String) {
   import Staging._
 
-  private def ledger: DataFrame =
-    try spark.read.schema(spark.createDataFrame(Seq.empty[StagingRow]).schema).parquet(ledgerPath)
-    catch { case _: Throwable => spark.createDataFrame(Seq.empty[StagingRow]) }
+  private def ledger: DataFrame = {
+    // only a missing ledger means "no prior runs"; any other failure
+    // (corruption, permissions, schema drift) must propagate — treating it
+    // as empty would silently defeat the pre-flight double-processing guard
+    val path = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) spark.createDataFrame(Seq.empty[StagingRow])
+    else spark.read.schema(spark.createDataFrame(Seq.empty[StagingRow]).schema).parquet(ledgerPath)
+  }
 
   private def append(rows: Seq[StagingRow]): Unit =
     spark.createDataFrame(rows).write.mode(SaveMode.Append).parquet(ledgerPath)

@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   *    the text; degenerate LSH buckets (boilerplate shared by millions of
   *    docs) are capped by `maxBucket` before the pair join, bounding the
   *    quadratic blowup and doubling as skew protection;
-  *  - exact-verify joins happen only on surviving candidate pairs.
+  *  - exact-verify joins happen only on surviving candidate pairs;
+  *  - persisted intermediates (inverted indexes, component labels) live
+  *    until the caller releases them — batch harnesses here call
+  *    `spark.catalog.clearCache()` between queries; a production pipeline
+  *    materializes them as tables instead of caching.
   */
 object Dedup {
 
@@ -150,9 +154,16 @@ object Dedup {
   /** Near-dup pairs by Hamming distance: 4×16-bit band index (a pair within
     * Hamming ≤ 3 must agree on ≥1 band — pigeonhole), exact bit_count verify
     * after the band join. `maxBucket` caps degenerate bands.
+    *
+    * Recall guarantee holds only for maxHamming ≤ bands-1 = 3: a pair with 4+
+    * differing bits can spread one flip into every band and never collide —
+    * enforced here rather than silently returning partial results.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 200,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-band recall guarantee (<= 3); " +
+        "raise the band count for larger radii")
     val sh = simhashes(docs, textCol, idCol)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>

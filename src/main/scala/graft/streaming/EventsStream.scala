@@ -63,8 +63,20 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    detachResult(spark, sinkName)
       .withColumn("hour_start", expr("CAST(hour_start AS TIMESTAMP_NTZ)"))
+  }
+
+  /** Copy the memory sink's (small, aggregated) result out and drop the
+    * temp view — otherwise every invocation leaks a UUID-named in-memory
+    * table into the session catalog for its lifetime.
+    */
+  private def detachResult(spark: SparkSession, sinkName: String): DataFrame = {
+    val sunk = spark.table(sinkName)
+    val copied = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(sunk.collect(): _*)), sunk.schema)
+    spark.catalog.dropTempView(sinkName)
+    copied
   }
 
   /** Stream-static join: streaming events enriched against the static
@@ -93,6 +105,6 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    detachResult(spark, sinkName)
   }
 }

@@ -8,9 +8,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * [[graft.ops.Sessions.sessionize]].
   *
   * State per user is one open session (constant size); closed sessions are
-  * emitted as soon as a gap larger than `gapMicros` is observed. With event-
-  * time timeout + watermark this bounds state to |active users| on a real
-  * stream; the local harness drives it with MemoryStream batches.
+  * emitted as soon as a gap larger than `gapMicros` is observed. This local
+  * harness uses NoTimeout (MemoryStream batches, bounded users); a
+  * production deployment adds `withWatermark` upstream and
+  * GroupStateTimeout.EventTimeTimeout so idle users' state is evicted and
+  * their final session flushed — without it, state grows with |users ever
+  * seen|.
   */
 object SessionStream {
 
@@ -32,7 +35,10 @@ object SessionStream {
     sorted.foreach { e =>
       open match {
         case Some(s) if e.ts_us - s.end_us <= gapMicros =>
-          open = Some(OpenSession(s.start_us, e.ts_us, s.n + 1, s.total + e.value))
+          // max() so a late (out-of-order) cross-batch event can extend the
+          // session's stats without moving its end backwards
+          open = Some(OpenSession(math.min(s.start_us, e.ts_us),
+            math.max(s.end_us, e.ts_us), s.n + 1, s.total + e.value))
         case Some(s) =>
           closed += SessionOut(userId, s.start_us, s.end_us, s.n, s.total)
           open = Some(OpenSession(e.ts_us, e.ts_us, 1L, e.value))
