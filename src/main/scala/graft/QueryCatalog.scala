@@ -466,6 +466,26 @@ object QueryCatalog {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM s GROUP BY 1, 2""".stripMargin)),
 
+    // Sliding event-time windows (1h window, 30min slide): each event lands
+    // in two windows; oracle reconstructs the grid with a two-bucket union
+    CatalogEntry("events_sliding",
+      (s, d) => eventsTable(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("cnt"), col("total_value")),
+      Some("""WITH b AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value
+        |  FROM events
+        |)
+        |SELECT win_start, event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM b GROUP BY 1, 2""".stripMargin)),
+
     // Backward as-of join: each purchase picks up the value of the user's
     // most recent prior-or-simultaneous error (composed single-sort plan,
     // see ops.AsOf)

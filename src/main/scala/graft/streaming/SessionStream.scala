@@ -59,4 +59,22 @@ object SessionStream {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(updateUser(gapMicros))(
         Encoders.product[OpenSession], Encoders.product[SessionOut])
+
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Running per-user totals via mapGroupsWithState (the one-output-per-key
+    * stateful API, Update output mode): each micro-batch emits the user's
+    * cumulative count/total so far. State is one counter pair per user.
+    */
+  def runningTotals(events: Dataset[Event]): Dataset[UserTotals] =
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0.0))
+          val next = batch.foldLeft(prev)((acc, e) =>
+            UserTotals(userId, acc.n_events + 1, acc.total_value + e.value))
+          state.update(next)
+          next
+      }(Encoders.product[UserTotals], Encoders.product[UserTotals])
 }

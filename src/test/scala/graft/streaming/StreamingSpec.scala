@@ -41,6 +41,25 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("mapGroupsWithState running totals accumulate across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SessionStream.Event]
+    val q = SessionStream.runningTotals(mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("totals_out").start()
+
+    mem.addData(SessionStream.Event(1L, 1L, 100L, 2.0), SessionStream.Event(1L, 2L, 200L, 3.0))
+    q.processAllAvailable()
+    mem.addData(SessionStream.Event(1L, 3L, 300L, 5.0))
+    q.processAllAvailable()
+    // update mode: latest row per user carries the cumulative totals
+    val last = spark.table("totals_out").as[SessionStream.UserTotals]
+      .collect().maxBy(_.n_events)
+    assert(last.n_events === 3L)
+    assert(last.total_value === 10.0)
+    q.stop()
+  }
+
   test("batch sessionize agrees with stateful fold on the same events") {
     import spark.implicits._
     val events = Seq(
