@@ -389,6 +389,9 @@ object QueryCatalog {
     CatalogEntry("doc_quality",
       (s, d) => ops.TextAnalysis.qualityScore(docs(s, d)), None),
 
+    CatalogEntry("tfidf_top_terms",
+      (s, d) => ops.TextAnalysis.tfidfTopTerms(docs(s, d), m = 5), None),
+
     CatalogEntry("doc_fingerprints",
       (s, d) => ops.TextAnalysis.fingerprints(docs(s, d)), None),
 

@@ -62,3 +62,40 @@ object Staging {
   val Inactive = "I"
   case class StagingRow(batchId: String, fileName: String, status: String, updatedAt: Timestamp)
 }
+
+/** The same append-only A/I ledger over a JDBC table — the literal analog of
+  * the reference's MySQL product_staging_table (table_scripts.sql:6-13),
+  * minus the in-place UPDATEs: appends + latest-wins reads keep it
+  * idempotent under retries exactly like the parquet ledger.
+  */
+class JdbcStaging(spark: SparkSession, url: String, table: String,
+    props: java.util.Properties) {
+  import Staging._
+
+  private def ledger: DataFrame =
+    try graft.io.Sources.jdbc(spark, url, table, props)
+    catch {
+      // first run: the table doesn't exist yet → empty ledger
+      case e: Exception if Option(e.getMessage).exists(_.contains("does not exist")) =>
+        spark.createDataFrame(Seq.empty[StagingRow])
+    }
+
+  private def append(rows: Seq[StagingRow]): Unit =
+    graft.io.Sinks.jdbcAppend(spark.createDataFrame(rows), url, table, props)
+
+  def markActive(batchId: String, files: Seq[String], now: Timestamp): Unit =
+    append(files.map(f => StagingRow(batchId, f, Active, now)))
+
+  def markInactive(batchId: String, files: Seq[String], now: Timestamp): Unit =
+    append(files.map(f => StagingRow(batchId, f, Inactive, now)))
+
+  def activeFiles(): Seq[String] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fileName")).orderBy(col("updatedAt").desc, col("status").desc)
+    ledger
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("status") === Active)
+      .select("fileName")
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+}

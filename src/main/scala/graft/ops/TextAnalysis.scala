@@ -95,6 +95,36 @@ object TextAnalysis {
         .cast("long").as("lex_tokens"))
   }
 
+  /** TF-IDF top-m terms per document. Two passes over tokens: (1) per-doc
+    * term frequencies — one groupBy on (doc, term); (2) corpus document
+    * frequencies derived from the same frame, broadcast back (the vocabulary
+    * is tiny next to the corpus — at web scale, still ≪ docs). Smoothed idf
+    * = ln((N+1)/(df+1)). Top-m selection by window over the per-doc term
+    * rows (~vocab-sized groups, cheap).
+    */
+  def tfidfTopTerms(docs: DataFrame, m: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = docs
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .select(col(idCol).as("doc_id"), explode(Shingles.tokensOfNorm(col("norm"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // df pass + weight pass
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("weight",
+        col("tf") * log((lit(n.toDouble) + 1.0) / (col("df") + lit(1.0))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= m)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("weight"))
+  }
+
   /** Tiny per-language stopword marker sets for the heuristic language ID.
     * Public common function words; enough signal for coarse routing.
     */

@@ -7,6 +7,19 @@ import graft.SparkSpec
 
 class StagingSpec extends SparkSpec {
 
+  test("JDBC-backed ledger has identical A/I semantics (embedded Derby)") {
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val st = new JdbcStaging(spark,
+      "jdbc:derby:memory:graftstaging;create=true", "product_staging_table", props)
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    assert(st.activeFiles().isEmpty)
+    st.markActive("b1", Seq("x.csv", "y.csv"), t0)
+    assert(st.activeFiles() === Seq("x.csv", "y.csv"))
+    st.markInactive("b1", Seq("x.csv"), Timestamp.valueOf("2026-01-01 01:00:00"))
+    assert(st.activeFiles() === Seq("y.csv"))
+  }
+
   test("A/I lifecycle: active set reflects latest status per file") {
     val ledger = Files.createTempDirectory("graft-staging").toString + "/ledger"
     val st = new Staging(spark, ledger)

@@ -38,6 +38,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(preds(4L) === "fr")
   }
 
+  test("tfidf: corpus-common terms rank below document-specific terms") {
+    val corpus = Seq(
+      (1L, "spark spark spark shared shared"),
+      (2L, "duckdb duckdb shared shared"),
+      (3L, "parquet shared")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(corpus, m = 2).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).toSeq).toMap
+    // 'shared' appears in all 3 docs → idf ln(4/4)=0 → weight 0, never #1
+    assert(top(1L).head === "spark")
+    assert(top(2L).head === "duckdb")
+    assert(top(3L).head === "parquet")
+  }
+
   test("fingerprint overlap pairs surface the exact-dup pair at overlap 1.0") {
     val trio = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
