@@ -231,6 +231,30 @@ object QueryCatalog {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // Cube — the full grouping lattice (rollup's sibling)
+    CatalogEntry("cube_agg",
+      (s, d) => T(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(Cols.moneySum(col("o_totalprice")).as("total"),
+          grouping_id().as("gid")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // Exact interpolated percentiles (median/p90) — continuous-quantile
+    // semantics match DuckDB's quantile_cont
+    CatalogEntry("percentiles",
+      (s, d) => T(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price")),
+      Some("""SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price
+        |FROM orders GROUP BY 1""".stripMargin)),
+
     // Pivot (wide aggregation) — oracle as explicit conditional aggregation
     CatalogEntry("pivot_agg",
       (s, d) => T(s, d, "lineitem")
