@@ -493,6 +493,24 @@ object QueryCatalog {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM s GROUP BY 1, 2""".stripMargin)),
 
+    // JSON extraction from a string payload column
+    CatalogEntry("json_extract",
+      (s, d) => eventsRaw(s, d)
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      Some("""SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin)),
+
+    // Regex group extraction
+    CatalogEntry("regex_extract",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), col("source"),
+          regexp_extract(col("source"), "src([0-9]+)", 1).cast("long").as("source_num")),
+      Some("""SELECT doc_id, source,
+        |  CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) AS source_num
+        |FROM documents""".stripMargin)),
+
     // Sliding event-time windows (1h window, 30min slide): each event lands
     // in two windows; oracle reconstructs the grid with a two-bucket union
     CatalogEntry("events_sliding",
