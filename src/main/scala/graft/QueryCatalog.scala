@@ -493,6 +493,34 @@ object QueryCatalog {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM s GROUP BY 1, 2""".stripMargin)),
 
+    // Array-column accessors over the embedding vectors
+    CatalogEntry("array_funcs",
+      (s, d) => embs(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        element_at(col("embedding"), -1).as("last_val")),
+      Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  embedding[1] AS first_val, embedding[len(embedding)] AS last_val
+        |FROM embeddings""".stripMargin)),
+
+    // Calendar decomposition of order timestamps
+    CatalogEntry("date_funcs",
+      (s, d) => T(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start")),
+      Some("""SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  date_trunc('month', o_orderdate) AS month_start
+        |FROM orders""".stripMargin)),
+
     // JSON extraction from a string payload column
     CatalogEntry("json_extract",
       (s, d) => eventsRaw(s, d)
