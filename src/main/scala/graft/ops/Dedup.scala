@@ -206,11 +206,16 @@ object Dedup {
         .union(neighbourMin)
         .groupBy("id").agg(min("component").as("component"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
+      // labels decrease monotonically; checking convergence every other
+      // iteration halves the extra count jobs at the cost of at most one
+      // redundant propagation step
+      if (iter % 2 == 1 || iter == maxIter - 1) {
+        val changed = updated.join(labels.withColumnRenamed("component", "old"), "id")
+          .filter(col("component") =!= col("old")).limit(1).count()
+        converged = changed == 0
+      }
       labels.unpersist()
       labels = updated
-      converged = changed == 0
       iter += 1
     }
     sym.unpersist()

@@ -101,12 +101,18 @@ object Similarity {
   def nearDupPairs(embs: DataFrame, threshold: Double,
       planes: Seq[Seq[Seq[Float]]], maxBucket: Int = 1000,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val bucketed = withLshBuckets(embs.select(col(idCol), col(vecCol)), vecCol, planes)
-      .select(col(idCol).as("doc_id"), col(vecCol).as("vec"), col("table_idx"), col("bucket"))
-    graft.ops.Dedup.bucketPairs(bucketed, Seq("table_idx", "bucket"), "doc_id", Seq("vec"), maxBucket)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.vec").as("vec_a"), col("b.vec").as("vec_b"))
+    val slim = embs.select(col(idCol), col(vecCol))
+    val bucketed = withLshBuckets(slim, vecCol, planes)
+      .select(col(idCol).as("doc_id"), col("table_idx"), col("bucket"))
+    // expand id-only pairs (a vector carried through every bucket copy would
+    // multiply the shuffle by tables × bucket-size), dedup across tables,
+    // then join the two vectors back for the exact-cosine verify — the
+    // vector table is read twice but shuffles only |pairs| rows
+    graft.ops.Dedup.bucketPairs(bucketed, Seq("table_idx", "bucket"), "doc_id", Seq.empty, maxBucket)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(slim.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), "id_a")
+      .join(slim.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(!isnan(col("cosine")) && col("cosine") >= threshold)
