@@ -493,6 +493,22 @@ object QueryCatalog {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM s GROUP BY 1, 2""".stripMargin)),
 
+    // Generator / unnest: one row per leading vector element
+    CatalogEntry("explode_vals",
+      (s, d) => embs(s, d)
+        .select(col("vec_id"), explode(slice(col("embedding"), 1, 4)).as("val")),
+      Some("""SELECT vec_id, unnest(embedding[1:4]) AS val FROM embeddings""")),
+
+    // Ordered string aggregation (deterministic listagg)
+    CatalogEntry("string_agg_sorted",
+      (s, d) => T(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+          .as("priorities")),
+      Some("""SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+        |FROM orders GROUP BY 1""".stripMargin)),
+
     // Array-column accessors over the embedding vectors
     CatalogEntry("array_funcs",
       (s, d) => embs(s, d).select(
