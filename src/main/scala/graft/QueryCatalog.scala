@@ -48,6 +48,13 @@ object QueryCatalog {
       |JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** Dialect-shared correlated scalar subquery. */
+  val scalarSubquerySql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  (SELECT c_name FROM customer WHERE c_custkey = o_custkey) AS customer_name
+      |FROM orders
+      |WHERE o_orderstatus = 'P'""".stripMargin
+
   private val customerMartSql =
     """SELECT c_custkey AS customer_id, c_name AS full_name,
       |  substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS sales_month,
@@ -322,6 +329,42 @@ object QueryCatalog {
         |          ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
         |      FROM orders) t
         |WHERE rn <= 3""".stripMargin)),
+
+    // Ranking/navigation window family beyond rank(): dense_rank, ntile,
+    // lead/lag, percent_rank — one windowed pass, deterministic tiebreaks
+    CatalogEntry("window_suite",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+            percent_rank().over(w).as("pct_rank"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  percent_rank() OVER w AS pct_rank
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin)),
+
+    // Correlated scalar subquery through the SQL parser (same text both
+    // engines)
+    CatalogEntry("sql_scalar_subquery",
+      (s, d) => {
+        T(s, d, "orders").createOrReplaceTempView("orders")
+        T(s, d, "customer").createOrReplaceTempView("customer")
+        s.sql(scalarSubquerySql)
+      },
+      Some(scalarSubquerySql)),
 
     // HLL approximate distinct vs exact — the constant-memory path for
     // extreme-cardinality counts at 100 TB (rows-only: HLL estimates are
