@@ -124,6 +124,35 @@ object QueryCatalog {
         |  CAST(NULL AS VARCHAR) AS additional_column
         |FROM lineitem WHERE l_linenumber > 3""".stripMargin)),
 
+    // INTERSECT / EXCEPT (distinct set semantics; absent from the reference)
+    CatalogEntry("set_ops",
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+        f.intersect(p).withColumn("set_op", lit("both"))
+          .union(f.except(p).withColumn("set_op", lit("f_only")))
+      },
+      Some("""SELECT o_custkey, 'both' AS set_op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |UNION ALL
+        |SELECT o_custkey, 'f_only' AS set_op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin)),
+
+    // Deterministic portable sampling: hash-bucket the key instead of RNG —
+    // reproducible across engines, partitionings, and runs (the correct way
+    // to subsample training data); ~1/8 of rows via the first md5 hex char
+    CatalogEntry("deterministic_sample",
+      (s, d) => T(s, d, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) <= "1")
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '1'""".stripMargin)),
+
     // A3/A4 distinct
     CatalogEntry("distinct_flags",
       (s, d) => T(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct(),
