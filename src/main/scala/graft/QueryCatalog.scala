@@ -124,6 +124,30 @@ object QueryCatalog {
         |  CAST(NULL AS VARCHAR) AS additional_column
         |FROM lineitem WHERE l_linenumber > 3""".stripMargin)),
 
+    // Cartesian product (tiny dims only — guarded by size at scale)
+    CatalogEntry("cross_join",
+      (s, d) => T(s, d, "region").crossJoin(T(s, d, "nation"))
+        .select(col("r_regionkey"), col("r_name"), col("n_nationkey"), col("n_name")),
+      Some("""SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation""".stripMargin)),
+
+    // Null-handling family over an outer join's null side
+    CatalogEntry("null_funcs",
+      (s, d) => {
+        val c = T(s, d, "customer"); val o = T(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(Cols.moneySum(coalesce(col("o_totalprice"), lit(0.0))).as("spend_or_zero"),
+            count(when(col("o_orderkey").isNull, 1)).as("null_orders"),
+            max(nullif(col("o_orderstatus"), lit("P"))).as("max_non_p_status"))
+      },
+      Some("""SELECT c_custkey,
+        |  CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS spend_or_zero,
+        |  COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS null_orders,
+        |  MAX(NULLIF(o_orderstatus, 'P')) AS max_non_p_status
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin)),
+
     // INTERSECT / EXCEPT (distinct set semantics; absent from the reference)
     CatalogEntry("set_ops",
       (s, d) => {

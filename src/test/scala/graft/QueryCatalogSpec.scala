@@ -1,0 +1,22 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog integrity: duplicate names would silently collapse in the
+  * driver-facing Maps; every oracle must belong to a registered query.
+  */
+class QueryCatalogSpec extends AnyFunSuite {
+
+  test("catalog names are unique") {
+    val names = QueryCatalog.all.map(_.name)
+    val dupes = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dupes.isEmpty, s"duplicate catalog names: $dupes")
+  }
+
+  test("driver maps cover the catalog exactly") {
+    assert(SparkEntry.queries.keySet === QueryCatalog.all.map(_.name).toSet)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.oracleSql.size ===
+      QueryCatalog.all.count(_.oracle.isDefined))
+  }
+}
