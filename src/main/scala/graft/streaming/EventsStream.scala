@@ -67,6 +67,31 @@ object EventsStream {
       .withColumn("hour_start", expr("CAST(hour_start AS TIMESTAMP_NTZ)"))
   }
 
+  /** foreachBatch: deliver streaming micro-batches to any batch sink —
+    * the production pattern for sinks without native streaming support
+    * (JDBC here). Each micro-batch is appended transactionally per batch;
+    * the checkpoint makes redelivery at-least-once (pair with a batch-id
+    * column + dedup-on-read for exactly-once against an idempotent store).
+    */
+  def streamEventsToJdbc(spark: SparkSession, sfDir: String,
+      url: String, table: String, props: java.util.Properties,
+      checkpointDir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.io.Sinks.jdbcAppend(batch.withColumn("batch_id", lit(batchId)), url, table, props)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Copy the memory sink's (small, aggregated) result out and drop the
     * temp view — otherwise every invocation leaks a UUID-named in-memory
     * table into the session catalog for its lifetime.

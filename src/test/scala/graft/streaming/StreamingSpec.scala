@@ -60,6 +60,20 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("foreachBatch streams events into a JDBC table (embedded Derby)") {
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-febatch").toString
+    EventsStream.streamEventsToJdbc(spark, sf(), url, "events_sink", props, ckpt)
+    val back = graft.io.Sources.jdbc(spark, url, "events_sink", props)
+    assert(back.count() === 1000) // sf0.001 events row count
+    assert(back.columns.contains("batch_id"))
+    // rerun with same checkpoint: no new batches, no duplicates
+    EventsStream.streamEventsToJdbc(spark, sf(), url, "events_sink", props, ckpt)
+    assert(back.count() === 1000)
+  }
+
   test("batch sessionize agrees with stateful fold on the same events") {
     import spark.implicits._
     val events = Seq(
