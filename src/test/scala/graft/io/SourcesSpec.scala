@@ -31,6 +31,18 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("_bad").isNull && col("quantity").isNotNull).count() === 2)
   }
 
+  test("mergeSchema unions drifted parquet batch schemas") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/batch=1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "name", "score", "batch"))
+    // old batch's missing column reads as null, not an error
+    assert(merged.filter(col("id") === 1).head().getAs[Any]("score") == null)
+    assert(merged.count() === 2)
+  }
+
   test("empty relation has the requested schema and zero rows") {
     val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
     val df = Sources.empty(spark, schema)
