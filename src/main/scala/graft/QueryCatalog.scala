@@ -291,6 +291,17 @@ object QueryCatalog {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // Argument-max aggregate: which order carried the group's max price
+    // (deterministic here — max price is unique per status group)
+    CatalogEntry("arg_max",
+      (s, d) => T(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(max(col("o_totalprice")).as("max_price"),
+          expr("max_by(o_orderkey, o_totalprice)").as("top_order")),
+      Some("""SELECT o_orderstatus, max(o_totalprice) AS max_price,
+        |  arg_max(o_orderkey, o_totalprice) AS top_order
+        |FROM orders GROUP BY 1""".stripMargin)),
+
     // Cube — the full grouping lattice (rollup's sibling)
     CatalogEntry("cube_agg",
       (s, d) => T(s, d, "orders")
