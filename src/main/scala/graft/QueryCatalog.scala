@@ -523,8 +523,15 @@ object QueryCatalog {
     CatalogEntry("tfidf_top_terms",
       (s, d) => ops.TextAnalysis.tfidfTopTerms(docs(s, d), m = 5), None),
 
+    // scalar projection of the fingerprint set (array columns break the
+    // driver's pandas sort in the rows-only check): set size + order-stable
+    // digest of the sorted hashes
     CatalogEntry("doc_fingerprints",
-      (s, d) => ops.TextAnalysis.fingerprints(docs(s, d)), None),
+      (s, d) => ops.TextAnalysis.fingerprints(docs(s, d))
+        .select(col("doc_id"), col("content_hash"),
+          size(col("fingerprint")).cast("long").as("n_fp"),
+          xxhash64(concat_ws(",", col("fingerprint"))).as("fp_digest")),
+      None),
 
     CatalogEntry("fingerprint_overlap",
       (s, d) => ops.TextAnalysis.fingerprintOverlapPairs(docs(s, d)), None),
@@ -717,8 +724,14 @@ object QueryCatalog {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin)),
 
+    // feature vector unpacked to scalar columns (array columns break the
+    // driver's pandas sort in the rows-only check)
     CatalogEntry("multimodal_features",
-      (s, d) => ops.Multimodal.extractFeatures(ops.Multimodal.asMediaTable(docs(s, d))).toDF(),
+      (s, d) => ops.Multimodal.extractFeatures(ops.Multimodal.asMediaTable(docs(s, d))).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("checksum"),
+          element_at(col("feature"), 1).as("f_mean"),
+          element_at(col("feature"), 2).as("f_var"),
+          element_at(col("feature"), 3).as("f_len")),
       None),
 
     CatalogEntry("multimodal_frames",

@@ -33,34 +33,52 @@ class Staging(spark: SparkSession, ledgerPath: String) {
   private def append(rows: Seq[StagingRow]): Unit =
     spark.createDataFrame(rows).write.mode(SaveMode.Append).parquet(ledgerPath)
 
+  private def nextSeq(): Long = Staging.nextSeq(ledger)
+
   /** Stage files ACTIVE before processing (reference main.py:196-219). */
-  def markActive(batchId: String, files: Seq[String], now: Timestamp): Unit =
-    append(files.map(f => StagingRow(batchId, f, Active, now)))
+  def markActive(batchId: String, files: Seq[String], now: Timestamp): Unit = {
+    val s = nextSeq()
+    append(files.map(f => StagingRow(batchId, f, Active, now, s)))
+  }
 
   /** Flip to INACTIVE after success (reference main.py:428-448). */
-  def markInactive(batchId: String, files: Seq[String], now: Timestamp): Unit =
-    append(files.map(f => StagingRow(batchId, f, Inactive, now)))
+  def markInactive(batchId: String, files: Seq[String], now: Timestamp): Unit = {
+    val s = nextSeq()
+    append(files.map(f => StagingRow(batchId, f, Inactive, now, s)))
+  }
 
   /** Pre-flight: files whose most recent status is still ACTIVE — evidence of
     * a prior failed run (reference main.py:56-75).
     */
-  def activeFiles(): Seq[String] = {
-    // status desc so INACTIVE ('I' > 'A') wins a same-timestamp tie — a
-    // completion recorded in the same instant as its activation counts
+  def activeFiles(): Seq[String] = Staging.activeFiles(ledger)
+}
+
+object Staging {
+  val Active = "A"
+  val Inactive = "I"
+
+  /** `seq` is a per-append monotonic ordinal: wall clocks can be coarse or
+    * caller-supplied, so latest-wins ordering is (updatedAt, seq) — a fresh
+    * ACTIVE generation beats an older INACTIVE row even at the exact same
+    * timestamp. `status` desc remains only as a final tie-break WITHIN one
+    * append generation (activation + completion recorded in one instant).
+    */
+  case class StagingRow(batchId: String, fileName: String, status: String,
+      updatedAt: Timestamp, seq: Long)
+
+  private[meta] def nextSeq(ledger: DataFrame): Long =
+    ledger.agg(coalesce(max(col("seq")), lit(0L))).collect()(0).getLong(0) + 1L
+
+  private[meta] def activeFiles(ledger: DataFrame): Seq[String] = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fileName")).orderBy(col("updatedAt").desc, col("status").desc)
+      .partitionBy(col("fileName"))
+      .orderBy(col("updatedAt").desc, col("seq").desc, col("status").desc)
     ledger
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("status") === Active)
       .select("fileName")
       .collect().map(_.getString(0)).toSeq.sorted
   }
-}
-
-object Staging {
-  val Active = "A"
-  val Inactive = "I"
-  case class StagingRow(batchId: String, fileName: String, status: String, updatedAt: Timestamp)
 }
 
 /** The same append-only A/I ledger over a JDBC table — the literal analog of
@@ -83,19 +101,17 @@ class JdbcStaging(spark: SparkSession, url: String, table: String,
   private def append(rows: Seq[StagingRow]): Unit =
     graft.io.Sinks.jdbcAppend(spark.createDataFrame(rows), url, table, props)
 
-  def markActive(batchId: String, files: Seq[String], now: Timestamp): Unit =
-    append(files.map(f => StagingRow(batchId, f, Active, now)))
+  private def nextSeq(): Long = Staging.nextSeq(ledger)
 
-  def markInactive(batchId: String, files: Seq[String], now: Timestamp): Unit =
-    append(files.map(f => StagingRow(batchId, f, Inactive, now)))
-
-  def activeFiles(): Seq[String] = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fileName")).orderBy(col("updatedAt").desc, col("status").desc)
-    ledger
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("status") === Active)
-      .select("fileName")
-      .collect().map(_.getString(0)).toSeq.sorted
+  def markActive(batchId: String, files: Seq[String], now: Timestamp): Unit = {
+    val s = nextSeq()
+    append(files.map(f => StagingRow(batchId, f, Active, now, s)))
   }
+
+  def markInactive(batchId: String, files: Seq[String], now: Timestamp): Unit = {
+    val s = nextSeq()
+    append(files.map(f => StagingRow(batchId, f, Inactive, now, s)))
+  }
+
+  def activeFiles(): Seq[String] = Staging.activeFiles(ledger)
 }

@@ -90,6 +90,9 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16,
       shingleLen: Int = 5, maxBucket: Int = 100, minEstJaccard: Double = 0.0,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must be divisible by bands=$bands — otherwise the trailing " +
+        s"${k % bands} signature positions are never banded and recall drops silently")
     val rowsPerBand = k / bands
     val sigs = signatures(docs, k, shingleLen, textCol, idCol)
     val banded = lshBands(sigs, bands, rowsPerBand)
@@ -219,6 +222,12 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // min-label propagation advances one hop per iteration: a chain longer
+    // than maxIter docs would exit here unconverged and silently split a
+    // cluster (extra survivors downstream) — surface it instead
+    if (!converged)
+      System.err.println(s"[graft] WARN connectedComponents: not converged " +
+        s"after maxIter=$maxIter iterations — components may be split; raise maxIter")
     labels
   }
 

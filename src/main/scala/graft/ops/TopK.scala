@@ -53,6 +53,12 @@ object TopK {
 
   /** Top-k per group as a DataFrame op: returns (group, rn, id, score) with
     * rn in 1..k, ordered by (score desc, id asc) inside each group.
+    *
+    * The group key round-trips at its original type (the typed aggregation
+    * keys on a string cast internally; the result is joined back to the
+    * distinct original keys — a |groups|-sized join, tiny next to the scan).
+    * `idCol` is returned as LONG and `scoreCol` as DOUBLE — ids are integral
+    * and scores numeric throughout this engine.
     */
   def perGroup(df: DataFrame, groupCol: String, scoreCol: String, idCol: String,
       k: Int): DataFrame = {
@@ -63,11 +69,14 @@ object TopK {
       col(scoreCol).cast("double").as("score"),
       col(idCol).cast("long").as("id"))
       .as[(String, Double, Long)]
+    val keys = df.select(col(groupCol)).distinct()
+      .withColumn("__g", col(groupCol).cast("string"))
     typed
       .groupByKey(_._1)
       .agg(new TopKAgg(k).toColumn.name("top"))
-      .toDF("g", "top")
-      .select(col("g").as(groupCol), posexplode(col("top")).as(Seq("pos", "item")))
+      .toDF("__g", "top")
+      .join(keys, "__g")
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "item")))
       .select(col(groupCol), (col("pos") + 1).cast("long").as("rn"),
         col("item.id").as(idCol), col("item.score").as(scoreCol))
   }

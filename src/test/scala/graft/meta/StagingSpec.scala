@@ -37,4 +37,18 @@ class StagingSpec extends SparkSpec {
       Timestamp.valueOf("2026-01-01 02:00:00"))
     assert(st.activeFiles().isEmpty)
   }
+
+  test("same-timestamp re-activation wins over a prior INACTIVE (seq ordinal)") {
+    val ledger = Files.createTempDirectory("graft-staging").toString + "/ledger"
+    val st = new Staging(spark, ledger)
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    st.markActive("b1", Seq("a.csv"), t0)
+    st.markInactive("b1", Seq("a.csv"), t0)
+    // coarse clock: the new generation's ACTIVE lands at the exact same
+    // updatedAt as the old INACTIVE — the append ordinal must break the tie
+    st.markActive("b2", Seq("a.csv"), t0)
+    assert(st.activeFiles() === Seq("a.csv"))
+    st.markInactive("b2", Seq("a.csv"), t0)
+    assert(st.activeFiles().isEmpty)
+  }
 }
