@@ -514,14 +514,88 @@ object QueryCatalog {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS lex_tokens
         |FROM documents""".stripMargin)),
 
+    // DuckDB twin of the marker-set argmax: list_intersect dedups exactly
+    // like Spark's array_intersect, ties break by sorted language order,
+    // zero hits => 'und'
     CatalogEntry("lang_id",
-      (s, d) => ops.TextAnalysis.languageId(docs(s, d)), None),
+      (s, d) => ops.TextAnalysis.languageId(docs(s, d)),
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit','ein'])) AS s_de,
+        |    len(list_intersect(toks, ['the','and','of','to','is','in','that','with'])) AS s_en,
+        |    len(list_intersect(toks, ['el','los','las','es','en','con','una','por'])) AS s_es,
+        |    len(list_intersect(toks, ['le','la','les','et','est','pas','avec','une'])) AS s_fr,
+        |    ((CASE WHEN contains(norm, '的') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN contains(norm, '是') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN contains(norm, '在') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN contains(norm, '了') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN contains(norm, '和') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN contains(norm, '有') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN contains(norm, '不') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN contains(norm, '我') THEN 1 ELSE 0 END)) AS s_zh
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN best > 0 THEN
+        |    CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+        |         WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+        |         ELSE 'zh' END
+        |  ELSE 'und' END AS pred_lang,
+        |  greatest(best, 0) AS marker_hits
+        |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s)""".stripMargin)),
 
+    // double literals written in e-notation (3e-1 not 0.3) — DuckDB types
+    // plain decimal literals as DECIMAL and decimal arithmetic would diverge
+    // from Spark's double math in the last ulp; FP op order mirrors
+    // TextAnalysis.qualityScore exactly
     CatalogEntry("doc_quality",
-      (s, d) => ops.TextAnalysis.qualityScore(docs(s, d)), None),
+      (s, d) => ops.TextAnalysis.qualityScore(docs(s, d)),
+      Some("""WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+        |    length(text) AS n_chars
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, n_chars, len(toks) AS n_words,
+        |    len(list_intersect(toks, ['the','and','of','to','is','in','that','with'])) AS stop_hits,
+        |    CAST(n_chars - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
+        |    CAST(n_chars AS DOUBLE) / len(toks) AS avg_word_len
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(stop_hits AS DOUBLE) / n_words AS stopword_ratio,
+        |  least(CAST(n_words AS DOUBLE) / 5e1, 1e0) * 3e-1
+        |  + greatest(0e0, 1e0 - punct_ratio * 5e0) * 3e-1
+        |  + (CASE WHEN avg_word_len BETWEEN 3e0 AND 1e1 THEN 1e0 ELSE 5e-1 END) * 2e-1
+        |  + least((CAST(stop_hits AS DOUBLE) / n_words) * 1e1, 1e0) * 2e-1 AS quality
+        |FROM m""".stripMargin)),
 
+    // weight rounded to 9dp in BOTH engines: libm ln() may differ from
+    // java.lang.Math.log in the last ulp; ranking runs on full precision
     CatalogEntry("tfidf_top_terms",
-      (s, d) => ops.TextAnalysis.tfidfTopTerms(docs(s, d), m = 5), None),
+      (s, d) => ops.TextAnalysis.tfidfTopTerms(docs(s, d), m = 5)
+        .withColumn("weight", round(col("weight"), 9)),
+      Some("""WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |), w AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    tf.tf * ln((SELECT COUNT(*) + 1e0 FROM documents) / (dfreq.df + 1e0)) AS weight
+        |  FROM tf JOIN dfreq USING (term)
+        |)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, round(weight, 9) AS weight
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rank FROM w)
+        |WHERE rank <= 5""".stripMargin)),
 
     // scalar projection of the fingerprint set (array columns break the
     // driver's pandas sort in the rows-only check): set size + order-stable
@@ -571,8 +645,32 @@ object QueryCatalog {
     CatalogEntry("embedding_neardup",
       (s, d) => ops.Similarity.nearDupPairs(embs(s, d), threshold = 0.3, lshPlanes), None),
 
+    // score rounded to 9dp in BOTH engines: the double-accumulated cosine
+    // agrees with DuckDB's list_cosine_similarity over DOUBLE[] to ~1 ulp
+    // (measured max 8e-8 over FLOAT[], 2e-16 over DOUBLE[]), so the rounded
+    // values hash-match while ordering runs on full precision
     CatalogEntry("knn_bruteforce",
-      (s, d) => ops.Similarity.bruteForceTopK(embs(s, d), queryVec(s, d), k = 20), None),
+      (s, d) => ops.Similarity.bruteForceTopK(embs(s, d), queryVec(s, d), k = 20)
+        .withColumn("score", round(col("score"), 9)),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(v, qv), 9) AS score
+        |FROM e, q
+        |WHERE NOT isnan(list_cosine_similarity(v, qv))
+        |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT 20""".stripMargin)),
+
+    // exact-all-pairs twin of embedding_neardup: the LSH variant stays
+    // rows-only (recall < 1 by construction); this one is the oracle-checked
+    // correctness baseline
+    CatalogEntry("embedding_neardup_exact",
+      (s, d) => ops.Similarity.exactNearDupPairs(embs(s, d), threshold = 0.3)
+        .withColumn("cosine", round(col("cosine"), 9)),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 9) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.3""".stripMargin)),
 
     CatalogEntry("knn_ann",
       (s, d) => ops.Similarity.annTopK(embs(s, d), queryVec(s, d), k = 20, lshPlanes), None),

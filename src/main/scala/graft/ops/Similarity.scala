@@ -94,6 +94,24 @@ object Similarity {
       acc * 2 + (if (dot >= 0) 1L else 0L)
     }
 
+  /** Exact all-pairs near-duplicates: every (id_a < id_b) pair with cosine ≥
+    * threshold. O(n²) scoring — the correctness baseline the LSH variant
+    * ([[nearDupPairs]]) is measured against, and the right tool when one side
+    * is small enough to broadcast (the join below is a broadcast
+    * nested-loop: the build side ships once, the probe side never shuffles).
+    * At corpus scale use [[nearDupPairs]]; at 100 TB an all-pairs pass is
+    * 10^21 cosines — never viable.
+    */
+  def exactNearDupPairs(embs: DataFrame, threshold: Double,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(!isnan(col("cosine")) && col("cosine") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs: candidates from shared LSH buckets,
     * verified by exact cosine ≥ threshold. The pair join moves only
     * (bucket, id, vector); `maxBucket` caps degenerate buckets.
