@@ -48,6 +48,15 @@ object QueryCatalog {
       |JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** Dialect-shared GROUPING SETS with grouping() markers. */
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())""".stripMargin
+
   /** Dialect-shared correlated scalar subquery. */
   val scalarSubquerySql: String =
     """SELECT o_orderkey, o_totalprice,
@@ -821,6 +830,124 @@ object QueryCatalog {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin)),
+
+    // Interval join via bucketized equi-join (ops.RangeJoin scaladoc) — the
+    // overlapping price bands make it a true range join, not a width_bucket
+    CatalogEntry("range_join_bands",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        val bands = Seq((0L, 0.0, 20000.0), (1L, 10000.0, 30000.0),
+          (2L, 25000.0, 60000.0), (3L, 50000.0, 100000.0))
+          .toDF("band_id", "lo", "hi")
+        ops.RangeJoin.pointInInterval(
+          T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+          bands, "l_extendedprice", "lo", "hi", bucketWidth = 5000.0)
+          .groupBy(col("band_id"))
+          .agg(count(lit(1)).as("cnt"), Cols.moneySum(col("l_extendedprice")).as("sum_price"))
+      },
+      Some("""WITH bands(band_id, lo, hi) AS (
+        |  VALUES (0, 0e0, 2e4), (1, 1e4, 3e4), (2, 25e3, 6e4), (3, 5e4, 1e5))
+        |SELECT band_id, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY band_id""".stripMargin)),
+
+    // Salted join must be result-identical to the plain join — the oracle IS
+    // the unsalted SQL (ops.Skew scaladoc: explicit salting for skew AQE
+    // can't fix)
+    CatalogEntry("salted_join_agg",
+      (s, d) => ops.Skew.saltedJoin(T(s, d, "lineitem"), T(s, d, "supplier"),
+        "l_suppkey", "s_suppkey", buckets = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"), Cols.moneySum(col("l_extendedprice")).as("sum_price")),
+      Some("""SELECT s_nationkey, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin)),
+
+    // Sequence packing for context-window assembly (ops.Packing scaladoc)
+    CatalogEntry("pack_sequences",
+      (s, d) => ops.Packing.packSequences(docs(s, d), capacity = 8192),
+      Some("""WITH w AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS size,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS start_offset
+        |  FROM documents)
+        |SELECT source, doc_id, size, start_offset,
+        |  CAST(FLOOR(start_offset / 8192) AS BIGINT) AS bin_id
+        |FROM w""".stripMargin)),
+
+    // Statistical aggregates: corr/covar/stddev/var match DuckDB's sample
+    // definitions; skewness/kurtosis are population moments in Spark, so the
+    // oracle derives them from two-pass central moments. All rounded 6dp —
+    // the streaming-update algorithms differ in low bits.
+    CatalogEntry("stats_suite",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_covar"),
+          round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
+          round(var_samp(col("l_quantity")), 6).as("qty_var"),
+          round(skewness(col("l_quantity")), 6).as("qty_skew"),
+          round(kurtosis(col("l_quantity")), 6).as("qty_kurt")),
+      Some("""WITH mu AS (
+        |  SELECT l_returnflag AS flag, AVG(l_quantity) AS mu FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l_returnflag, l_quantity, l_extendedprice, l_quantity - mu AS dq
+        |  FROM lineitem JOIN mu ON l_returnflag = flag)
+        |SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+        |  round(stddev_samp(l_quantity), 6) AS qty_stddev,
+        |  round(var_samp(l_quantity), 6) AS qty_var,
+        |  round(AVG(dq*dq*dq) / POW(AVG(dq*dq), 1.5e0), 6) AS qty_skew,
+        |  round(AVG(dq*dq*dq*dq) / (AVG(dq*dq) * AVG(dq*dq)) - 3e0, 6) AS qty_kurt
+        |FROM c GROUP BY l_returnflag""".stripMargin)),
+
+    // RANGE frame over an integer day key: trailing-7-day running total per
+    // customer (decimal-accumulated inside the frame, double on output)
+    CatalogEntry("window_range_frame",
+      (s, d) => {
+        val day = datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1970-01-01")))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+          .rangeBetween(-6, Window.currentRow)
+        T(s, d, "orders")
+          .withColumn("day", day)
+          .select(col("o_orderkey"), col("o_custkey"), col("day"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+              .cast(DoubleType).as("trailing_7d"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+        |FROM (SELECT *, datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+        |      FROM orders)""".stripMargin)),
+
+    // GROUPING SETS with grouping() markers — dialect-shared SQL text
+    CatalogEntry("grouping_sets_agg",
+      (s, d) => {
+        T(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(groupingSetsSql)
+      },
+      Some(groupingSetsSql)),
+
+    // unpivot/melt: wide measures to long (id, measure, value)
+    CatalogEntry("unpivot_measures",
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "value"),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax' AS measure, l_tax AS value FROM lineitem""".stripMargin)),
 
     // feature vector unpacked to scalar columns (array columns break the
     // driver's pandas sort in the rows-only check)
