@@ -49,25 +49,23 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** doc_id + k-permutation MinHash signature. Shape: repartition →
-    * normalize once → explode distinct shingles → ONE hash aggregate with k
-    * `min(xxhash64(shingle, seed))` buffers (codegen'd, map-side combined) →
-    * re-assembled signature array. Docs shorter than the shingle drop out.
+  /** doc_id + k-permutation MinHash signature, computed by the one-pass
+    * codegen'd kernel [[graft.functions.TextSketches.minhashSig]]: the
+    * document's bytes are scanned once inside the scan stage and only
+    * (doc_id, 64 longs) ever leaves it — no shingle explode, no k-buffer
+    * aggregate, no shuffle of text. (The previous explode → 64×min-agg
+    * shape cost 4.6 s of a 6.7 s sf0.1 pipeline.) Docs shorter than the
+    * shingle drop out. The repartition spreads kernel work when the input
+    * is a handful of files.
     */
   def signatures(docs: DataFrame, k: Int = 64, shingleLen: Int = 5,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val exploded = docs
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
       .repartition(col(idCol))
       .withColumn("norm", Shingles.normalize(col(textCol)))
-      .filter(length(col("norm")) >= shingleLen)
       .select(col(idCol).as("doc_id"),
-        explode(Shingles.charShingles(col("norm"), shingleLen)).as("sh"))
-    val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
-    exploded
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
+        graft.functions.TextSketches.minhashSig(col("norm"), shingleLen, k).as("sig"))
+      .filter(size(col("sig")) > 0)
 
   /** LSH banding: one row per (doc, band) with the band's hash. Docs sharing
     * any (band_idx, band_hash) are candidates. b bands of r rows: collision
@@ -252,11 +250,13 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1,
       maxBucket: Int = 200, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // distinct n-gram HASHES from the one-pass kernel (TextSketches): the
+    // inverted index below shuffles 8-byte keys, never gram strings
     val grams = docs
       .repartition(col(idCol))
       .withColumn("norm", Shingles.normalize(col(textCol)))
-      .withColumn("toks", Shingles.tokensOfNorm(col("norm")))
-      .select(col(idCol).as("doc_id"), Shingles.wordNgrams(col("toks"), n).as("grams"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextSketches.ngramHashes(col("norm"), n).as("grams"))
       .filter(size(col("grams")) > 0)
       // read twice below (sizes + inverted index) — persist or recompute
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -69,8 +69,18 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sizes + index
     val sizes = fps.select(col("doc_id"), size(col("fingerprint")).as("n_fp"))
     val inverted = fps.select(col("doc_id"), explode(col("fingerprint")).as("fp"))
-    val shared = Dedup.bucketPairs(inverted, Seq("fp"), "doc_id", Seq.empty, maxBucket)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // fingerprint buckets are DENSE (a boilerplate hash can sit in thousands
+    // of docs, and capped buckets still expand to ~1k pairs each): a
+    // codegen'd equi-self-join on fp beats Dedup.bucketPairs' collect_list +
+    // interpreted-lambda expansion here (the LSH families keep bucketPairs —
+    // their buckets are tiny and the one-shuffle shape wins there)
+    val bucketSizes = inverted.groupBy("fp").agg(count(lit(1)).as("bs"))
+      .filter(col("bs").between(2, maxBucket))
+    val capped = inverted.join(bucketSizes.select("fp"), "fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = capped.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
@@ -167,38 +177,25 @@ object TextAnalysis {
       greatest(bestScore, lit(0)).as("marker_hits"))
   }
 
-  /** Winnowing-style document fingerprint: hash all char k-grams, keep the
+  /** Winnowing-style document fingerprint: hash all byte k-grams, keep the
     * minimum hash in each sliding window of `w` consecutive k-grams, distinct
     * the survivors (sorted for a deterministic output). Robust to small
     * edits.
     *
-    * Shape: explode gram positions → substring+hash in a codegen'd
-    * projection (a per-element lambda here would run interpreted — 5-10×
-    * slower measured) → sliding-window min per (doc, pos) → set-collect.
-    * The only shuffle carries (doc_id, pos, 8-byte hash).
+    * Computed by the one-pass codegen'd kernel
+    * [[graft.functions.TextSketches.winnowedFingerprint]] — the document
+    * never explodes into per-gram rows and nothing shuffles but
+    * (doc_id, fingerprint). (The previous explode → window-min → collect_set
+    * shape shuffled one row per character and cost 3.7 s at sf0.1.)
     */
   def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
       .repartition(col(idCol))
       .withColumn("norm", Shingles.normalize(col(textCol)))
-      .filter(length(col("norm")) >= k)
       .select(col(idCol).as("doc_id"),
-        xxhash64(col(textCol)).as("content_hash"),
-        col("norm"),
-        // last full-window start is known statically: len-k+1 - (w-1)
-        (length(col("norm")) - lit(k + w - 2)).as("last_full"),
-        explode(sequence(lit(1), length(col("norm")) - lit(k - 1))).as("pos"))
-      .select(col("doc_id"), col("content_hash"), col("pos"), col("last_full"),
-        xxhash64(expr(s"substring(norm, pos, $k)")).as("h"))
-    val sliding = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("wmin", min(col("h")).over(sliding))
-      .filter(col("pos") <= col("last_full")) // full windows only
-      .groupBy(col("doc_id"), col("content_hash"))
-      .agg(array_sort(collect_set(col("wmin"))).as("fingerprint"))
+        graft.functions.TextSketches.winnowedFingerprint(col("norm"), k, w).as("fingerprint"),
+        xxhash64(col(textCol)).as("content_hash"))
+      .filter(size(col("fingerprint")) > 0)
       .select(col("doc_id"), col("fingerprint"), col("content_hash"))
-  }
 }
