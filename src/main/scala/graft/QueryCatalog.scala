@@ -57,6 +57,26 @@ object QueryCatalog {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())""".stripMargin
 
+  /** Dialect-shared EXISTS / NOT EXISTS correlated subqueries. */
+  val existsSubquerySql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** Dialect-shared navigation window functions. */
+  val windowNavigationSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+      |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
+      |  last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+      |  cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS price_cume
+      |FROM orders""".stripMargin
+
   /** Dialect-shared correlated scalar subquery. */
   val scalarSubquerySql: String =
     """SELECT o_orderkey, o_totalprice,
@@ -830,6 +850,94 @@ object QueryCatalog {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin)),
+
+    // Benchmark decontamination (ops.Decontamination): doc_id % 10 == 0
+    // plays the eval corpus; training docs sharing any 8-gram are flagged
+    CatalogEntry("decontaminate",
+      (s, d) => {
+        val all = docs(s, d)
+        ops.Decontamination.contaminated(
+          all.filter(col("doc_id") % 10 =!= 0),
+          all.filter(col("doc_id") % 10 === 0), n = 8)
+      },
+      Some("""WITH g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
+        |        FOR i IN range(1, len(toks) - 6)]) AS gram
+        |    FROM (SELECT doc_id,
+        |            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |          FROM documents))
+        |), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+        |SELECT doc_id, COUNT(*) AS shared_grams
+        |FROM g JOIN bench USING (gram)
+        |WHERE doc_id % 10 <> 0
+        |GROUP BY doc_id""".stripMargin)),
+
+    // Stratified deterministic sampling: per-group rates from the md5
+    // hex-prefix bucket (reproducible across engines/partitionings — same
+    // trick as deterministic_sample, different rate per stratum)
+    CatalogEntry("stratified_sample",
+      (s, d) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+        docs(s, d)
+          .filter(when(col("lang") === "en", h <= "7f").otherwise(h <= "19"))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f'
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19' END""".stripMargin)),
+
+    // PII redaction: deterministic synthetic PII appended (the corpus has
+    // none), then email + long-digit-run scrubbing. RE2-safe patterns run
+    // identically in Java regex and DuckDB; DuckDB needs the 'g' flag for
+    // replace-all (Spark's regexp_replace is global by default).
+    CatalogEntry("pii_redact",
+      (s, d) => docs(s, d).select(col("doc_id"),
+        regexp_replace(regexp_replace(
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call 55512"), col("doc_id").cast("string")),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "[0-9]{6,}", "<NUM>").as("redacted")),
+      Some("""SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@example.com or call 55512' || CAST(doc_id AS VARCHAR),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS redacted
+        |FROM documents""".stripMargin)),
+
+    // Fuzzy matching on a small dimension: edit-distance self-join
+    CatalogEntry("fuzzy_pairs",
+      (s, d) => {
+        val a = T(s, d, "nation").select(col("n_nationkey").as("k_a"), col("n_name").as("name_a"))
+        val b = T(s, d, "nation").select(col("n_nationkey").as("k_b"), col("n_name").as("name_b"))
+        a.join(b, col("k_a") < col("k_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist") <= 1)
+      },
+      Some("""SELECT a.n_nationkey AS k_a, a.n_name AS name_a,
+        |  b.n_nationkey AS k_b, b.n_name AS name_b,
+        |  levenshtein(a.n_name, b.n_name) AS dist
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        |WHERE levenshtein(a.n_name, b.n_name) <= 1""".stripMargin)),
+
+    // EXISTS / NOT EXISTS correlated subqueries — dialect-shared SQL
+    CatalogEntry("exists_subquery",
+      (s, d) => {
+        T(s, d, "customer").createOrReplaceTempView("customer")
+        T(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(existsSubquerySql)
+      },
+      Some(existsSubquerySql)),
+
+    // first/nth/last_value + cume_dist — dialect-shared SQL
+    CatalogEntry("window_navigation",
+      (s, d) => {
+        T(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(windowNavigationSql)
+      },
+      Some(windowNavigationSql)),
 
     // Interval join via bucketized equi-join (ops.RangeJoin scaladoc) — the
     // overlapping price bands make it a true range join, not a width_bucket
