@@ -851,6 +851,67 @@ object QueryCatalog {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin)),
 
+    // MERGE/upsert composed from anti-join + union (etl.Upsert): updates =
+    // deterministic derived batch (balance bump on %7 keys, new %13 rows)
+    CatalogEntry("upsert_dim",
+      (s, d) => {
+        val cur = T(s, d, "customer")
+        val updates = cur.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+          .unionByName(cur.filter(col("c_custkey") % 13 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name"),
+              col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment")))
+        etl.Upsert.upsert(cur, updates, Seq("c_custkey"))
+      },
+      Some("""WITH updates AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1e2 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS c_custkey,
+        |    'NEW_' || CAST(c_custkey AS VARCHAR) AS c_name,
+        |    c_nationkey, 0e0 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 13 = 0)
+        |SELECT * FROM updates
+        |UNION ALL
+        |SELECT * FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)""".stripMargin)),
+
+    // SCD2 versioning (etl.Scd2): orders as a per-customer priority change
+    // log -> [valid_from, valid_to) version rows, re-stated values collapsed
+    CatalogEntry("scd2_versions",
+      (s, d) => etl.Scd2.versions(T(s, d, "orders"),
+        key = "o_custkey", attr = "o_orderpriority", ts = "o_orderdate",
+        tieBreak = "o_orderkey"),
+      Some("""WITH c AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |v AS (SELECT * FROM c WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |FROM v""".stripMargin)),
+
+    // Ordered funnel (ops.Sessions.funnel): deepest in-order stage per user,
+    // one conditional-min aggregate — no per-stage self-joins
+    CatalogEntry("funnel_stages",
+      (s, d) => ops.Sessions.funnel(eventsRaw(s, d), Seq("view", "click", "purchase")),
+      Some("""WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, t0, t1, t2,
+        |  CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+        |         AND t0 <= t1 AND t1 <= t2 THEN 3
+        |       WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 <= t1 THEN 2
+        |       WHEN t0 IS NOT NULL THEN 1
+        |       ELSE 0 END AS funnel_depth
+        |FROM f""".stripMargin)),
+
     // Benchmark decontamination (ops.Decontamination): doc_id % 10 == 0
     // plays the eval corpus; training docs sharing any 8-gram are flagged
     CatalogEntry("decontaminate",

@@ -34,4 +34,29 @@ object Sessions {
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
   }
+
+  /** Ordered funnel per user over `stages` event types: first timestamp of
+    * each stage, and the deepest stage reached IN ORDER (stage k counts only
+    * if its first occurrence is at or after stage k-1's first occurrence).
+    *
+    * One hash aggregate over (user), conditional-min per stage — the
+    * classic "count users through view → click → purchase" question without
+    * a self-join per stage: at 100 TB it is a single pass + one shuffle of
+    * |users| rows.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val firsts = stages.zipWithIndex.map { case (st, i) =>
+      min(when(col("event_type") === st, col("ts_us"))).as(s"t$i")
+    }
+    val base = events.groupBy(col("user_id")).agg(firsts.head, firsts.tail: _*)
+    // deepest in-order stage: t0..tk all present and non-decreasing
+    val depth = stages.indices.foldLeft(lit(0)) { (acc, i) =>
+      val inOrder = (0 to i).map(j => col(s"t$j").isNotNull).reduce(_ && _) &&
+        (1 to i).map(j => col(s"t${j - 1}") <= col(s"t$j")).foldLeft(lit(true))(_ && _)
+      when(inOrder, i + 1).otherwise(acc)
+    }
+    base.withColumn("funnel_depth", depth)
+      .select((col("user_id") +: stages.indices.map(i => col(s"t$i")) :+ col("funnel_depth")): _*)
+  }
 }
