@@ -39,11 +39,17 @@ object Bench {
     // residual compile is paid in the measured run).
     spark.range(1000000).selectExpr("sum(id)").collect()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if (sys.env.get("SPARK_GRAFT_SKIP_WARM").isEmpty &&
-        new java.io.File(warmDir).exists && warmDir != sfDir) {
+    // canonical-path compare so a trailing slash / symlink can't alias the
+    // warmup dir onto the measured dataset (would warm the page cache too)
+    def canon(p: String) = new java.io.File(p).getCanonicalPath
+    val warmed = sys.env.get("SPARK_GRAFT_SKIP_WARM").isEmpty &&
+      new java.io.File(warmDir).exists && canon(warmDir) != canon(sfDir)
+    if (warmed) {
       names.foreach { name =>
+        // NonFatal only: an OOM during warmup must propagate, not leave a
+        // corrupted JVM producing bogus timings
         try SparkEntry.queries(name)(spark, warmDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] warmup $name failed (ignored): ${e.getMessage}")
         }
         spark.catalog.clearCache()
@@ -57,13 +63,14 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
+      // timing stops at save; cache teardown below is not charged to the query
+      val dt = (System.nanoTime() - t0) / 1e9
       // caches accumulated by an operator (persisted sketch tables) must not
       // subsidize or starve the next query
       spark.catalog.clearCache()
-      val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name: $dt%.2f s")
       (name, dt, ok)
     }
@@ -72,7 +79,9 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // "warm" records whether an unmeasured steady-state warmup ran, so
+    // consumers can tell warm timings from cold-start ones (ADVICE r2)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","warm":$warmed,"warm_dir":"$warmDir"}""")
     spark.stop()
   }
 }

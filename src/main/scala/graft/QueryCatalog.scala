@@ -460,17 +460,23 @@ object QueryCatalog {
       Some(scalarSubquerySql)),
 
     // HLL approximate distinct vs exact — the constant-memory path for
-    // extreme-cardinality counts at 100 TB (rows-only: HLL estimates are
-    // engine-specific, no cross-engine oracle)
+    // extreme-cardinality counts at 100 TB. The HLL estimate itself is
+    // engine-specific, so the oracle checks the exact count plus a
+    // tolerance assertion: |approx-exact|/exact must stay ≤ 5% (rsd=0.02 ⇒
+    // typical error <2%, so the bound has margin while still catching a
+    // broken sketch).
     CatalogEntry("agg_approx",
       (s, d) => T(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
-        .withColumn("rel_err",
-          abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts")),
-      None),
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double")
+            <= col("exact_parts") * lit(0.05)).as("within_tol")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_tol
+        |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // Tumbling event-time window (batch twin of the streaming op)
     CatalogEntry("events_hourly",
@@ -667,9 +673,39 @@ object QueryCatalog {
     CatalogEntry("dedup_simhash",
       (s, d) => ops.Dedup.simhashPairs(docs(s, d), maxHamming = 3, maxBucket = 200), None),
 
+    // oracle replays the exact pipeline on gram STRINGS where Spark uses
+    // 64-bit gram hashes (TextSketches.ngramHashes) — identical results
+    // barring an xxhash64 collision between distinct grams (P ~ n²/2⁶⁵,
+    // negligible at any SF the gate runs). Jaccard division is the same
+    // int/int → double op on both sides, so no rounding is needed; the
+    // threshold literal is e-notation to force DOUBLE typing in DuckDB.
     CatalogEntry("ngram_jaccard",
       (s, d) => ops.Dedup.ngramJaccardPairs(docs(s, d),
-        n = 3, threshold = 0.01, maxBucket = 100), None),
+        n = 3, threshold = 0.01, maxBucket = 100),
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+        |        FOR i IN range(1, len(toks) - 1)]) AS gram
+        |    FROM t)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1
+        |), buck AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 100
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |  FROM g a JOIN buck USING (gram) JOIN g b USING (gram)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, shared / (sa.n + sb.n - shared) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE shared / (sa.n + sb.n - shared) >= 1e-2""".stripMargin)),
 
     CatalogEntry("embedding_neardup",
       (s, d) => ops.Similarity.nearDupPairs(embs(s, d), threshold = 0.3, lshPlanes), None),
@@ -1037,10 +1073,13 @@ object QueryCatalog {
     // Sequence packing for context-window assembly (ops.Packing scaladoc)
     CatalogEntry("pack_sequences",
       (s, d) => ops.Packing.packSequences(docs(s, d), capacity = 8192),
+      // start_offset needs the explicit BIGINT cast: DuckDB's SUM(INTEGER)
+      // yields HUGEINT, which pandas renders float64 and the driver's
+      // dtype-sensitive value hash then diverges from Spark's int64
       Some("""WITH w AS (
         |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS size,
-        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS start_offset
+        |    CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT) AS start_offset
         |  FROM documents)
         |SELECT source, doc_id, size, start_offset,
         |  CAST(FLOOR(start_offset / 8192) AS BIGINT) AS bin_id

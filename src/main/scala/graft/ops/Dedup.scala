@@ -181,17 +181,66 @@ object Dedup {
 
   // ------------------------------------- components / corpus dedup
 
-  /** Connected components over an undirected pair list (doc_a, doc_b):
-    * label propagation to the minimum id, iterated to fixpoint (bounded by
-    * `maxIter`). Near-dup clusters have tiny diameters in practice, so this
-    * converges in a handful of iterations; each iteration is one join + one
-    * min-aggregate over (id, label) pairs only — never the documents.
+  /** Connected components over an undirected pair list (doc_a, doc_b).
     * Returns (id, component) where component = min id in the cluster.
+    *
+    * Size-adaptive, like a join picking broadcast vs shuffle: the candidate
+    * -pair graph after Jaccard thresholding is orders of magnitude smaller
+    * than the corpus (edges exist only between near-duplicates), so it
+    * usually fits on the driver — a single-pass union-find there replaces
+    * O(cluster diameter) shuffle rounds. Graphs above `driverEdgeLimit`
+    * (~16 bytes/edge ⇒ default caps the collect at ~80 MB, broadcast-join
+    * scale) fall back to distributed min-label propagation, one join + one
+    * min-aggregate per round over (id, label) pairs only — never the
+    * documents.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val sym = pairs
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+      driverEdgeLimit: Long = 5000000L): DataFrame = {
+    val edges = pairs
       .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
-      .union(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count()
+    if (nEdges <= driverEdgeLimit) {
+      val out = unionFindComponents(edges)
+      edges.unpersist()
+      return out
+    }
+    distributedComponents(edges, maxIter)
+  }
+
+  /** Driver-side union-find (path compression + union-by-min-id, so the
+    * root IS the component's minimum id). One pass over the collected edge
+    * array; result re-parallelized for downstream joins.
+    */
+  private def unionFindComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val rows = edges.collect()
+    val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path-compress the walked chain
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { row =>
+      val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val labels = rows.iterator
+      .flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+      .distinct.map(id => (id, find(id))).toSeq
+    import spark.implicits._
+    labels.toDF("id", "component")
+  }
+
+  /** Distributed min-label propagation to fixpoint (bounded by `maxIter`).
+    * Near-dup clusters have tiny diameters in practice, so this converges in
+    * a handful of iterations.
+    */
+  private def distributedComponents(edges: DataFrame, maxIter: Int): DataFrame = {
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
@@ -220,6 +269,7 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    edges.unpersist()
     // min-label propagation advances one hop per iteration: a chain longer
     // than maxIter docs would exit here unconverged and silently split a
     // cluster (extra survivors downstream) — surface it instead

@@ -27,8 +27,8 @@ object QuickProf {
 
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    time("events raw scan count") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    time("events raw scan noop") {
       spark.read.parquet(s"$sfDir/events.parquet").write.mode("overwrite").format("noop").save()
     }
     time("events + ts_us + noop") {
