@@ -1157,6 +1157,185 @@ object QueryCatalog {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_tax' AS measure, l_tax AS value FROM lineitem""".stripMargin)),
 
+    // Snapshot diff / CDC: before = customer minus the %11 keys; after =
+    // balance bump on %7 keys plus brand-new %13 rows — yields all three
+    // change types. One full-outer join on the key, struct-equality compare.
+    CatalogEntry("snapshot_diff",
+      (s, d) => {
+        val cur = T(s, d, "customer")
+        val before = cur.filter(col("c_custkey") % 11 =!= 0)
+        val after = cur
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0).otherwise(col("c_acctbal")))
+          .unionByName(cur.filter(col("c_custkey") % 13 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name"),
+              col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment")))
+        etl.SnapshotDiff.diff(before, after, Seq("c_custkey"))
+      },
+      Some("""WITH before_t AS (
+        |  SELECT * FROM customer WHERE c_custkey % 11 <> 0
+        |), after_t AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1e2 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
+        |    c_nationkey, 0e0, c_mktsegment
+        |  FROM customer WHERE c_custkey % 13 = 0
+        |)
+        |SELECT COALESCE(b.c_custkey, a.c_custkey) AS c_custkey,
+        |  CASE WHEN b.c_custkey IS NULL THEN 'insert'
+        |       WHEN a.c_custkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change_type
+        |FROM before_t b FULL OUTER JOIN after_t a USING (c_custkey)
+        |WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
+        |   OR b.c_name <> a.c_name OR b.c_nationkey <> a.c_nationkey
+        |   OR b.c_acctbal <> a.c_acctbal OR b.c_mktsegment <> a.c_mktsegment""".stripMargin)),
+
+    // Calendar spine / gap fill: dense per-customer 1995 monthly series with
+    // zero-filled gap months (etl.DateSpine)
+    CatalogEntry("date_spine",
+      (s, d) => etl.DateSpine.monthlyFill(T(s, d, "orders"),
+        keyCol = "o_custkey", tsCol = "o_orderdate", valueCol = "o_totalprice",
+        startMonth = "1995-01-01", endMonth = "1995-12-01"),
+      Some("""WITH f AS (
+        |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    o_totalprice
+        |  FROM orders
+        |  WHERE o_orderdate >= '1995-01-01'
+        |    AND CAST(date_trunc('month', o_orderdate) AS DATE) <= DATE '1995-12-01'
+        |), monthly AS (
+        |  SELECT o_custkey, month, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM f GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT DISTINCT o_custkey, CAST(unnest(generate_series(
+        |    DATE '1995-01-01', DATE '1995-12-01', INTERVAL 1 MONTH)) AS DATE) AS month
+        |  FROM f
+        |)
+        |SELECT spine.o_custkey, spine.month,
+        |  COALESCE(n_rows, 0) AS n_rows, COALESCE(total, 0e0) AS total
+        |FROM spine LEFT JOIN monthly USING (o_custkey, month)""".stripMargin)),
+
+    // Gopher-style repetition signals (TextAnalysis.repetitionRatios):
+    // duplicate word-n-gram fractions; oracle rebuilds the gram lists on
+    // strings where Spark uses the one-pass hash kernel
+    CatalogEntry("repetition_ratio",
+      (s, d) => ops.TextAnalysis.repetitionRatios(docs(s, d)),
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, len(toks) AS n_words,
+        |    [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] AS g2,
+        |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] AS g3
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CASE WHEN n_words - 1 > 0
+        |    THEN 1e0 - len(list_distinct(g2)) / (n_words - 1) ELSE 0e0 END AS dup_2gram_frac,
+        |  CASE WHEN n_words - 2 > 0
+        |    THEN 1e0 - len(list_distinct(g3)) / (n_words - 2) ELSE 0e0 END AS dup_3gram_frac
+        |FROM g""".stripMargin)),
+
+    // C4-style hard quality filter with per-rule audit booleans
+    CatalogEntry("quality_filter",
+      (s, d) => ops.TextAnalysis.qualityFilter(docs(s, d)),
+      Some("""WITH t AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    len(toks) >= 10 AS enough_words,
+        |    regexp_matches(text, '[.!?]\s*$') AS terminal_punct,
+        |    CAST(length(norm) AS DOUBLE) / len(toks) BETWEEN 3e0 AND 1e1 AS sane_word_len,
+        |    list_max(list_transform(toks, x -> length(x))) <= 30 AS no_giant_word,
+        |    len(list_intersect(toks, ['the','and','of','to','is','in','that','with'])) > 0 AS has_stopword
+        |  FROM t
+        |)
+        |SELECT doc_id, enough_words, terminal_punct, sane_word_len, no_giant_word, has_stopword,
+        |  enough_words AND terminal_punct AND sane_word_len AND no_giant_word AND has_stopword AS keep
+        |FROM m""".stripMargin)),
+
+    // Corpus bigram LM counts with per-w1 conditional probabilities; the
+    // zipped double-unnest is DuckDB's positional bigram idiom
+    CatalogEntry("bigram_lm",
+      (s, d) => ops.TextAnalysis.bigramConditionals(docs(s, d), minCount = 5),
+      Some("""WITH t AS (
+        |  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM t WHERE len(toks) >= 2
+        |), c AS (
+        |  SELECT w1, w2, COUNT(*) AS cnt FROM bg
+        |  WHERE length(w1) > 0 AND length(w2) > 0 GROUP BY 1, 2
+        |)
+        |SELECT w1, w2, cnt,
+        |  cnt / SUM(cnt) OVER (PARTITION BY w1) AS cond_p
+        |FROM c QUALIFY cnt >= 5""".stripMargin)),
+
+    // Deterministic hash-based train/val/test assignment with per-split
+    // accounting — reproducible across engines and partitionings
+    CatalogEntry("dataset_split",
+      (s, d) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+        docs(s, d)
+          .withColumn("split",
+            when(h < "0a", "test").when(h < "14", "val").otherwise("train"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("total_chars"))
+      },
+      Some("""WITH s AS (
+        |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0a' THEN 'test'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14' THEN 'val'
+        |              ELSE 'train' END AS split,
+        |    n_chars
+        |  FROM documents)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+        |FROM s GROUP BY 1""".stripMargin)),
+
+    // Integer-bucket document length histogram (500-char bins; integer
+    // division on both sides — no float bucket-boundary ambiguity)
+    CatalogEntry("doc_length_histogram",
+      (s, d) => docs(s, d)
+        .groupBy(expr("n_chars div 500").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars")),
+      Some("""SELECT CAST(n_chars // 500 AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    // Boolean / conditional aggregate family
+    CatalogEntry("bool_aggs",
+      (s, d) => T(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("bool_and(o_totalprice > 0)").as("all_positive"),
+          expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+          expr("count_if(o_totalprice > 200000)").as("n_big")),
+      Some("""SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  count_if(o_totalprice > 200000) AS n_big
+        |FROM orders GROUP BY 1""".stripMargin)),
+
+    // Streaming exactly-once dedup: doubled delivery collapsed by
+    // dropDuplicatesWithinWatermark; oracle = single-delivery batch counts
+    CatalogEntry("events_stream_dedup",
+      (s, d) => streaming.EventsStream.dedupedCounts(s, d),
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1""".stripMargin)),
+
     // feature vector unpacked to scalar columns (array columns break the
     // driver's pandas sort in the rows-only check)
     CatalogEntry("multimodal_features",

@@ -1,0 +1,39 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot-diff / CDC derivation: given two snapshots of the same table,
+  * emit one row per changed key with its change type — the batch way to
+  * produce a change feed from full extracts (the reference's pipeline
+  * re-loads full dimension tables each run; a diff is what an incremental
+  * consumer actually wants).
+  *
+  * Shape: ONE full shuffle join on the key (sort-merge for like-sized
+  * snapshots; AQE broadcasts if one side is small). Attribute comparison is
+  * a single struct equality — codegen'd field-by-field compare, no
+  * per-column join conditions. At 100 TB both snapshots partition by the
+  * same key, so bucketed/pre-partitioned storage makes this co-located and
+  * shuffle-free.
+  */
+object SnapshotDiff {
+
+  /** (key columns..., change_type) for rows that were inserted, deleted, or
+    * updated between `before` and `after`. Unchanged rows are dropped.
+    * Schemas must match; `keys` identifies rows.
+    */
+  def diff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
+    require(before.columns.sameElements(after.columns),
+      s"snapshot schemas differ: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val attrs = before.columns.filterNot(keys.contains)
+    val b = before.select(keys.map(col) :+ struct(attrs.map(col): _*).as("_b"): _*)
+    val a = after.select(keys.map(col) :+ struct(attrs.map(col): _*).as("_a"): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_b").isNull, "insert")
+          .when(col("_a").isNull, "delete")
+          .when(!(col("_b") <=> col("_a")), "update")) // null-safe: a NULL attr on one side is a change, not "unknown"
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+}

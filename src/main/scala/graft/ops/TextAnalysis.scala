@@ -177,6 +177,88 @@ object TextAnalysis {
       greatest(bestScore, lit(0)).as("marker_hits"))
   }
 
+  /** Gopher-style repetition signals: the fraction of repeated word n-grams
+    * per document (1 - distinct/total), for n = 2 and 3. High values mark
+    * boilerplate/spam for training-data filtering. Distinct counts come from
+    * the one-pass [[graft.functions.TextSketches.ngramHashes]] kernel —
+    * map-only, nothing explodes, nothing shuffles.
+    */
+  def repetitionRatios(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val withToks = docs
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .withColumn("toks", Shingles.tokensOfNorm(col("norm")))
+    def dupFrac(n: Int) = {
+      val total = size(col("toks")) - lit(n - 1)
+      val distinctN = size(graft.functions.TextSketches.ngramHashes(col("norm"), n))
+      when(total > 0, lit(1.0) - distinctN.cast("double") / total).otherwise(lit(0.0))
+    }
+    withToks.select(
+      col(idCol).as("doc_id"),
+      size(col("toks")).cast("long").as("n_words"),
+      dupFrac(2).as("dup_2gram_frac"),
+      dupFrac(3).as("dup_3gram_frac"))
+  }
+
+  /** C4-style rule-based quality filter: per-rule booleans plus the combined
+    * keep decision. Unlike [[qualityScore]] (a soft score), this is the
+    * hard-filter form used to cut a raw crawl — every rule is a codegen'd
+    * map-only expression, and the rule columns make filter attrition
+    * auditable (GROUP BY on them gives the cut breakdown).
+    */
+  def qualityFilter(docs: DataFrame, minWords: Int = 10, maxWordLen: Int = 30,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val withToks = docs
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .withColumn("toks", Shingles.tokensOfNorm(col("norm")))
+    val nWords = size(col("toks"))
+    val enoughWords = nWords >= minWords
+    val terminalPunct = col(textCol).rlike("[.!?]\\s*$")
+    val meanLen = length(col("norm")).cast("double") / nWords
+    val saneWordLen = meanLen.between(3.0, 10.0)
+    // cheap per-element lambda (length only) over materialized tokens — the
+    // Shingles perf contract bans expensive lambda bodies, not this
+    val noGiantWord = array_max(transform(col("toks"), t => length(t))) <= maxWordLen
+    val hasStopword = size(array_intersect(col("toks"), lit(markers("en").toArray))) > 0
+    withToks.select(
+      col(idCol).as("doc_id"),
+      enoughWords.as("enough_words"),
+      terminalPunct.as("terminal_punct"),
+      saneWordLen.as("sane_word_len"),
+      noGiantWord.as("no_giant_word"),
+      hasStopword.as("has_stopword"),
+      (enoughWords && terminalPunct && saneWordLen && noGiantWord && hasStopword).as("keep"))
+  }
+
+  /** Corpus bigram language-model counts: P(w2 | w1) over whitespace tokens,
+    * for bigrams seen at least `minCount` times. Two codegen'd aggregates:
+    * bigram counts (one shuffle on (w1,w2)) + a window sum over w1 for the
+    * denominator (runs on the already-aggregated vocab²-bounded frame, not
+    * the corpus). Bigram extraction is `arrays_zip` of two token slices —
+    * no interpreted lambda, no self-join on position.
+    */
+  def bigramConditionals(docs: DataFrame, minCount: Long = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withToks = docs
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .withColumn("toks", Shingles.tokensOfNorm(col("norm")))
+      .filter(size(col("toks")) >= 2)
+    val pairs = withToks
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val counted = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+    // denominator over ALL bigrams starting with w1 (so probabilities sum
+    // to 1 per w1), computed before the minCount cut
+    val w = Window.partitionBy(col("w1"))
+    counted
+      .withColumn("cond_p", col("cnt").cast("double") / sum(col("cnt")).over(w))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** Winnowing-style document fingerprint: hash all byte k-grams, keep the
     * minimum hash in each sliding window of `w` consecutive k-grams, distinct
     * the survivors (sorted for a deterministic output). Robust to small

@@ -92,6 +92,41 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  /** Streaming exactly-once deduplication: watermarked dropDuplicates on
+    * event_id. The input is the events stream unioned with itself (every
+    * event delivered twice — the at-least-once redelivery case), and the
+    * deduped stream aggregates to per-type counts, which must equal the
+    * plain batch counts over the single-delivery table (the oracle).
+    * State holds one key per event_id inside the watermark window and is
+    * evicted beyond it — bounded memory at any stream length.
+    */
+  def dedupedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // dropDuplicatesWithinWatermark (not plain dropDuplicates): eviction by
+    // watermark needs either the event-time column in the key set or this
+    // operator — a bare dropDuplicates("event_id") would hold state forever
+    val agg = src.union(src)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+    val sinkName = "events_dedup_stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    detachResult(spark, sinkName)
+  }
+
   /** Copy the memory sink's (small, aggregated) result out and drop the
     * temp view — otherwise every invocation leaks a UUID-named in-memory
     * table into the session catalog for its lifetime.
