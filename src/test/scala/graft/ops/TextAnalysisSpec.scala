@@ -64,6 +64,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("repetitionRatios: unique text scores 0, looped text scores high") {
+    val two = Seq(
+      (1L, "every word here appears exactly once in this document"),
+      (2L, "spam ham spam ham spam ham spam ham")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionRatios(two).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_words"), x.getAs[Double]("dup_2gram_frac"), x.getAs[Double]("dup_3gram_frac"))).toMap
+    assert(r(1L) === ((9L, 0.0, 0.0)))
+    // 8 words → 7 bigrams, 2 distinct ("spam ham","ham spam") → 5/7 repeated
+    assert(math.abs(r(2L)._2 - 5.0 / 7) < 1e-9)
+    // 6 trigrams, 2 distinct → 4/6 repeated
+    assert(math.abs(r(2L)._3 - 4.0 / 6) < 1e-9)
+  }
+
+  test("qualityFilter: per-rule booleans and combined keep") {
+    val two = Seq(
+      (1L, "The cat and the dog walked to the park with great joy today."),
+      (2L, "short")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFilter(two).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("enough_words"))
+    assert(r(1L).getAs[Boolean]("terminal_punct"))
+    assert(r(1L).getAs[Boolean]("has_stopword"))
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(!r(2L).getAs[Boolean]("enough_words"))
+    assert(!r(2L).getAs[Boolean]("keep"))
+  }
+
+  test("bigramConditionals: P(w2|w1) sums to 1 per w1 before the count cut") {
+    val corpus = Seq(
+      (1L, "the cat"), (2L, "the dog"), (3L, "the cat")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramConditionals(corpus, minCount = 1).collect()
+      .map(x => (x.getAs[String]("w1"), x.getAs[String]("w2")) ->
+        (x.getAs[Long]("cnt"), x.getAs[Double]("cond_p"))).toMap
+    assert(r(("the", "cat")) === ((2L, 2.0 / 3)))
+    assert(r(("the", "dog")) === ((1L, 1.0 / 3)))
+  }
+
   test("fingerprints: identical docs share all fingerprints, edits share most") {
     val trio = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

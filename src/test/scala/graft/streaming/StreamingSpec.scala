@@ -74,6 +74,21 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() === 1000)
   }
 
+  test("streaming dedup of doubled delivery equals single-delivery batch counts") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val got = EventsStream.dedupedCounts(spark, sf()).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("total_value"))).toMap
+    val want = spark.read.parquet(s"${sf()}/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("total_value"))).toMap
+    assert(got === want)
+  }
+
   test("batch sessionize agrees with stateful fold on the same events") {
     import spark.implicits._
     val events = Seq(
