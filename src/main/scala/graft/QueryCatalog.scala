@@ -887,6 +887,21 @@ object QueryCatalog {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin)),
 
+    // Stream-stream interval join (attribution): purchases × same-user
+    // clicks in the preceding hour, watermarked on both sides; oracle is
+    // the equivalent batch self-join
+    CatalogEntry("events_stream_stream_join",
+      (s, d) => streaming.EventsStream.purchaseClickJoin(s, d),
+      Some("""WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events
+        |)
+        |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |  (p.ts_us // 1000000) - (c.ts_us // 1000000) AS lag_secs
+        |FROM e p JOIN e c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts_us BETWEEN p.ts_us - 3600000000 AND p.ts_us""".stripMargin)),
+
     // MERGE/upsert composed from anti-join + union (etl.Upsert): updates =
     // deterministic derived batch (balance bump on %7 keys, new %13 rows)
     CatalogEntry("upsert_dim",

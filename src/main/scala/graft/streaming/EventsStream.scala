@@ -127,6 +127,51 @@ object EventsStream {
     detachResult(spark, sinkName)
   }
 
+  /** Stream-stream interval join: every purchase event joined to the same
+    * user's click events in the preceding hour — the attribution join, as
+    * two unbounded streams. Both sides carry watermarks and the join
+    * condition bounds event time on both, so each side's state store holds
+    * only one hour of events per user and evicts beyond the watermark —
+    * bounded state at any stream length. Append mode: a pair is emitted
+    * exactly once, when the watermark proves no earlier click can arrive.
+    *
+    * At scale the join shuffles both streams on user_id (state-store
+    * partitioning); throughput is bounded by state-store I/O, not the join
+    * itself — RocksDB state backend + more shuffle partitions is the knob.
+    */
+  def purchaseClickJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tpe: String, prefix: String) = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .filter(col("event_type") === tpe)
+      .select(
+        col("event_id").as(s"${prefix}_id"),
+        col("user_id").as(s"${prefix}_user"),
+        expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("purchase", "purchase")
+      .join(side("click", "click"),
+        col("purchase_user") === col("click_user") &&
+          col("click_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
+          col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"),
+        col("purchase_user").as("user_id"),
+        // event-time columns stay out of the result (NTZ/TZ round-trip);
+        // the lag is the deterministic, comparable value
+        ((col("purchase_ts").cast("long") - col("click_ts").cast("long"))).as("lag_secs"))
+    val sinkName = "purchase_click_join_" + UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    detachResult(spark, sinkName)
+  }
+
   /** Copy the memory sink's (small, aggregated) result out and drop the
     * temp view — otherwise every invocation leaks a UUID-named in-memory
     * table into the session catalog for its lifetime.
