@@ -84,6 +84,21 @@ object QueryCatalog {
       |FROM orders
       |WHERE o_orderstatus = 'P'""".stripMargin
 
+  /** Dialect-shared LATERAL correlated subquery (top-3 per nation). */
+  val lateralTopkSql: String =
+    """SELECT n_name, c.c_custkey, c.c_acctbal
+      |FROM nation, LATERAL (SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c""".stripMargin
+
+  /** Dialect-shared event-time RANGE frame with an INTERVAL bound. */
+  val intervalRangeSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+      |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+      |FROM orders""".stripMargin
+
   private val customerMartSql =
     """SELECT c_custkey AS customer_id, c_name AS full_name,
       |  substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS sales_month,
@@ -1350,6 +1365,92 @@ object QueryCatalog {
       Some("""SELECT event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin)),
+
+    // LATERAL correlated subquery (top-3 customers per nation) — the same
+    // dialect-shared text runs on Spark's parser and DuckDB; ties broken by
+    // c_custkey for determinism
+    CatalogEntry("lateral_topk",
+      (s, d) => {
+        T(s, d, "nation").createOrReplaceTempView("nation")
+        T(s, d, "customer").createOrReplaceTempView("customer")
+        s.sql(lateralTopkSql)
+      },
+      Some(lateralTopkSql)),
+
+    // Higher-order array functions (transform/filter/aggregate/array_max)
+    // fused in one map-only projection over the embeddings table. The fold
+    // is sequential per row on both engines, so double sums match bitwise.
+    CatalogEntry("hof_suite",
+      (s, d) => T(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x),
+          lit(0.0), (a, x) => a + x)).as("l2_norm"),
+        size(org.apache.spark.sql.functions.filter(col("embedding"), x => x > 0f)).as("n_pos"),
+        array_max(transform(col("embedding"), x => abs(x))).cast("double").as("max_abs")),
+      Some("""SELECT vec_id, len(embedding) AS n_dims,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*x), (a,b) -> a+b)) AS l2_norm,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
+        |FROM embeddings""".stripMargin)),
+
+    // Exact interpolated percentiles per group: Spark median/percentile vs
+    // DuckDB median/quantile_cont (both linear-interpolation definitions)
+    CatalogEntry("median_pcts",
+      (s, d) => T(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        expr("median(CAST(l_quantity AS DOUBLE))").as("med_qty"),
+        expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)").as("q1_qty"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.75)").as("q3_price")),
+      Some("""SELECT l_returnflag,
+        |  median(CAST(l_quantity AS DOUBLE)) AS med_qty,
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q1_qty,
+        |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3_price
+        |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // Event-time RANGE frame with an INTERVAL bound (trailing 30 calendar
+    // days, not 30 rows) — dialect-shared text on both engines
+    CatalogEntry("window_interval_range",
+      (s, d) => {
+        T(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(intervalRangeSql)
+      },
+      Some(intervalRangeSql)),
+
+    // Forward fill (last non-null carried forward) via IGNORE NULLS window —
+    // the gap-repair idiom for sparse sensor/feature series
+    CatalogEntry("forward_fill",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").cast("date"), col("o_orderkey"))
+        T(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          last(when(col("o_orderkey") % 3 === 0, col("o_totalprice")),
+            ignoreNulls = true).over(w).as("filled"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        |  last_value(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END IGNORE NULLS) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS filled
+        |FROM orders""".stripMargin)),
+
+    // Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicity (the distinct forms are in set_ops)
+    CatalogEntry("set_ops_all",
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+        f.intersectAll(p).withColumn("set_op", lit("both"))
+          .union(f.exceptAll(p).withColumn("set_op", lit("f_only")))
+      },
+      Some("""SELECT o_custkey, 'both' AS set_op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |UNION ALL
+        |SELECT o_custkey, 'f_only' AS set_op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin)),
 
     // feature vector unpacked to scalar columns (array columns break the
     // driver's pandas sort in the rows-only check)
