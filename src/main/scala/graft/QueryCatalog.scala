@@ -84,6 +84,18 @@ object QueryCatalog {
       |FROM orders
       |WHERE o_orderstatus = 'P'""".stripMargin
 
+  /** Dialect-shared recursive CTE: ancestor chain over the binary-heap
+    * parent function floor((k-1)/2), per nation key.
+    */
+  val recursiveAncestorsSql: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT n_nationkey AS node, n_nationkey AS anc, 0 AS depth FROM nation
+      |  UNION ALL
+      |  SELECT node, CAST(floor((anc - 1) / 2) AS INT) AS anc, depth + 1 AS depth
+      |  FROM anc WHERE anc > 0
+      |)
+      |SELECT node, anc, depth FROM anc""".stripMargin
+
   /** Dialect-shared LATERAL correlated subquery (top-3 per nation). */
   val lateralTopkSql: String =
     """SELECT n_name, c.c_custkey, c.c_acctbal
@@ -1365,6 +1377,33 @@ object QueryCatalog {
       Some("""SELECT event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin)),
+
+    // VARIANT (semi-structured type): parse_json → variant_get typed path
+    // extraction, plus a to_json→parse_json round trip from relational
+    // columns. At scale VARIANT scans beat string re-parsing per access —
+    // the binary encoding is parsed once.
+    CatalogEntry("variant_extract",
+      (s, d) => eventsRaw(s, d).select(
+        col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"),
+        variant_get(parse_json(to_json(struct(col("event_type"), col("value")))),
+          "$.event_type", "string").as("etype"),
+        variant_get(parse_json(to_json(struct(col("event_type"), col("value")))),
+          "$.value", "double").as("value_dbl")),
+      Some("""SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  event_type AS etype, CAST(value AS DOUBLE) AS value_dbl
+        |FROM events""".stripMargin)),
+
+    // Recursive CTE: ancestor walk over the implicit binary-heap tree on
+    // n_nationkey (parent = floor((k-1)/2)) — transitive closure in one
+    // dialect-shared recursive query
+    CatalogEntry("recursive_cte",
+      (s, d) => {
+        T(s, d, "nation").createOrReplaceTempView("nation")
+        s.sql(recursiveAncestorsSql)
+      },
+      Some(recursiveAncestorsSql)),
 
     // LATERAL correlated subquery (top-3 customers per nation) — the same
     // dialect-shared text runs on Spark's parser and DuckDB; ties broken by
