@@ -298,6 +298,44 @@ object Dedup {
     * n-gram — frequent n-grams (stopword runs, boilerplate) carry no dedup
     * signal and would otherwise explode the pair count quadratically.
     */
+  /** Two-stage near-duplicate detection, the production shape at scale:
+    * MinHash+LSH prunes the O(n²) pair space to candidate pairs, then an
+    * exact character-shingle Jaccard verifies each candidate — false
+    * positives are removed, so the output is exactly "all pairs with true
+    * Jaccard ≥ threshold" as long as LSH recall holds at the threshold
+    * (catch probability 1-(1-j^r)^b; deterministic given the seeded
+    * hashes). Because the output is sketch-free, it is oracle-checkable
+    * against a brute-force shingle join — the correctness gate thereby
+    * measures LSH recall, not just shape.
+    *
+    * Cost: LSH pass + one shuffle join of candidates against shingle sets;
+    * the quadratic bucket expansion stays capped by maxBucket.
+    */
+  def verifiedNearDupPairs(docs: DataFrame, threshold: Double = 0.3,
+      k: Int = 64, bands: Int = 16, shingleLen: Int = 5, maxBucket: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cands = minhashCandidates(docs, k, bands, shingleLen, maxBucket, 0.0, textCol, idCol)
+      .select(col("doc_a"), col("doc_b"))
+    val sets = docs
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        Shingles.charShingles(col("norm"), shingleLen).as("grams"))
+      .filter(size(col("grams")) > 0)
+      // joined twice (one side per pair end) — persist, don't recompute the
+      // shingle build per side
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("grams_a"), col("grams_b"))).as("shared"),
+        size(col("grams_a")).as("na"), size(col("grams_b")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1,
       maxBucket: Int = 200, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // distinct n-gram HASHES from the one-pass kernel (TextSketches): the

@@ -71,4 +71,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
     assert(!pairs.contains((1L, 4L)))
   }
+
+  test("verified near-dup pairs: exact Jaccard values, false positives cut") {
+    val pairs = Dedup.verifiedNearDupPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact duplicates: identical shingle sets → true J exactly 1.0
+    assert(pairs((1L, 2L)) === 1.0)
+    // unrelated doc never clears exact verification, whatever LSH proposed
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // every reported value is a true Jaccard in (0, 1]
+    assert(pairs.values.forall(j => j > 0.5 - 1e-12 && j <= 1.0))
+  }
 }
