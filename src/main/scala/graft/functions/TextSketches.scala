@@ -5,7 +5,7 @@ import java.util.SplittableRandom
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
@@ -60,6 +60,21 @@ object TextSketches {
     */
   def ngramHashes(norm: Column, n: Int): Column =
     bridge.column(NgramHashes(bridge.expression(norm), n))
+
+  /** SORTED distinct hashes of every byte k-gram — the exact shingle set of
+    * a document in hash space (same hash family/seed as [[minhashSig]]'s
+    * base hashes). Sorted output makes pairwise set intersection a linear
+    * merge ([[SortedIntersectCount]]). Empty for docs shorter than k bytes.
+    */
+  def charShingleHashes(norm: Column, k: Int): Column =
+    bridge.column(CharShingleHashes(bridge.expression(norm), k))
+
+  /** Size of the intersection of two SORTED long arrays (linear merge, no
+    * hash set) — pairs with [[charShingleHashes]] for exact-Jaccard
+    * verification of candidate pairs.
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    bridge.column(SortedIntersectCount(bridge.expression(a), bridge.expression(b)))
 
   // ------------------------------------------------------------- kernels
 
@@ -150,6 +165,37 @@ object TextSketches {
     sortedDistinct(grams, grams.length)
   }
 
+  def computeShingleHashes(s: UTF8String, k: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    val n = len - k + 1
+    if (n <= 0) return empty
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hashes(i) = XXH64.hashUnsafeBytes(base, off + i, k, 42L)
+      i += 1
+    }
+    sortedDistinct(hashes, n)
+  }
+
+  def computeSortedIntersect(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Sort `a[0,n)` in place and return the distinct prefix as ArrayData. */
   private def sortedDistinct(a: Array[Long], n: Int): ArrayData = {
     java.util.Arrays.sort(a, 0, n)
@@ -208,4 +254,35 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
       s"graft.functions.TextSketches$$.MODULE$$.computeNgrams($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** `array<long>` sorted distinct byte k-gram hashes — see [[TextSketches]]. */
+case class CharShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSketches.computeShingleHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextSketches$$.MODULE$$.computeShingleHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Intersection size of two sorted `array<long>` columns — see [[TextSketches]]. */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextSketches.computeSortedIntersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextSketches$$.MODULE$$.computeSortedIntersect($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -308,29 +308,50 @@ object Dedup {
     * against a brute-force shingle join — the correctness gate thereby
     * measures LSH recall, not just shape.
     *
-    * Cost: LSH pass + one shuffle join of candidates against shingle sets;
-    * the quadratic bucket expansion stays capped by maxBucket.
+    * Cost: ONE text scan (both sketches in the same projection), the LSH
+    * shuffle, then a join of surviving candidates against the sorted
+    * shingle-hash sets — intersection is a linear merge per pair
+    * ([[graft.functions.TextSketches.sortedIntersectCount]]). Jaccard on
+    * hash sets equals Jaccard on shingle strings barring an xxhash64
+    * collision between distinct grams (P ≈ n²/2⁶⁵ per doc — negligible).
     */
   def verifiedNearDupPairs(docs: DataFrame, threshold: Double = 0.3,
       k: Int = 64, bands: Int = 16, shingleLen: Int = 5, maxBucket: Int = 100,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val cands = minhashCandidates(docs, k, bands, shingleLen, maxBucket, 0.0, textCol, idCol)
-      .select(col("doc_a"), col("doc_b"))
-    val sets = docs
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    // est-Jaccard floor for candidates: ~2.6σ below threshold for a k-hash
+    // signature (σ≈√(J(1-J)/k)), so a true pair at the threshold passes the
+    // floor with overwhelming probability while junk bucket pairs (est≈0.05)
+    // are cut before the expensive exact stage
+    val candidateFloor = math.max(0.0, threshold - 2.6 * math.sqrt(threshold * (1 - threshold) / k))
+    // ONE text scan builds both sketches: the minhash signature (candidate
+    // generation) and the full sorted shingle-hash set (exact verification)
+    val sketches = docs
       .repartition(col(idCol))
       .withColumn("norm", Shingles.normalize(col(textCol)))
       .select(col(idCol).as("doc_id"),
-        Shingles.charShingles(col("norm"), shingleLen).as("grams"))
+        graft.functions.TextSketches.minhashSig(col("norm"), shingleLen, k).as("sig"),
+        graft.functions.TextSketches.charShingleHashes(col("norm"), shingleLen).as("grams"))
       .filter(size(col("grams")) > 0)
-      // joined twice (one side per pair end) — persist, don't recompute the
-      // shingle build per side
+      // read three times (banding + both pair ends) — persist, don't rescan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = lshBands(sketches.select(col("doc_id"), col("sig")), bands, k / bands)
+    val cands = bucketPairs(banded, Seq("band_idx", "band_hash"), "doc_id", Seq("sig"), maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+        .cast("double") / lit(k.toDouble) >= candidateFloor)
+      .select(col("doc_a"), col("doc_b"))
+    val grams = (side: String) => sketches
+      .select(col("doc_id").as(side), col("grams").as(s"grams_$side"))
     cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), "doc_b")
+      .join(grams("doc_a"), "doc_a")
+      .join(grams("doc_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("grams_a"), col("grams_b"))).as("shared"),
-        size(col("grams_a")).as("na"), size(col("grams_b")).as("nb"))
+        graft.functions.TextSketches.sortedIntersectCount(
+          col("grams_doc_a"), col("grams_doc_b")).as("shared"),
+        size(col("grams_doc_a")).as("na"), size(col("grams_doc_b")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
