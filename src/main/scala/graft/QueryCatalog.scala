@@ -1409,6 +1409,133 @@ object QueryCatalog {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin)),
 
+    // Native session windows: groupBy(session_window(ts, gap)) — the
+    // engine-managed merge of overlapping [ts, ts+gap) intervals, vs the
+    // lag/cumsum islands idiom in `sessionize`. Boundary differs from the
+    // gap idiom: a gap of EXACTLY 30min starts a new session here.
+    CatalogEntry("session_window_agg",
+      (s, d) => eventsTable(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+        .select(col("user_id"),
+          expr("unix_micros(CAST(session_window.start AS TIMESTAMP))").as("session_start_us"),
+          expr("unix_micros(CAST(session_window.end AS TIMESTAMP))").as("session_end_us"),
+          col("n_events"), col("total_value")),
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+        |), m AS (
+        |  SELECT user_id, ts_us, value,
+        |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+        |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |              >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, ts_us, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM m
+        |)
+        |SELECT user_id, MIN(ts_us) AS session_start_us,
+        |  MAX(ts_us) + 1800000000 AS session_end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, seq""".stripMargin)),
+
+    // One-pass column profiling (ops.Profiler): per-column null/distinct
+    // counts from a single wide aggregate + stack() unpivot
+    CatalogEntry("profile_lineitem",
+      (s, d) => ops.Profiler.profile(T(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_shipdate")),
+      Some(Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_shipdate")
+        .map(c => s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+          |  COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin)
+        .mkString("\nUNION ALL\n"))),
+
+    // Declarative DQ checks (etl.DataQuality): one row per check with its
+    // violation count — uniqueness, referential integrity, accepted values,
+    // range. Clean checks prove 0; dirty ones count real testdata rows.
+    CatalogEntry("dq_checks",
+      (s, d) => {
+        import etl.DataQuality._
+        val orders = T(s, d, "orders")
+        val customer = T(s, d, "customer")
+        report(Seq(
+          Check("orders_pk_unique", unique(orders, Seq("o_orderkey"))),
+          Check("orders_fk_customer", orphans(orders, "o_custkey", customer, "c_custkey")),
+          Check("orderstatus_accepted", acceptedValues(orders, "o_orderstatus", Seq("F", "O"))),
+          Check("acctbal_nonnegative", customer.filter(col("c_acctbal") < 0)),
+          Check("cust_day_unique", unique(orders, Seq("o_custkey", "o_orderdate")))))
+      },
+      Some("""SELECT 'orders_pk_unique' AS check_name,
+        |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_violations
+        |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'orders_fk_customer', COUNT(*) FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'orderstatus_accepted', COUNT(*) FROM orders
+        |  WHERE o_orderstatus NOT IN ('F', 'O') OR o_orderstatus IS NULL
+        |UNION ALL
+        |SELECT 'acctbal_nonnegative', COUNT(*) FROM customer WHERE c_acctbal < 0
+        |UNION ALL
+        |SELECT 'cust_day_unique', CAST(COALESCE(SUM(c), 0) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey, o_orderdate
+        |        HAVING COUNT(*) > 1)""".stripMargin)),
+
+    // Re-aggregatable partial state: daily partial aggregates merged to
+    // monthly (sum-of-sums, min-of-mins, avg from merged sum/count) — the
+    // incremental-materialization pattern; oracle aggregates raw directly,
+    // proving the merge is lossless
+    CatalogEntry("partial_agg_merge",
+      (s, d) => {
+        val daily = T(s, d, "orders")
+          .withColumn("day", col("o_orderdate").cast("date"))
+          .groupBy(col("o_custkey"), col("day"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_p"),
+            min(col("o_totalprice")).as("min_p"),
+            max(col("o_totalprice")).as("max_p"))
+        daily
+          .withColumn("month", date_trunc("month", col("day")).cast("date"))
+          .groupBy(col("o_custkey"), col("month"))
+          .agg(sum(col("cnt")).as("n_orders"),
+            sum(col("sum_p")).cast(DoubleType).as("total_price"),
+            min(col("min_p")).as("min_price"),
+            max(col("max_p")).as("max_price"))
+          .withColumn("avg_price", col("total_price") / col("n_orders"))
+      },
+      Some("""SELECT o_custkey,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM orders GROUP BY 1, 2""".stripMargin)),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    // each other instead of dropping out
+    CatalogEntry("null_safe_join",
+      (s, d) => {
+        val n = T(s, d, "nation").select(col("n_nationkey"),
+          when(col("n_regionkey") % 2 === 0, col("n_regionkey")).as("rk"))
+        val r = T(s, d, "region").select(
+          when(col("r_regionkey") % 2 === 0, col("r_regionkey")).as("rk2"), col("r_name"))
+        n.join(r, col("rk") <=> col("rk2"))
+          .groupBy(col("r_name")).agg(count(lit(1)).as("n_matches"))
+      },
+      Some("""WITH n AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_regionkey % 2 = 0 THEN n_regionkey END AS rk FROM nation
+        |), r AS (
+        |  SELECT CASE WHEN r_regionkey % 2 = 0 THEN r_regionkey END AS rk2, r_name
+        |  FROM region
+        |)
+        |SELECT r_name, COUNT(*) AS n_matches
+        |FROM n JOIN r ON n.rk IS NOT DISTINCT FROM r.rk2
+        |GROUP BY 1""".stripMargin)),
+
     // VARIANT (semi-structured type): parse_json → variant_get typed path
     // extraction, plus a to_json→parse_json round trip from relational
     // columns. At scale VARIANT scans beat string re-parsing per access —

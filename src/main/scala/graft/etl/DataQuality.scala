@@ -1,0 +1,45 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks (dbt-test style): each check names a
+  * DataFrame of VIOLATING rows; the report is one row per check with its
+  * violation count. Zero is a pass — the report is the artifact a pipeline
+  * gates on (fail the run if any n_violations > 0).
+  *
+  * Shape: each check is an independent aggregate (its own pushed-down scan
+  * — a duplicate-key check reads one column, an orphan check is a
+  * broadcast anti-join); the final union is |checks| single-row frames.
+  * Checks run as separate jobs, so at 100 TB they parallelize across the
+  * cluster scheduler rather than serializing into one monolithic plan.
+  */
+object DataQuality {
+
+  final case class Check(name: String, violations: DataFrame)
+
+  /** Uniqueness: rows whose key appears more than once. */
+  def unique(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__cnt", count(lit(1)).over(w)).filter(col("__cnt") > 1).drop("__cnt")
+  }
+
+  /** Referential integrity: child rows whose key has no parent (anti-join —
+    * broadcast when the parent is a dimension).
+    */
+  def orphans(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey)),
+      child(childKey) === parent(parentKey), "left_anti")
+
+  /** Accepted values: rows whose column falls outside the allowed set. */
+  def acceptedValues(df: DataFrame, c: String, allowed: Seq[String]): DataFrame =
+    df.filter(!col(c).isin(allowed: _*) || col(c).isNull)
+
+  /** (check_name, n_violations), one row per check. */
+  def report(checks: Seq[Check]): DataFrame =
+    checks.map { c =>
+      c.violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(c.name).as("check_name"), col("n_violations"))
+    }.reduce(_ unionByName _)
+}
