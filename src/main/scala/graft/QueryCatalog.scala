@@ -1409,6 +1409,66 @@ object QueryCatalog {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin)),
 
+    // Trailing EWMA (α=0.5) over the last 10 orders per customer: the
+    // recursive smoother as a deterministic sequential fold over a bounded
+    // ROWS frame (collect_list → aggregate). Both engines fold the same
+    // list left-to-right in doubles, so values match bitwise. Unbounded
+    // EWMA needs a stateful pass (see streaming.SessionStream) — the
+    // windowed form is the shuffle-free batch approximation.
+    CatalogEntry("ewma_trailing",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").cast("date"), col("o_orderkey"))
+          .rowsBetween(-9, Window.currentRow)
+        T(s, d, "orders")
+          .withColumn("xs", collect_list(col("o_totalprice")).over(w))
+          .select(col("o_orderkey"), col("o_custkey"),
+            when(size(col("xs")) === 1, element_at(col("xs"), 1))
+              .otherwise(aggregate(
+                slice(col("xs"), lit(2), size(col("xs")) - 1),
+                element_at(col("xs"), 1),
+                (acc, v) => acc * 0.5 + v * 0.5)).as("ewma"))
+      },
+      Some("""WITH t AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    list(o_totalprice) OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN len(xs) = 1 THEN xs[1]
+        |       ELSE list_reduce(xs, (acc, v) -> acc * 0.5 + v * 0.5) END AS ewma
+        |FROM t""".stripMargin)),
+
+    // Percent-of-total (ratio_to_report): each nation's revenue share of
+    // its region — exact decimal sums, ratio taken in doubles at the end
+    CatalogEntry("revenue_share",
+      (s, d) => {
+        val joined = T(s, d, "customer")
+          .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(T(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey"), col("n_name"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+        val w = Window.partitionBy(col("n_regionkey"))
+        joined.select(col("n_regionkey"), col("n_name"),
+          col("rev").cast(DoubleType).as("revenue"),
+          (col("rev").cast(DoubleType) / sum(col("rev")).over(w).cast(DoubleType))
+            .as("region_share"))
+      },
+      Some("""WITH t AS (
+        |  SELECT n_regionkey, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT n_regionkey, n_name, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+        |    AS region_share
+        |FROM t""".stripMargin)),
+
     // Native session windows: groupBy(session_window(ts, gap)) — the
     // engine-managed merge of overlapping [ts, ts+gap) intervals, vs the
     // lag/cumsum islands idiom in `sessionize`. Boundary differs from the
