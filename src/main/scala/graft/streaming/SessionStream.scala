@@ -62,6 +62,41 @@ object SessionStream {
 
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
+  /** [[runningTotals]] on the Spark 4 arbitrary-state API
+    * (`transformWithState` + a [[StatefulProcessor]] with typed
+    * `ValueState`): the successor to mapGroupsWithState — explicit named
+    * state variables, per-state TTL, timers, and schema evolution of state.
+    * Requires the RocksDB state store provider. Semantics here are
+    * identical to [[runningTotals]] so the spec cross-checks the two APIs.
+    */
+  def runningTotalsTws(events: Dataset[Event]): Dataset[UserTotals] =
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(
+        new RunningTotalsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())(Encoders.product[UserTotals])
+
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotals] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var totals: ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals](
+        "totals", Encoders.product[UserTotals], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(userId, 0L, 0.0)
+      val next = rows.foldLeft(prev)((acc, e) =>
+        UserTotals(userId, acc.n_events + 1, acc.total_value + e.value))
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
   /** Running per-user totals via mapGroupsWithState (the one-output-per-key
     * stateful API, Update output mode): each micro-batch emits the user's
     * cumulative count/total so far. State is one counter pair per user.

@@ -60,6 +60,35 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("transformWithState running totals match the mapGroupsWithState API") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[SessionStream.Event]
+      val q = SessionStream.runningTotalsTws(mem.toDS())
+        .writeStream.outputMode("update").format("memory").queryName("tws_out").start()
+      mem.addData(SessionStream.Event(1L, 1L, 100L, 2.0), SessionStream.Event(1L, 2L, 200L, 3.0))
+      q.processAllAvailable()
+      mem.addData(SessionStream.Event(1L, 3L, 300L, 5.0), SessionStream.Event(2L, 4L, 400L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws_out").as[SessionStream.UserTotals].collect()
+      val u1 = rows.filter(_.user_id == 1L).maxBy(_.n_events)
+      assert(u1.n_events === 3L && u1.total_value === 10.0)
+      val u2 = rows.filter(_.user_id == 2L).maxBy(_.n_events)
+      assert(u2.n_events === 1L && u2.total_value === 7.0)
+      q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.sql("DROP VIEW IF EXISTS tws_out")
+    }
+  }
+
   test("foreachBatch streams events into a JDBC table (embedded Derby)") {
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
