@@ -102,6 +102,14 @@ object EventsStream {
     */
   def dedupedCounts(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // see purchaseClickJoin: fewer state stores for the bounded local run
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try dedupedCountsImpl(spark, sfDir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def dedupedCountsImpl(spark: SparkSession, sfDir: String): DataFrame = {
     def src = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -141,6 +149,16 @@ object EventsStream {
     */
   def purchaseClickJoin(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // state-store count = shuffle partitions at query start; each store pays
+    // open/commit per micro-batch on BOTH join sides. 8 keeps local[32]
+    // busy for this data scale; a real cluster sizes this to |executors|
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try purchaseClickJoinImpl(spark, sfDir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def purchaseClickJoinImpl(spark: SparkSession, sfDir: String): DataFrame = {
     def side(tpe: String, prefix: String) = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
