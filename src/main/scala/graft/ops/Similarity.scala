@@ -120,14 +120,28 @@ object Similarity {
       planes: Seq[Seq[Seq[Float]]], maxBucket: Int = 1000,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val slim = embs.select(col(idCol), col(vecCol))
+    // id-only bucket table (a vector carried through every bucket copy would
+    // multiply the shuffle by tables × bucket-size); persisted because the
+    // hyperplane dot products feed three consumers (sizes + both join sides)
     val bucketed = withLshBuckets(slim, vecCol, planes)
       .select(col(idCol).as("doc_id"), col("table_idx"), col("bucket"))
-    // expand id-only pairs (a vector carried through every bucket copy would
-    // multiply the shuffle by tables × bucket-size), dedup across tables,
-    // then join the two vectors back for the exact-cosine verify — the
-    // vector table is read twice but shuffles only |pairs| rows
-    graft.ops.Dedup.bucketPairs(bucketed, Seq("table_idx", "bucket"), "doc_id", Seq.empty, maxBucket)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LSH buckets are FEW and LARGE (n/2^bits docs each) — expand pairs with
+    // a shuffle self-join on the bucket key, not Dedup.bucketPairs: the
+    // collect_list+lambda expansion evaluates O(bucket²) interpreted
+    // expressions per bucket and materializes the whole pair array in one
+    // row (OOM risk at scale); a join streams pairs out of the shuffle.
+    // Gram/band buckets (tiny, ≤ maxBucket ~100) keep the in-bucket shape.
+    val sizes = bucketed.groupBy(col("table_idx"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+      .select(col("table_idx"), col("bucket"))
+    val capped = bucketed.join(sizes, Seq("table_idx", "bucket"), "left_semi")
+    capped.select(col("table_idx"), col("bucket"), col("doc_id").as("id_a"))
+      .join(capped.select(col("table_idx"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("table_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .join(slim.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), "id_a")
       .join(slim.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), "id_b")
