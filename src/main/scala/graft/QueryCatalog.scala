@@ -1710,20 +1710,56 @@ object QueryCatalog {
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin)),
 
     // feature vector unpacked to scalar columns (array columns break the
-    // driver's pandas sort in the rows-only check)
+    // driver's pandas sort in the rows-only check). The deterministic fake
+    // decode (byte-moment stats + 64-bit rolling checksum) is replayed by
+    // the oracle over ascii code points (the corpus is pure ASCII, so
+    // bytes == code points); the checksum's wrapping multiply is HUGEINT
+    // arithmetic mod 2^64 mapped back to signed.
     CatalogEntry("multimodal_features",
       (s, d) => ops.Multimodal.extractFeatures(ops.Multimodal.asMediaTable(docs(s, d))).toDF()
         .select(col("doc_id"), col("n_bytes"), col("checksum"),
           element_at(col("feature"), 1).as("f_mean"),
           element_at(col("feature"), 2).as("f_var"),
           element_at(col("feature"), 3).as("f_len")),
-      None),
+      Some("""WITH b AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS bytes
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, len,
+        |    CAST(list_sum(bytes) AS DOUBLE) AS s,
+        |    CAST(list_sum(list_transform(bytes, x -> x * x)) AS DOUBLE) AS sq,
+        |    CAST(GREATEST(len, 1) AS DOUBLE) AS n,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |                   list_transform(bytes, x -> CAST(x AS HUGEINT))),
+        |      (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS csum
+        |  FROM b
+        |)
+        |SELECT doc_id, CAST(len AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN csum >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN csum - CAST('18446744073709551616' AS HUGEINT)
+        |            ELSE csum END AS BIGINT) AS checksum,
+        |  CAST(s / n AS FLOAT) AS f_mean,
+        |  CAST(sq / n - (s / n) * (s / n) AS FLOAT) AS f_var,
+        |  CAST(len AS FLOAT) AS f_len
+        |FROM m""".stripMargin)),
 
+    // frame metadata (doc_id, frame_idx, n_bytes) is pure chunk arithmetic
+    // over the payload length — every-2nd 64-byte chunk — so the oracle
+    // replays it with range() math; the frame payload itself stays Spark-side
     CatalogEntry("multimodal_frames",
       (s, d) => ops.Multimodal.sampleFrames(ops.Multimodal.asMediaTable(docs(s, d)))
-        .toDF().drop("frame")
-        .withColumn("frame_hash", xxhash64(col("n_bytes"), col("frame_idx"), col("doc_id"))),
-      None),
+        .toDF().drop("frame"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, length(text) AS len FROM documents
+        |), f AS (
+        |  SELECT doc_id, unnest(range(0, CAST(ceil(len / 64.0) AS INT))) AS frame_idx, len
+        |  FROM t WHERE len > 0
+        |)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  LEAST(64, len - frame_idx * 64) AS n_bytes
+        |FROM f WHERE frame_idx % 2 = 0""".stripMargin)),
   )
 
   def all: Seq[CatalogEntry] = parity ++ extensions
