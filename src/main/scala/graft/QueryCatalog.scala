@@ -84,6 +84,38 @@ object QueryCatalog {
       |FROM orders
       |WHERE o_orderstatus = 'P'""".stripMargin
 
+  /** Dialect-shared TPC-H Q3 shape (shipping-priority revenue; the schema
+    * has no o_shippriority, so o_orderpriority stands in). Ties at the
+    * LIMIT boundary broken by l_orderkey.
+    */
+  val tpchQ3Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Dialect-shared TPC-H Q5 shape (local-supplier volume). */
+  val tpchQ5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+      |GROUP BY 1""".stripMargin
+
   /** Dialect-shared recursive CTE: ancestor chain over the binary-heap
     * parent function floor((k-1)/2), per nation key.
     */
@@ -1408,6 +1440,24 @@ object QueryCatalog {
       Some("""SELECT event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q3/Q5 shapes as dialect-shared SQL — the canonical selective
+    // multi-join aggregates; filters push to every scan, dims broadcast
+    CatalogEntry("tpch_q3",
+      (s, d) => {
+        Seq("customer", "orders", "lineitem").foreach(t =>
+          T(s, d, t).createOrReplaceTempView(t))
+        s.sql(tpchQ3Sql)
+      },
+      Some(tpchQ3Sql)),
+
+    CatalogEntry("tpch_q5",
+      (s, d) => {
+        Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+          .foreach(t => T(s, d, t).createOrReplaceTempView(t))
+        s.sql(tpchQ5Sql)
+      },
+      Some(tpchQ5Sql)),
 
     // Trailing EWMA (α=0.5) over the last 10 orders per customer: the
     // recursive smoother as a deterministic sequential fold over a bounded
