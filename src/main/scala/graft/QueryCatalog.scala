@@ -1299,6 +1299,32 @@ object QueryCatalog {
         |   OR b.c_name <> a.c_name OR b.c_nationkey <> a.c_nationkey
         |   OR b.c_acctbal <> a.c_acctbal OR b.c_mktsegment <> a.c_mktsegment""".stripMargin)),
 
+    // CDC roundtrip law, oracle-checked end-to-end: diffRows derives the
+    // full change feed and applyChanges replays it — the rebuilt snapshot
+    // must equal the after-image the oracle constructs directly
+    CatalogEntry("cdc_apply",
+      (s, d) => {
+        val cur = T(s, d, "customer")
+        val before = cur.filter(col("c_custkey") % 11 =!= 0)
+        val after = cur
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0).otherwise(col("c_acctbal")))
+          .unionByName(cur.filter(col("c_custkey") % 13 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name"),
+              col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment")))
+        etl.SnapshotDiff.applyChanges(before,
+          etl.SnapshotDiff.diffRows(before, after, Seq("c_custkey")), Seq("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1e2 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
+        |  c_nationkey, 0e0, c_mktsegment
+        |FROM customer WHERE c_custkey % 13 = 0""".stripMargin)),
+
     // Calendar spine / gap fill: dense per-customer 1995 monthly series with
     // zero-filled gap months (etl.DateSpine)
     CatalogEntry("date_spine",

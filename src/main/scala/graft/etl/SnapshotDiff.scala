@@ -22,6 +22,38 @@ object SnapshotDiff {
     * updated between `before` and `after`. Unchanged rows are dropped.
     * Schemas must match; `keys` identifies rows.
     */
+  /** [[diff]] with the full after-image: (keys..., attrs..., change_type)
+    * where attrs hold the AFTER values for insert/update and null for
+    * delete — the row-complete change feed a downstream consumer can apply
+    * with [[applyChanges]]. Same single-join shape as [[diff]].
+    */
+  def diffRows(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
+    require(before.columns.sameElements(after.columns),
+      s"snapshot schemas differ: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val attrs = before.columns.filterNot(keys.contains).toSeq
+    val b = before.select(keys.map(col) :+ struct(attrs.map(col): _*).as("_b"): _*)
+    val a = after.select(keys.map(col) :+ struct(attrs.map(col): _*).as("_a"): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_b").isNull, "insert")
+          .when(col("_a").isNull, "delete")
+          .when(!(col("_b") <=> col("_a")), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) ++ attrs.map(c => col(s"_a.$c").as(c)) :+ col("change_type"): _*)
+  }
+
+  /** Replay a [[diffRows]] change feed onto a snapshot: changed keys are
+    * dropped from the base (one broadcast/shuffle anti-join on the feed's
+    * keys — the feed is normally much smaller than the snapshot), then
+    * insert/update after-images are unioned in.
+    * Law: `applyChanges(before, diffRows(before, after)) == after`.
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame = {
+    val untouched = snapshot.join(changes.select(keys.map(col): _*), keys, "left_anti")
+    untouched.unionByName(
+      changes.filter(col("change_type") =!= "delete").drop("change_type"))
+  }
+
   def diff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
     require(before.columns.sameElements(after.columns),
       s"snapshot schemas differ: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")

@@ -35,6 +35,18 @@ class SnapshotDateSpineSpec extends SparkSpec {
     }
   }
 
+  test("CDC roundtrip: applyChanges(before, diffRows(before, after)) == after") {
+    val before = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "x")
+    val after  = Seq((1L, "a", 10), (2L, "bb", 21), (4L, "d", 40)).toDF("k", "v", "x")
+    val feed = SnapshotDiff.diffRows(before, after, Seq("k"))
+    val types = feed.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(types === Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
+    val rebuilt = SnapshotDiff.applyChanges(before, feed, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val want = after.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rebuilt === want)
+  }
+
   test("date spine zero-fills gap months and ignores out-of-range facts") {
     val facts = Seq(
       (1L, "1995-01-15", 10.0),  // Jan
