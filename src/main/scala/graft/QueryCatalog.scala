@@ -1411,6 +1411,30 @@ object QueryCatalog {
         |  cnt / SUM(cnt) OVER (PARTITION BY w1) AS cond_p
         |FROM c QUALIFY cnt >= 5""".stripMargin)),
 
+    // LM perplexity filter: per-doc avg -log2 P(w2|w1) under the corpus
+    // bigram model (TextAnalysis.perplexityScores); 4-dp rounding absorbs
+    // libm/summation-order noise across engines
+    CatalogEntry("perplexity_score",
+      (s, d) => ops.TextAnalysis.perplexityScores(docs(s, d)),
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM t WHERE len(toks) >= 2
+        |), bgf AS (
+        |  SELECT doc_id, w1, w2 FROM bg WHERE length(w1) > 0 AND length(w2) > 0
+        |), c AS (
+        |  SELECT w1, w2, COUNT(*) AS cnt FROM bgf GROUP BY 1, 2
+        |), lm AS (
+        |  SELECT w1, w2, cnt / SUM(cnt) OVER (PARTITION BY w1) AS cond_p FROM c
+        |)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  round(AVG(-log2(cond_p)), 4) AS bits_per_bigram
+        |FROM bgf JOIN lm USING (w1, w2)
+        |GROUP BY 1""".stripMargin)),
+
     // Deterministic hash-based train/val/test assignment with per-split
     // accounting — reproducible across engines and partitionings
     CatalogEntry("dataset_split",

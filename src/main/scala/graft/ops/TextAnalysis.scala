@@ -259,6 +259,35 @@ object TextAnalysis {
       .filter(col("cnt") >= minCount)
   }
 
+  /** Perplexity-style quality score: per-document average negative log2 of
+    * the corpus bigram conditional P(w2|w1) — the classic LM-based filter
+    * (high bits/bigram ≈ unusual word sequences ≈ noise). Two corpus
+    * passes: the LM aggregate ([[bigramConditionals]]) and the per-doc
+    * bigram explode, joined on (w1, w2) — one shuffle each. The score is
+    * rounded to 4 dp so cross-engine libm/summation-order noise (~1e-13
+    * relative) cannot flip a value; 4 dp is far finer than any filtering
+    * threshold cares about.
+    */
+  def perplexityScores(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val withToks = docs
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .withColumn("toks", Shingles.tokensOfNorm(col("norm")))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = withToks
+      .select(col(idCol).as("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val lm = bigramConditionals(docs, minCount = 1, textCol, idCol)
+      .select(col("w1"), col("w2"), col("cond_p"))
+    bigrams.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log2(col("cond_p"))), 4).as("bits_per_bigram"))
+  }
+
   /** Winnowing-style document fingerprint: hash all byte k-grams, keep the
     * minimum hash in each sliding window of `w` consecutive k-grams, distinct
     * the survivors (sorted for a deterministic output). Robust to small

@@ -105,6 +105,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(("the", "dog")) === ((1L, 1.0 / 3)))
   }
 
+  test("perplexityScores: split continuations cost exactly 1 bit per bigram") {
+    val corpus = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    val r = TextAnalysis.perplexityScores(corpus).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bigrams"), x.getAs[Double]("bits_per_bigram"))).toMap
+    // P(y|x) = P(z|x) = 0.5 → -log2 = 1.0 exactly
+    assert(r(1L) === ((1L, 1.0)))
+    assert(r(2L) === ((1L, 1.0)))
+  }
+
   test("fingerprints: identical docs share all fingerprints, edits share most") {
     val trio = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
