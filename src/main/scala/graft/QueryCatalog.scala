@@ -84,6 +84,12 @@ object QueryCatalog {
       |FROM orders
       |WHERE o_orderstatus = 'P'""".stripMargin
 
+  /** Dialect-shared GROUP BY ALL. */
+  val groupByAllSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ALL""".stripMargin
+
   /** Dialect-shared TPC-H Q3 shape (shipping-priority revenue; the schema
     * has no o_shippriority, so o_orderpriority stands in). Ties at the
     * LIMIT boundary broken by l_orderkey.
@@ -1490,6 +1496,46 @@ object QueryCatalog {
       Some("""SELECT event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin)),
+
+    // Bitwise aggregates over grouped keys
+    CatalogEntry("bit_aggs",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("bit_and(l_orderkey)").as("ba"),
+          expr("bit_or(l_orderkey)").as("bo"),
+          expr("bit_xor(l_orderkey)").as("bx")),
+      Some("""SELECT l_returnflag, bit_and(l_orderkey) AS ba,
+        |  bit_or(l_orderkey) AS bo, bit_xor(l_orderkey) AS bx
+        |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // GROUP BY ALL (dialect-shared): every non-aggregate select item groups
+    CatalogEntry("group_by_all",
+      (s, d) => {
+        T(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(groupByAllSql)
+      },
+      Some(groupByAllSql)),
+
+    // Array set algebra: union/intersect/except sizes + sorted access over
+    // embedding slices (distinct float elements, size outputs only)
+    CatalogEntry("array_set_ops",
+      (s, d) => {
+        val a = slice(col("embedding"), 1, 5)
+        val b = slice(col("embedding"), 3, 6)
+        T(s, d, "embeddings").select(
+          col("vec_id"),
+          size(array_distinct(concat(a, b))).as("n_union"),
+          size(array_intersect(a, b)).as("n_intersect"),
+          size(array_except(a, b)).as("n_except"),
+          element_at(sort_array(a), 1).cast("double").as("min_a"))
+      },
+      Some("""SELECT vec_id,
+        |  len(list_distinct(list_concat(embedding[1:5], embedding[3:8]))) AS n_union,
+        |  len(list_intersect(embedding[1:5], embedding[3:8])) AS n_intersect,
+        |  len(list_filter(list_distinct(embedding[1:5]),
+        |      x -> NOT list_contains(embedding[3:8], x))) AS n_except,
+        |  CAST(list_min(embedding[1:5]) AS DOUBLE) AS min_a
+        |FROM embeddings""".stripMargin)),
 
     // TPC-H Q3/Q5 shapes as dialect-shared SQL — the canonical selective
     // multi-join aggregates; filters push to every scan, dims broadcast
