@@ -60,6 +60,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val snapRowGen = for {
+    key <- Gen.choose(1L, 30L)
+    v <- Gen.option(Gen.alphaStr.map(_.take(4)))
+    x <- Gen.choose(0, 99)
+  } yield (key, v, x)
+
+  private def snapSamples(n: Int): Seq[Seq[(Long, Option[String], Int)]] =
+    (1 to n).map(i => Gen.listOfN(25, snapRowGen)
+      .apply(Gen.Parameters.default, Seed(1000L + i)).get
+      .groupBy(_._1).map(_._2.head).toSeq) // one row per key (snapshot invariant)
+
+  test("∀ snapshots: applyChanges(before, diffRows(before, after)) == after") {
+    snapSamples(6).sliding(2).foreach { case Seq(a, b) =>
+      val before = a.toDF("k", "v", "x")
+      val after = b.toDF("k", "v", "x")
+      val rebuilt = etl.SnapshotDiff.applyChanges(before,
+        etl.SnapshotDiff.diffRows(before, after, Seq("k")), Seq("k"))
+      assert(rebuilt.exceptAll(after).isEmpty && after.exceptAll(rebuilt).isEmpty)
+    }
+  }
+
+  test("∀ snapshots: upsert keeps key-union, update values win, idempotent") {
+    snapSamples(6).sliding(2).foreach { case Seq(a, b) =>
+      val cur = a.toDF("k", "v", "x")
+      val upd = b.toDF("k", "v", "x")
+      val once = etl.Upsert.upsert(cur, upd, Seq("k"))
+      val wantKeys = (a.map(_._1) ++ b.map(_._1)).toSet
+      assert(once.select("k").distinct().collect().map(_.getLong(0)).toSet === wantKeys)
+      assert(once.count() === wantKeys.size.toLong)
+      // every update row appears verbatim
+      assert(upd.exceptAll(once).isEmpty)
+      // idempotent
+      val twice = etl.Upsert.upsert(once, upd, Seq("k"))
+      assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+    }
+  }
+
+  test("∀ events: sessionize conserves events and bounds sessions") {
+    val evGen = for {
+      user <- Gen.choose(1L, 6L)
+      ts <- Gen.choose(0L, 10000L)
+      v <- Gen.choose(0, 100)
+    } yield (user, ts, v.toDouble)
+    (1 to 4).foreach { i =>
+      val rows = Gen.listOfN(80, evGen).apply(Gen.Parameters.default, Seed(7L * i)).get
+        .zipWithIndex.map { case ((u, t, v), id) => (u, id.toLong, t, v) }
+      val df = rows.toDF("user_id", "event_id", "ts_us", "value")
+      val sess = ops.Sessions.sessionize(df, gapMicros = 500L)
+      val n = sess.agg(sum($"n_events")).head().getLong(0)
+      assert(n === rows.size.toLong)
+      val users = rows.map(_._1).distinct.size.toLong
+      val nSess = sess.count()
+      assert(nSess >= users && nSess <= rows.size.toLong)
+    }
+  }
+
   test("∀ data: rank-1 incentive = 1% of the group max, others zero") {
     samples(5).foreach { rows =>
       val totals = rows.toDF("store_id", "sales_month", "x")
