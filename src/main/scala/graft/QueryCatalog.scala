@@ -1441,6 +1441,37 @@ object QueryCatalog {
         |FROM bgf JOIN lm USING (w1, w2)
         |GROUP BY 1""".stripMargin)),
 
+    // Reproducible corpus shuffle + sharding: global permutation ordered by
+    // a seeded hash (no rand() — same order on any engine/cluster/run),
+    // then round-robin shard assignment with per-shard accounting. The md5
+    // sort key makes the permutation oracle-replayable. NOTE the global
+    // row_number window collapses to ONE partition — fine for this gate; at
+    // 100 TB compute positions with a range-partitioned sort + per-partition
+    // offsets (sortWithinPartitions + cumulative partition counts), or skip
+    // positions entirely and shard by hash bucket (dataset_split).
+    CatalogEntry("shuffle_shards",
+      (s, d) => {
+        val w = Window.orderBy(col("shuffle_key"))
+        docs(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            md5(concat(lit("seed42:"), col("doc_id").cast("string"))).as("shuffle_key"))
+          .withColumn("pos", row_number().over(w))
+          .withColumn("shard", (col("pos") - 1) % 8)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("total_chars"),
+            min(col("pos")).as("first_pos"))
+      },
+      Some("""WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR))) AS pos
+        |  FROM documents
+        |)
+        |SELECT (pos - 1) % 8 AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+        |  MIN(pos) AS first_pos
+        |FROM s GROUP BY 1""".stripMargin)),
+
     // Deterministic hash-based train/val/test assignment with per-split
     // accounting — reproducible across engines and partitionings
     CatalogEntry("dataset_split",
