@@ -33,4 +33,12 @@ object Sinks {
   /** CSV sink (used by tests/fixtures). */
   def csv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.option("header", "true").mode(mode).csv(path)
+
+  /** JSON-lines sink (interchange with non-columnar consumers). */
+  def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** ORC sink — columnar twin of [[parquet]] for ORC-standard lakes. */
+  def orc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
 }

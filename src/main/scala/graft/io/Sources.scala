@@ -34,6 +34,21 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-lines scan. Pass an explicit schema at scale (inference reads the
+    * data twice); without one, Spark samples/infers like CSV.
+    */
+  def json(spark: SparkSession, paths: Seq[String],
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.map(r.schema).getOrElse(r).json(paths: _*)
+  }
+
+  /** ORC scan — columnar alternative when the lake standard is ORC;
+    * same pushdown/pruning behavior as parquet under Catalyst.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S3: JDBC table scan (reference: src/main/read/database_read.py:6-10,
     * which reads single-partition). For big tables pass a partition column so
     * the read parallelizes across executors — the reference's single-pull

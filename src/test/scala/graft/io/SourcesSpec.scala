@@ -43,6 +43,22 @@ class SourcesSpec extends SparkSpec {
     assert(merged.count() === 2)
   }
 
+  test("json and orc sinks round-trip through their sources") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    val jdir = Files.createTempDirectory("graft-json").toString + "/out"
+    Sinks.json(df, jdir)
+    val jback = Sources.json(spark, Seq(jdir), Some(df.schema))
+    assert(jback.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    val odir = Files.createTempDirectory("graft-orc").toString + "/out"
+    Sinks.orc(df, odir)
+    val oback = Sources.orc(spark, odir)
+    assert(oback.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    // ORC scans push filters like parquet (columnar pruning intact)
+    val plan = oback.filter(col("id") === 2L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("orc"))
+  }
+
   test("empty relation has the requested schema and zero rows") {
     val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
     val df = Sources.empty(spark, schema)
