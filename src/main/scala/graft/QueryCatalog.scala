@@ -1441,6 +1441,65 @@ object QueryCatalog {
         |FROM bgf JOIN lm USING (w1, w2)
         |GROUP BY 1""".stripMargin)),
 
+    // End-to-end corpus curation (ops.CorpusPipeline): quality gate → exact
+    // dedup → decontamination vs the %10 benchmark slice → split buckets,
+    // ALL replayed by the oracle — the integration check over four stages
+    CatalogEntry("corpus_curation",
+      (s, d) => {
+        val all = docs(s, d)
+        ops.CorpusPipeline.curate(
+          all.filter(col("doc_id") % 10 =!= 0),
+          all.filter(col("doc_id") % 10 === 0), n = 8,
+          // the synthetic corpus is unpunctuated word soup — the C4
+          // terminal-punct rule would empty it (see quality_filter audit)
+          requireTerminalPunct = false)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("total_chars"))
+      },
+      Some("""WITH train AS (
+        |  SELECT * FROM documents WHERE doc_id % 10 <> 0
+        |), t AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM train
+        |), q AS (
+        |  SELECT doc_id FROM t
+        |  WHERE len(toks) >= 10
+        |    AND CAST(length(norm) AS DOUBLE) / len(toks) BETWEEN 3e0 AND 1e1
+        |    AND list_max(list_transform(toks, x -> length(x))) <= 30
+        |    AND len(list_intersect(toks, ['the','and','of','to','is','in','that','with'])) > 0
+        |), d AS (
+        |  SELECT doc_id, n_chars FROM (
+        |    SELECT doc_id, n_chars,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM train JOIN q USING (doc_id)) x
+        |  WHERE rn = 1
+        |), g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
+        |        FOR i IN range(1, len(toks) - 6)]) AS gram
+        |    FROM t JOIN d USING (doc_id))
+        |), bench AS (
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT unnest([array_to_string(toks[i:i+7], ' ')
+        |        FOR i IN range(1, len(toks) - 6)]) AS gram
+        |    FROM (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |          FROM documents WHERE doc_id % 10 = 0))
+        |), contam AS (
+        |  SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)
+        |), clean AS (
+        |  SELECT d.doc_id, d.n_chars FROM d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)
+        |)
+        |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0a' THEN 'test'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14' THEN 'val'
+        |            ELSE 'train' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+        |FROM clean GROUP BY 1""".stripMargin)),
+
     // Reproducible corpus shuffle + sharding: global permutation ordered by
     // a seeded hash (no rand() — same order on any engine/cluster/run),
     // then round-robin shard assignment with per-shard accounting. The md5
