@@ -1587,6 +1587,21 @@ object QueryCatalog {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin)),
 
+    // Error-tolerant casts: TRY_CAST yields null instead of failing the job
+    // — the ingest posture for dirty columns (a single bad value must not
+    // kill a 100 TB run)
+    CatalogEntry("try_cast_funcs",
+      (s, d) => T(s, d, "orders").select(
+        col("o_orderkey"),
+        expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+        expr("try_cast(o_orderstatus AS INT)").as("status_num"),
+        (col("o_totalprice") / expr("try_cast(o_orderstatus AS INT)")).as("div_by_null")),
+      Some("""SELECT o_orderkey,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+        |  TRY_CAST(o_orderstatus AS INT) AS status_num,
+        |  o_totalprice / TRY_CAST(o_orderstatus AS INT) AS div_by_null
+        |FROM orders""".stripMargin)),
+
     // Bitwise aggregates over grouped keys
     CatalogEntry("bit_aggs",
       (s, d) => T(s, d, "lineitem")
