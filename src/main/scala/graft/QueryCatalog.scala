@@ -84,6 +84,13 @@ object QueryCatalog {
       |FROM orders
       |WHERE o_orderstatus = 'P'""".stripMargin
 
+  /** Dialect-shared LIMIT/OFFSET page over a unique ordering. */
+  val limitOffsetSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20 OFFSET 40""".stripMargin
+
   /** Dialect-shared GROUP BY ALL. */
   val groupByAllSql: String =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
@@ -1586,6 +1593,16 @@ object QueryCatalog {
       Some("""SELECT event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin)),
+
+    // Deterministic keyset-free pagination: ORDER BY unique key + LIMIT/
+    // OFFSET (dialect-shared). At scale prefer keyset pagination (WHERE
+    // key > last_seen) — OFFSET still sorts/skips the prefix.
+    CatalogEntry("limit_offset",
+      (s, d) => {
+        T(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(limitOffsetSql)
+      },
+      Some(limitOffsetSql)),
 
     // Error-tolerant casts: TRY_CAST yields null instead of failing the job
     // — the ingest posture for dirty columns (a single bad value must not
