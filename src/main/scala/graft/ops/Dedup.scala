@@ -293,11 +293,6 @@ object Dedup {
 
   // -------------------------------------------- n-gram Jaccard (exact)
 
-  /** Exact Jaccard similarity on word n-gram sets, for pairs sharing at
-    * least one n-gram. The inverted index is capped at `maxBucket` docs per
-    * n-gram — frequent n-grams (stopword runs, boilerplate) carry no dedup
-    * signal and would otherwise explode the pair count quadratically.
-    */
   /** Two-stage near-duplicate detection, the production shape at scale:
     * MinHash+LSH prunes the O(n²) pair space to candidate pairs, then an
     * exact character-shingle Jaccard verifies each candidate — false
@@ -357,6 +352,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact Jaccard similarity on word n-gram sets, for pairs sharing at
+    * least one n-gram. The inverted index is capped at `maxBucket` docs per
+    * n-gram — frequent n-grams (stopword runs, boilerplate) carry no dedup
+    * signal and would otherwise explode the pair count quadratically.
+    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1,
       maxBucket: Int = 200, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // distinct n-gram HASHES from the one-pass kernel (TextSketches): the
