@@ -10,6 +10,22 @@ import graft.{SparkSpec, Tables}
   */
 class BucketingSpec extends SparkSpec {
 
+  test("partitioned write gives partition-pruned reads (PartitionFilters, not data filters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString + "/t"
+    spark.read.parquet(s"${sf()}/orders.parquet")
+      .withColumn("status", col("o_orderstatus"))
+      .write.partitionBy("status").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("status") === "F")
+    val scan = pruned.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (directory pruning), leaving
+    // no row-level filter on status
+    assert(scan.contains("PartitionFilters") && scan.contains("status"),
+      s"expected partition pruning in:\n$scan")
+    val full = spark.read.parquet(s"${sf()}/orders.parquet")
+      .filter(col("o_orderstatus") === "F").count()
+    assert(pruned.count() === full)
+  }
+
   test("join of tables bucketed on the join key plans with zero shuffle exchanges") {
     val orders = Tables(spark, sf(), "orders")
     val customer = Tables(spark, sf(), "customer")
