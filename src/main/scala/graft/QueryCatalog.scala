@@ -1594,6 +1594,45 @@ object QueryCatalog {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin)),
 
+    // Cohort retention: users bucketed by first-seen day (cohort), counted
+    // per days-since-cohort offset — the classic product-analytics matrix.
+    // Two aggregates: first-seen per user (shuffle on user), then the
+    // cohort × offset rollup (shuffle on the much smaller pair key).
+    CatalogEntry("cohort_retention",
+      (s, d) => {
+        val e = eventsRaw(s, d)
+          .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        e.join(first, "user_id")
+          .select(col("user_id"), col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"))
+          .distinct()
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), f AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT e.user_id, cohort_day, day - cohort_day AS day_offset
+        |  FROM e JOIN f USING (user_id)
+        |)
+        |SELECT cohort_day, day_offset, COUNT(DISTINCT user_id) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin)),
+
+    // Exact distinct users per hourly window (the exact twin of the HLL
+    // variant in agg_approx; one Expand-free distinct aggregate)
+    CatalogEntry("events_hourly_users",
+      (s, d) => eventsRaw(s, d)
+        .select(expr("ts_us div 3600000000").as("hour"), col("user_id"))
+        .groupBy(col("hour"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events")),
+      Some("""SELECT epoch_us(ts) // 3600000000 AS hour,
+        |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin)),
+
     // Deterministic keyset-free pagination: ORDER BY unique key + LIMIT/
     // OFFSET (dialect-shared). At scale prefer keyset pagination (WHERE
     // key > last_seen) — OFFSET still sorts/skips the prefix.
