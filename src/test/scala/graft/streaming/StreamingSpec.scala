@@ -60,6 +60,32 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("append-mode window agg drops events later than the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Long] // event time in seconds
+    val windows = mem.toDS().toDF("secs")
+      .withColumn("ts", expr("timestamp_seconds(secs)"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("long").as("w"), col("cnt"))
+    val q = windows.writeStream
+      .outputMode("append").format("memory").queryName("late_out").start()
+    try {
+      mem.addData(300L, 3600L)      // 00:05 + 01:00 → watermark to 00:50, closes [00:00,00:10)
+      q.processAllAvailable()
+      mem.addData(360L, 7200L)      // 00:06 arrives AFTER its window closed → dropped
+      q.processAllAvailable()
+      val w0 = spark.table("late_out").filter(col("w") === 0L).collect()
+      assert(w0.length === 1)
+      assert(w0.head.getAs[Long]("cnt") === 1L) // the late 00:06 event is NOT counted
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS late_out")
+    }
+  }
+
   test("transformWithState running totals match the mapGroupsWithState API") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
