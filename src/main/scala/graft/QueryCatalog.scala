@@ -91,6 +91,18 @@ object QueryCatalog {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 20 OFFSET 40""".stripMargin
 
+  /** Dialect-shared sequence-gap detection (gaps in the o_orderkey id
+    * space via lead). NOTE the global-order window is one partition — fine
+    * for the gate's id-space size; at 100 TB bucket ids by range first and
+    * find gaps within buckets + at bucket borders.
+    */
+  val sequenceGapsSql: String =
+    """SELECT k + 1 AS gap_start, next_k - 1 AS gap_end, next_k - k - 1 AS gap_len
+      |FROM (SELECT o_orderkey AS k,
+      |        lead(o_orderkey) OVER (ORDER BY o_orderkey) AS next_k
+      |      FROM orders WHERE o_orderstatus = 'F') t
+      |WHERE next_k > k + 1""".stripMargin
+
   /** Dialect-shared GROUP BY ALL. */
   val groupByAllSql: String =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
@@ -1593,6 +1605,15 @@ object QueryCatalog {
       Some("""SELECT event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin)),
+
+    // Gaps-and-islands over an id space (missing-key ranges) — dialect-
+    // shared lead() window
+    CatalogEntry("sequence_gaps",
+      (s, d) => {
+        T(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(sequenceGapsSql)
+      },
+      Some(sequenceGapsSql)),
 
     // Cohort retention: users bucketed by first-seen day (cohort), counted
     // per days-since-cohort offset — the classic product-analytics matrix.
