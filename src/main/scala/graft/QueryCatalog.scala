@@ -1606,6 +1606,28 @@ object QueryCatalog {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin)),
 
+    // Second scalar string suite: padding, translate, repeat/reverse,
+    // row-wise greatest/least, edit distance
+    CatalogEntry("string_funcs2",
+      (s, d) => T(s, d, "customer").select(
+        col("c_custkey"),
+        lpad(col("c_name"), 25, ".").as("padded"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("translated"),
+        reverse(col("c_name")).as("reversed"),
+        repeat(lit("ab"), 3).as("repeated"),
+        greatest(col("c_acctbal"), lit(0.0)).as("nonneg_bal"),
+        least(col("c_nationkey"), lit(10L)).as("capped_nation"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist")),
+      Some("""SELECT c_custkey,
+        |  lpad(c_name, 25, '.') AS padded,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+        |  reverse(c_name) AS reversed,
+        |  repeat('ab', 3) AS repeated,
+        |  greatest(c_acctbal, 0e0) AS nonneg_bal,
+        |  least(c_nationkey, 10) AS capped_nation,
+        |  levenshtein(c_mktsegment, 'BUILDING') AS seg_dist
+        |FROM customer""".stripMargin)),
+
     // Gaps-and-islands over an id space (missing-key ranges) — dialect-
     // shared lead() window
     CatalogEntry("sequence_gaps",
