@@ -1606,6 +1606,22 @@ object QueryCatalog {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin)),
 
+    // Date arithmetic suite: calendar-clamped month add, month/quarter
+    // boundaries, day distances
+    CatalogEntry("date_funcs2",
+      (s, d) => T(s, d, "orders").select(
+        col("o_orderkey"),
+        expr("add_months(CAST(o_orderdate AS DATE), 3)").as("plus3m"),
+        expr("last_day(CAST(o_orderdate AS DATE))").as("month_end"),
+        expr("datediff(DATE'1998-12-31', CAST(o_orderdate AS DATE))").as("days_to_end"),
+        expr("CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)").as("quarter_start")),
+      Some("""SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end,
+        |  CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start
+        |FROM orders""".stripMargin)),
+
     // Second scalar string suite: padding, translate, repeat/reverse,
     // row-wise greatest/least, edit distance
     CatalogEntry("string_funcs2",
