@@ -141,6 +141,49 @@ object QueryCatalog {
       |  AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
       |GROUP BY 1""".stripMargin
 
+  /** Dialect-shared TPC-H Q18 shape (large-volume customers): a large IN
+    * subquery over an aggregate HAVING — planned as a shuffle-free semi-join
+    * of orders against the re-aggregated lineitem. Group key includes
+    * o_orderkey, so the LIMIT tie-break on (total_price, o_orderkey) is
+    * deterministic.
+    */
+  val tpchQ18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(o_totalprice AS DOUBLE) AS total_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY total_price DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** Dialect-shared TPC-H Q20 shape (the correlated nested-aggregate
+    * subquery): suppliers who shipped > 40% of a small part's 1995 volume.
+    * The schema has no partsupp, so lineitem self-correlates on l_partkey —
+    * same plan shape as the original's availqty test: IN semi-join feeding
+    * a grouped HAVING whose bound is a correlated scalar aggregate.
+    */
+  val tpchQ20Sql: String =
+    """SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT l1.l_suppkey FROM lineitem l1
+      |  WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |    AND CAST(l1.l_shipdate AS DATE) >= DATE '1995-01-01'
+      |    AND CAST(l1.l_shipdate AS DATE) < DATE '1996-01-01'
+      |  GROUP BY l1.l_suppkey, l1.l_partkey
+      |  HAVING SUM(CAST(l1.l_quantity AS DECIMAL(18,2))) > 0.4 * (
+      |    SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+      |    WHERE l2.l_partkey = l1.l_partkey
+      |      AND CAST(l2.l_shipdate AS DATE) >= DATE '1995-01-01'
+      |      AND CAST(l2.l_shipdate AS DATE) < DATE '1996-01-01'))""".stripMargin
+
   /** Dialect-shared recursive CTE: ancestor chain over the binary-heap
     * parent function floor((k-1)/2), per nation key.
     */
@@ -1595,7 +1638,7 @@ object QueryCatalog {
       Some("""SELECT o_orderstatus,
         |  bool_and(o_totalprice > 0) AS all_positive,
         |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
-        |  count_if(o_totalprice > 200000) AS n_big
+        |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big
         |FROM orders GROUP BY 1""".stripMargin)),
 
     // Streaming exactly-once dedup: doubled delivery collapsed by
@@ -1774,6 +1817,22 @@ object QueryCatalog {
         s.sql(tpchQ5Sql)
       },
       Some(tpchQ5Sql)),
+
+    CatalogEntry("tpch_q18",
+      (s, d) => {
+        Seq("customer", "orders", "lineitem").foreach(t =>
+          T(s, d, t).createOrReplaceTempView(t))
+        s.sql(tpchQ18Sql)
+      },
+      Some(tpchQ18Sql)),
+
+    CatalogEntry("tpch_q20",
+      (s, d) => {
+        Seq("supplier", "nation", "lineitem", "part").foreach(t =>
+          T(s, d, t).createOrReplaceTempView(t))
+        s.sql(tpchQ20Sql)
+      },
+      Some(tpchQ20Sql)),
 
     // Trailing EWMA (α=0.5) over the last 10 orders per customer: the
     // recursive smoother as a deterministic sequential fold over a bounded
@@ -2028,6 +2087,25 @@ object QueryCatalog {
         |  median(CAST(l_quantity AS DOUBLE)) AS med_qty,
         |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q1_qty,
         |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3_price
+        |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // Constant-memory twin of median_pcts (same pattern as agg_approx /
+    // agg_suite): exact `percentile` buffers EVERY group value in one
+    // aggregation buffer — at 100× scale that is a handful of reducers each
+    // materializing billions of doubles (SCALE.md). approx_percentile is the
+    // scale path: a bounded KLL-style sketch per group, mergeable map-side.
+    // The gate pins exact values + a tolerance flag on the sketched ones
+    // (sketch output is deterministic for fixed data but engine-specific, so
+    // the oracle asserts the tolerance, not the sketch).
+    CatalogEntry("median_pcts_approx",
+      (s, d) => T(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        expr("median(CAST(l_quantity AS DOUBLE))").as("med_qty"),
+        expr("approx_percentile(CAST(l_quantity AS DOUBLE), 0.5, 10000)").as("approx_med"))
+        .select(col("l_returnflag"), col("med_qty"),
+          (abs(col("approx_med") - col("med_qty")) <= lit(1.0)).as("within_tol")),
+      Some("""SELECT l_returnflag,
+        |  median(CAST(l_quantity AS DOUBLE)) AS med_qty,
+        |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // Event-time RANGE frame with an INTERVAL bound (trailing 30 calendar

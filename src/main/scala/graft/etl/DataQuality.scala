@@ -36,10 +36,15 @@ object DataQuality {
   def acceptedValues(df: DataFrame, c: String, allowed: Seq[String]): DataFrame =
     df.filter(!col(c).isin(allowed: _*) || col(c).isNull)
 
-  /** (check_name, n_violations), one row per check. */
-  def report(checks: Seq[Check]): DataFrame =
+  /** (check_name, n_violations), one row per check. An empty check list is
+    * a caller bug (a gate that can never fail), so it fails loudly here
+    * rather than as reduce's opaque UnsupportedOperationException.
+    */
+  def report(checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "report needs at least one check")
     checks.map { c =>
       c.violations.agg(count(lit(1)).as("n_violations"))
         .select(lit(c.name).as("check_name"), col("n_violations"))
     }.reduce(_ unionByName _)
+  }
 }

