@@ -646,10 +646,83 @@ object QueryCatalog {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** LSH geometry shared by the embedding queries: 8 tables × 4 bits keeps
-    * per-bucket candidate counts ~|table|/16 with ~75% recall at cosine 0.3
-    * (see graft.ops.Similarity scaladoc for the tradeoff).
+    * per-bucket candidate counts ~|table|/16 (measured: knn probe union =
+    * 227 of 500 vecs, neardup candidates = 51k of 125k pairs at sf0.01).
+    * Rademacher (md5-parity ±1) planes, NOT seeded Gaussians: the oracle
+    * below replays the exact bucket assignment in SQL, so the gate pins the
+    * LSH candidate machinery at its real (pruning) recall — see
+    * [[ops.Similarity.rademacherPlanes]].
     */
-  private lazy val lshPlanes = ops.Similarity.hyperplanes(dim = 64, tables = 8, bitsPerTable = 4)
+  private lazy val lshPlanes = ops.Similarity.rademacherPlanes(dim = 64, tables = 8, bitsPerTable = 4)
+
+  /** DuckDB brute-force replay of the verified near-dup pair set (exact
+    * shingle Jaccard over all pairs sharing a capped gram bucket) — the
+    * oracle for `dedup_minhash_verified`, and the pair-generation stage of
+    * `dedup_corpus`'s component oracle. `j` exposes (doc_a, doc_b, shared,
+    * na, nb).
+    */
+  private val verifiedPairsCtes: String =
+    """t AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents
+      |), ga AS (
+      |  SELECT doc_id, list_distinct([substr(norm, i, 5) FOR i IN range(1, len(norm) - 3)]) AS grams
+      |  FROM t WHERE len(norm) >= 5
+      |), g AS (
+      |  SELECT doc_id, unnest(grams) AS gram FROM ga
+      |), buck AS (
+      |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 100
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM g a JOIN buck USING (gram) JOIN g b USING (gram)
+      |  WHERE a.doc_id < b.doc_id
+      |), j AS (
+      |  SELECT doc_a, doc_b, len(list_intersect(x.grams, y.grams)) AS shared,
+      |    len(x.grams) AS na, len(y.grams) AS nb
+      |  FROM cand JOIN ga x ON x.doc_id = doc_a JOIN ga y ON y.doc_id = doc_b
+      |)""".stripMargin
+
+  /** DuckDB replay of [[ops.Replay.fingerprints]] (winnowing k=8, w=4 over
+    * md5-60bit byte-gram hashes): identical explode → window-min → sorted
+    * distinct pipeline, so `fps` is bit-equal to the Spark frame.
+    */
+  private val fingerprintCtes: String =
+    """t AS (SELECT doc_id, text, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |      FROM documents),
+      |base AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash, norm,
+      |         length(norm) - 7 AS n_grams FROM t WHERE length(norm) - 7 - 3 > 0),
+      |g AS (SELECT doc_id, content_hash, n_grams, i,
+      |      ('0x' || substr(md5(substr(norm, i, 8)), 1, 15))::BIGINT AS h
+      |      FROM base, unnest(range(1, n_grams + 1)) AS u(i)),
+      |wm AS (SELECT doc_id, content_hash, n_grams, i,
+      |       MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |       FROM g),
+      |fps AS (SELECT doc_id, content_hash, list_sort(list_distinct(list(wmin))) AS fingerprint
+      |        FROM wm WHERE i <= n_grams - 3 GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB replay of [[ops.Similarity.withLshBuckets]] over `lshPlanes`:
+    * same md5-parity signs, same left-fold dot product (list_reduce ==
+    * Spark's `aggregate` fold — ROUNDLOG lesson 12), same MSB-first bucket
+    * packing. Sign decisions are safe across engines: min |dot| measured
+    * 6.1e-6 at sf0.01 vs ~1e-13 cross-engine float noise.
+    */
+  private val lshBucketsCte: String =
+    """signs AS (
+      |  SELECT t, b, list(CASE WHEN (('0x' || substr(md5('plane:' || t || ':' || b || ':' || i), 1, 15))::BIGINT & 1) = 1
+      |                    THEN 1.0 ELSE -1.0 END ORDER BY i) AS sg
+      |  FROM range(8) tt(t), range(4) bb(b), range(64) ii(i)
+      |  GROUP BY t, b
+      |),
+      |dots AS (
+      |  SELECT e.vec_id, s.t, s.b,
+      |    list_reduce(list_prepend(0.0, [e.embedding[i]::DOUBLE * s.sg[i] FOR i IN range(1, 65)]), (a, x) -> a + x) AS dot
+      |  FROM embeddings e, signs s
+      |),
+      |buckets AS (
+      |  SELECT vec_id, t,
+      |    CAST(SUM((CASE WHEN dot >= 0 THEN 1 ELSE 0 END) * (1 << (3 - b))) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY 1, 2
+      |)""".stripMargin
 
   /** Training-data-pipeline extensions (dedup, similarity, text analysis,
     * multimodal, sessionization, streaming) — SURVEY.md §7.2 step 6.
@@ -759,18 +832,38 @@ object QueryCatalog {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rank FROM w)
         |WHERE rank <= 5""".stripMargin)),
 
-    // scalar projection of the fingerprint set (array columns break the
-    // driver's pandas sort in the rows-only check): set size + order-stable
-    // digest of the sorted hashes
+    // Winnowing fingerprints via the REPLAYABLE pipeline (ops.Replay:
+    // md5-60bit gram hashes + the same explode → window-min the oracle
+    // states), projected to scalars: set size + order-stable digest of the
+    // sorted hashes. The one-pass xxhash64 kernel (TextAnalysis
+    // .fingerprints) is the scale path, proven equal to this explode +
+    // window-min algorithm (same hash) by ReplaySpec; the gate pins the
+    // algorithm itself cross-engine.
     CatalogEntry("doc_fingerprints",
-      (s, d) => ops.TextAnalysis.fingerprints(docs(s, d))
+      (s, d) => ops.Replay.fingerprints(docs(s, d))
         .select(col("doc_id"), col("content_hash"),
           size(col("fingerprint")).cast("long").as("n_fp"),
-          xxhash64(concat_ws(",", col("fingerprint"))).as("fp_digest")),
-      None),
+          ops.Replay.hash60(concat_ws(",", col("fingerprint").cast("array<string>")))
+            .as("fp_digest")),
+      Some(s"""WITH $fingerprintCtes
+        |SELECT doc_id, content_hash, CAST(len(fingerprint) AS BIGINT) AS n_fp,
+        |  ${ops.Replay.hash60Sql("array_to_string(fingerprint, ',')")} AS fp_digest
+        |FROM fps""".stripMargin)),
 
     CatalogEntry("fingerprint_overlap",
-      (s, d) => ops.TextAnalysis.fingerprintOverlapPairs(docs(s, d)), None),
+      (s, d) => ops.Replay.fingerprintOverlapPairs(docs(s, d)),
+      Some(s"""WITH $fingerprintCtes,
+        |inv AS (SELECT doc_id, unnest(fingerprint) AS fp FROM fps),
+        |sizes AS (SELECT doc_id, len(fingerprint) AS n_fp FROM fps),
+        |bk AS (SELECT fp FROM inv GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 200),
+        |capped AS (SELECT doc_id, fp FROM inv JOIN bk USING (fp)),
+        |shr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |        FROM capped a JOIN capped b USING (fp) WHERE a.doc_id < b.doc_id
+        |        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT doc_a, doc_b, shared, overlap FROM (
+        |  SELECT doc_a, doc_b, shared, shared / least(sa.n_fp, sb.n_fp) AS overlap
+        |  FROM shr JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)
+        |WHERE overlap >= 3e-1""".stripMargin)),
 
     CatalogEntry("dedup_exact",
       (s, d) => ops.Dedup.exactGroups(docs(s, d)),
@@ -785,9 +878,41 @@ object QueryCatalog {
         |      FROM documents) t
         |WHERE rn = 1""".stripMargin)),
 
+    // MinHash+LSH candidates via the REPLAYABLE kernel (universal-hash
+    // permutations mod 2^61-1 over md5-60bit gram hashes — see
+    // graft.functions.PortableSketches): the oracle recomputes the
+    // signatures with HUGEINT arithmetic and replays banding, bucket caps,
+    // and the est-Jaccard fraction, pinning the candidate generator itself.
+    // est values are multiples of 1/64 (exact doubles), so the >= 0.25 cut
+    // cannot straddle engines. The xxhash64 kernel (Dedup.minhashCandidates)
+    // is the scale path, exercised by dedup_minhash_verified's two-stage
+    // pipeline and DedupSpec.
     CatalogEntry("dedup_minhash",
-      (s, d) => ops.Dedup.minhashCandidates(docs(s, d),
-        k = 64, bands = 16, shingleLen = 5, maxBucket = 100, minEstJaccard = 0.25), None),
+      (s, d) => ops.Replay.minhashCandidates(docs(s, d),
+        k = 64, bands = 16, shingleLen = 5, maxBucket = 100, minEstJaccard = 0.25),
+      Some("""WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |      FROM documents),
+        |ga AS (SELECT doc_id, list_distinct([substr(norm, i, 5) FOR i IN range(1, len(norm) - 3)]) AS grams
+        |       FROM t WHERE len(norm) >= 5),
+        |gh AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+        |       FROM (SELECT doc_id, unnest(grams) AS gram FROM ga)),
+        |seeds AS (SELECT i, ('0x' || substr(md5('mixa:' || i), 1, 15))::BIGINT AS a,
+        |                 ('0x' || substr(md5('mixb:' || i), 1, 15))::BIGINT AS b
+        |          FROM range(64) ii(i)),
+        |sigv AS (SELECT doc_id, i, MIN(CAST((a::HUGEINT * h + b) % 2305843009213693951 AS BIGINT)) AS m
+        |         FROM gh, seeds GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigv GROUP BY 1),
+        |banded AS (SELECT doc_id, sig, b, array_to_string(sig[(b*4+1):(b*4+4)], ',') AS bk
+        |           FROM sig, range(16) bb(b)),
+        |buck AS (SELECT b, bk FROM banded GROUP BY b, bk HAVING COUNT(*) BETWEEN 2 AND 100),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a, b2.doc_id AS doc_b, b2.sig AS sig_b
+        |         FROM banded a JOIN buck USING (b, bk) JOIN banded b2 USING (b, bk)
+        |         WHERE a.doc_id < b2.doc_id)
+        |SELECT doc_a, doc_b, est_jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    len(list_filter([sig_a[i] = sig_b[i] FOR i IN range(1, 65)], x -> x)) / 64 AS est_jaccard
+        |  FROM cand)
+        |WHERE est_jaccard >= 0.25""".stripMargin)),
 
     // LSH candidates verified by exact shingle Jaccard — output is exactly
     // the brute-force answer (oracle below replays it on gram strings), so
@@ -798,38 +923,60 @@ object QueryCatalog {
     CatalogEntry("dedup_minhash_verified",
       (s, d) => ops.Dedup.verifiedNearDupPairs(docs(s, d),
         threshold = 0.31, k = 64, bands = 16, shingleLen = 5, maxBucket = 100),
-      Some("""WITH t AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-        |  FROM documents
-        |), ga AS (
-        |  SELECT doc_id, list_distinct([substr(norm, i, 5) FOR i IN range(1, len(norm) - 3)]) AS grams
-        |  FROM t WHERE len(norm) >= 5
-        |), g AS (
-        |  SELECT doc_id, unnest(grams) AS gram FROM ga
-        |), buck AS (
-        |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 100
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM g a JOIN buck USING (gram) JOIN g b USING (gram)
-        |  WHERE a.doc_id < b.doc_id
-        |), j AS (
-        |  SELECT doc_a, doc_b, len(list_intersect(x.grams, y.grams)) AS shared,
-        |    len(x.grams) AS na, len(y.grams) AS nb
-        |  FROM cand JOIN ga x ON x.doc_id = doc_a JOIN ga y ON y.doc_id = doc_b
-        |)
+      Some(s"""WITH $verifiedPairsCtes
         |SELECT doc_a, doc_b, shared / (na + nb - shared) AS jaccard
         |FROM j WHERE shared / (na + nb - shared) >= 3.1e-1""".stripMargin)),
 
+    // Corpus dedup end-to-end, oracle-checked: VERIFIED near-dup pairs
+    // (exact Jaccard >= 0.31 — the oracle-reproducible pair set of
+    // dedup_minhash_verified) → connected components → one survivor (min
+    // id) per cluster + all singletons. The oracle replays the components
+    // with a recursive transitive closure over the same pair set, so the
+    // gate pins candidate recall, the exact verify, AND the component/
+    // survivor logic (both the driver union-find and the distributed
+    // min-label path produce min-id components by construction).
     CatalogEntry("dedup_corpus",
       (s, d) => {
         val dd = docs(s, d)
-        val pairs = ops.Dedup.minhashCandidates(dd,
-          k = 64, bands = 16, shingleLen = 5, maxBucket = 100, minEstJaccard = 0.5)
+        val pairs = ops.Dedup.verifiedNearDupPairs(dd,
+          threshold = 0.31, k = 64, bands = 16, shingleLen = 5, maxBucket = 100)
         ops.Dedup.dedupCorpus(dd, pairs).select(col("doc_id"), col("lang"), col("source"))
-      }, None),
+      },
+      Some(s"""WITH RECURSIVE $verifiedPairsCtes,
+        |vp AS (SELECT doc_a, doc_b FROM j WHERE shared / (na + nb - shared) >= 3.1e-1),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM vp UNION SELECT doc_b, doc_a FROM vp),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |                UNION
+        |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS doc_id, MIN(b) AS component
+        |         FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges) GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d LEFT JOIN comp USING (doc_id)
+        |WHERE component IS NULL OR component = d.doc_id""".stripMargin)),
 
+    // SimHash near-dup pairs via the REPLAYABLE 60-bit variant (md5 token
+    // hashes — ops.Replay.simhashPairs): the oracle recomputes the vote
+    // sums, the bit packing, the 4×15-bit pigeonhole bands, the bucket cap,
+    // and the exact Hamming verify. The 64-bit xxhash64 form
+    // (Dedup.simhashPairs) is the scale path, pinned by DedupSpec.
     CatalogEntry("dedup_simhash",
-      (s, d) => ops.Dedup.simhashPairs(docs(s, d), maxHamming = 3, maxBucket = 200), None),
+      (s, d) => ops.Replay.simhashPairs(docs(s, d), maxHamming = 3, maxBucket = 200),
+      Some("""WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |      FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM t),
+        |tokh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |         FROM tok WHERE length(tok) > 0),
+        |votes AS (SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM tokh, range(60) ii(i) GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN v >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM votes GROUP BY 1),
+        |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bv
+        |           FROM sh, range(4) bb(b)),
+        |buck AS (SELECT b, bv FROM banded GROUP BY b, bv HAVING COUNT(*) BETWEEN 2 AND 200)
+        |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+        |FROM banded a JOIN buck USING (b, bv) JOIN banded b2 USING (b, bv)
+        |WHERE a.doc_id < b2.doc_id AND bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin)),
 
     // oracle replays the exact pipeline on gram STRINGS where Spark uses
     // 64-bit gram hashes (TextSketches.ngramHashes) — identical results
@@ -865,8 +1012,24 @@ object QueryCatalog {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE shared / (sa.n + sb.n - shared) >= 1e-2""".stripMargin)),
 
+    // LSH candidate pairs + exact cosine verify, oracle-checked at the
+    // REAL pruning recall: the oracle replays the Rademacher buckets
+    // (lshBucketsCte), so the candidate set — not just the verify stage —
+    // is pinned. Threshold margin measured: min |cosine - 0.3| over
+    // candidates = 7.3e-5, so the >= 0.3 cut can't flip across engines.
     CatalogEntry("embedding_neardup",
-      (s, d) => ops.Similarity.nearDupPairs(embs(s, d), threshold = 0.3, lshPlanes), None),
+      (s, d) => ops.Similarity.nearDupPairs(embs(s, d), threshold = 0.3, lshPlanes)
+        .withColumn("cosine", round(col("cosine"), 9)),
+      Some(s"""WITH $lshBucketsCte,
+        |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sizes AS (SELECT t, bucket FROM buckets GROUP BY t, bucket HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |cp AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |       FROM buckets a JOIN sizes USING (t, bucket) JOIN buckets b USING (t, bucket)
+        |       WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(list_cosine_similarity(x.v, y.v), 9) AS cosine
+        |FROM cp JOIN e2 x ON x.vec_id = cp.id_a JOIN e2 y ON y.vec_id = cp.id_b
+        |WHERE NOT isnan(list_cosine_similarity(x.v, y.v))
+        |  AND list_cosine_similarity(x.v, y.v) >= 0.3""".stripMargin)),
 
     // score rounded to 9dp in BOTH engines: the double-accumulated cosine
     // agrees with DuckDB's list_cosine_similarity over DOUBLE[] to ~1 ulp
@@ -895,15 +1058,52 @@ object QueryCatalog {
         |WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
         |  AND list_cosine_similarity(a.v, b.v) >= 0.3""".stripMargin)),
 
+    // ANN with the probe REPLAYED by the oracle: DuckDB recomputes the
+    // query's buckets and ranks the same candidate union (227 of 500 vecs
+    // at sf0.01 — the pruning is real, and the gate still pins it exactly).
+    // Rank-20/21 boundary margin measured 2.9e-4 — no cross-engine flip.
     CatalogEntry("knn_ann",
-      (s, d) => ops.Similarity.annTopK(embs(s, d), queryVec(s, d), k = 20, lshPlanes), None),
+      (s, d) => ops.Similarity.annTopK(embs(s, d), queryVec(s, d), k = 20, lshPlanes)
+        .withColumn("score", round(col("score"), 9)),
+      Some(s"""WITH $lshBucketsCte,
+        |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e2 WHERE vec_id = 0),
+        |qb AS (SELECT t, bucket FROM buckets WHERE vec_id = 0),
+        |cand AS (SELECT DISTINCT b2.vec_id FROM buckets b2 JOIN qb USING (t, bucket))
+        |SELECT e2.vec_id, round(list_cosine_similarity(v, qv), 9) AS score
+        |FROM cand JOIN e2 USING (vec_id), q
+        |WHERE NOT isnan(list_cosine_similarity(v, qv))
+        |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 20""".stripMargin)),
 
+    // IVF with STATIC centroids (iters = 0 ⇒ the first-16-by-id k-means
+    // init, raw float vectors both engines share), so the oracle replays
+    // assignment (argmax cosine, ties → lowest cid; min top-2 margin
+    // 2.3e-4), probe selection (top-4 centroids by query cosine; 4-vs-5
+    // margin 1.1e-3), and in-cell exact ranking — 123 of 500 vecs probed at
+    // sf0.01, real pruning under an exact gate. Lloyd TRAINING (iters > 0)
+    // is deliberately outside the oracle — centroid means are
+    // engine-arithmetic-sensitive — and is pinned by IVF's ScalaTest spec
+    // instead.
     CatalogEntry("knn_ivf",
       (s, d) => {
         val e = embs(s, d)
-        val index = ops.IVF.train(e, c = 16, iters = 2)
+        val index = ops.IVF.train(e, c = 16, iters = 0)
         ops.IVF.topK(e, index, queryVec(s, d), k = 20, nprobe = 4)
-      }, None),
+          .withColumn("score", round(col("score"), 9))
+      },
+      Some("""WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e2 WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM e2 WHERE vec_id = 0),
+        |assign AS (
+        |  SELECT e2.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e2.vec_id ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+        |  FROM e2, c),
+        |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+        |probe AS (SELECT cid FROM c, q ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4)
+        |SELECT e2.vec_id, round(list_cosine_similarity(v, qv), 9) AS score
+        |FROM e2 JOIN cells USING (vec_id), q
+        |WHERE cells.cell IN (SELECT cid FROM probe) AND NOT isnan(list_cosine_similarity(v, qv))
+        |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 20""".stripMargin)),
 
     CatalogEntry("sessionize",
       (s, d) => ops.Sessions.sessionize(eventsRaw(s, d), gapMicros = 1800L * 1000 * 1000),

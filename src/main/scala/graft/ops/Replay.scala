@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableSketches
+
+/** Cross-engine-replayable variants of the sketch/dedup family, used by the
+  * correctness gate (VERDICT r3 #1: "a row count is not correctness").
+  *
+  * The xxhash64 kernels in [[graft.functions.TextSketches]] are the scale
+  * path, but no other engine ships xxhash64-with-seed, so their candidate
+  * sets could only be gated on row counts. Each operator here computes the
+  * SAME algorithm from primitives DuckDB also ships — md5 (via
+  * [[PortableSketches.hash60]]) and exact integer arithmetic — so the
+  * oracle replays the sketch, the banding, the bucket caps, and the
+  * pair expansion, and the gate pins the full result hash at the
+  * operator's real (pruning) recall. Spark SQL twin of the base hash:
+  * `conv(substr(md5(s), 1, 15), 16, 10)` = DuckDB
+  * `('0x' || substr(md5(s), 1, 15))::BIGINT`.
+  *
+  * Perf contract is unchanged from the fast family: one text scan,
+  * sketches shuffle — never documents; same bucket caps. The portable
+  * base hash costs one md5 per gram/token instead of one xxhash64 — the
+  * price of a replayable gate, paid only by these gate entries.
+  */
+object Replay {
+
+  /** 60-bit md5 hash column — [[PortableSketches.hash60]] as Spark SQL. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** The DuckDB fragment computing the same 60-bit hash. */
+  def hash60Sql(x: String): String =
+    s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  // ------------------------------------------------------------- minhash
+
+  /** Replayable MinHash+LSH candidate pairs — the portable twin of
+    * [[Dedup.minhashCandidates]] (same banding, caps, and est-Jaccard
+    * arithmetic; [[PortableSketches.portableMinhashSig]] kernel). Band
+    * keys are the comma-joined signature slice — a string both engines
+    * render identically — instead of xxhash64 of the slice.
+    */
+  def minhashCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16,
+      shingleLen: Int = 5, maxBucket: Int = 100, minEstJaccard: Double = 0.0,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rowsPerBand = k / bands
+    val sigs = docs
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        PortableSketches.portableMinhashSig(col("norm"), shingleLen, k).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(
+          lit(b).as("band_idx"),
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))
+            .as("band_key"))): _*)).as("band"))
+      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_key"))
+    Dedup.bucketPairs(banded, Seq("band_idx", "band_key"), "doc_id", Seq("sig"), maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+          .cast("double") / lit(k.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** Replayable 60-bit SimHash (md5-based token hashes; otherwise the
+    * [[Dedup.simhashes]] algorithm: explode tokens → 60 ±1-vote sums →
+    * bitwise pack).
+    */
+  def simhashes(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .select(col(idCol).as("doc_id"), explode(Shingles.tokensOfNorm(col("norm"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", hash60(col("tok")))
+    val votes = (0 until 60).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$i"))
+    toks
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).foldLeft(lit(0L)) { (acc, i) =>
+          acc.bitwiseOR(shiftleft(when(col(s"v$i") >= 0, lit(1L)).otherwise(lit(0L)), i))
+        }.as("simhash"))
+  }
+
+  /** Replayable SimHash near-dup pairs: 4×15-bit pigeonhole bands (recall
+    * exact for maxHamming ≤ 3, same argument as [[Dedup.simhashPairs]]),
+    * exact bit_count verify.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 200,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3, s"maxHamming=$maxHamming exceeds the 4-band recall guarantee (<= 3)")
+    val sh = simhashes(docs, textCol, idCol)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_idx"),
+          shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL)).as("band_val"))): _*))
+        .as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
+    Dedup.bucketPairs(banded, Seq("band_idx", "band_val"), "doc_id", Seq("simhash"), maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // -------------------------------------------------------- fingerprints
+
+  /** Replayable winnowing fingerprints via the one-pass
+    * [[PortableSketches.portableWinnowedFingerprint]] kernel (proven equal
+    * to the explode → window-min algorithm the SQL oracle states —
+    * ReplaySpec; the explode shape cost 5.5 s vs ~1 s at sf0.1). Returns
+    * (doc_id, content_hash, fingerprint).
+    */
+  def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .select(col(idCol).as("doc_id"), hash60(col(textCol)).as("content_hash"),
+        PortableSketches.portableWinnowedFingerprint(col("norm"), k, w).as("fingerprint"))
+      .filter(size(col("fingerprint")) > 0)
+
+  /** Replayable fingerprint-overlap pairs — the portable twin of
+    * [[TextAnalysis.fingerprintOverlapPairs]] (same inverted index,
+    * bucket cap, minShared and overlap arithmetic).
+    */
+  def fingerprintOverlapPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+      minShared: Int = 2, maxBucket: Int = 200, minOverlap: Double = 0.3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fps = fingerprints(docs, k, w, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sizes + index
+    val sizes = fps.select(col("doc_id"), size(col("fingerprint")).as("n_fp"))
+    val inverted = fps.select(col("doc_id"), explode(col("fingerprint")).as("fp"))
+    val bucketSizes = inverted.groupBy("fp").agg(count(lit(1)).as("bs"))
+      .filter(col("bs").between(2, maxBucket))
+    val capped = inverted.join(bucketSizes.select("fp"), "fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = capped.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_fp", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") / least(col("na"), col("nb"))).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+}

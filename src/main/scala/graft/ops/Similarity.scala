@@ -33,6 +33,27 @@ object Similarity {
     Seq.fill(tables)(Seq.fill(bitsPerTable)(Seq.fill(dim)(rng.nextGaussian().toFloat)))
   }
 
+  /** Hash-derived Rademacher (±1) hyperplanes: sign(t, b, i) = low bit of
+    * the 60-bit hex prefix of md5("plane:t:b:i"). Sign-projection LSH only
+    * consumes the projection's sign, and random-±1 planes are a standard
+    * sign-LSH family (Achlioptas-style sparse projections), so bucket
+    * quality matches the seeded Gaussians — with one property they lack:
+    * any engine with md5() can recompute the planes EXACTLY, so bucket
+    * assignment (and therefore the candidate set) is replayable in plain
+    * SQL. The correctness gate exploits that: the DuckDB oracle rebuilds
+    * the same buckets and pins the LSH output at ANY recall, instead of
+    * needing a measured-100%-recall (i.e. degenerate, prune-free)
+    * configuration. ±1 products are exact in float, so the dot product is
+    * a deterministic left fold of ±v_i in doubles on both engines.
+    */
+  def rademacherPlanes(dim: Int, tables: Int, bitsPerTable: Int): Seq[Seq[Seq[Float]]] =
+    Seq.tabulate(tables)(t => Seq.tabulate(bitsPerTable)(b => Seq.tabulate(dim) { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"plane:$t:$b:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0f else -1.0f
+    }))
+
   /** Sign-bit bucket of `vec` for one table of hyperplanes. */
   def bucketFor(vec: Column, planes: Seq[Seq[Float]]): Column =
     planes.foldLeft(lit(0L)) { (acc, plane) =>

@@ -71,4 +71,32 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ===
       again.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("probing a partitionBy(table_idx, bucket) LSH index prunes partitions") {
+    // SCALE.md's claim made executable (VERDICT r3 #7): at 100 TB the
+    // bucketed table is written out partitioned by (table_idx, bucket) and
+    // a query probes ONLY its own buckets — the probe filter must land in
+    // the scan's PartitionFilters, not a post-scan Filter
+    val embs = Tables(spark, sf(), "embeddings")
+    val planes = Similarity.rademacherPlanes(dim = 64, tables = 4, bitsPerTable = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString + "/index"
+    Similarity.withLshBuckets(embs, "embedding", planes)
+      .write.partitionBy("table_idx", "bucket").parquet(dir)
+
+    val q = embs.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val probe = planes.zipWithIndex
+      .map { case (tp, t) => col("table_idx") === t &&
+        col("bucket") === Similarity.bucketOfVector(q, tp) }
+      .reduce(_ || _)
+    val probed = spark.read.parquet(dir).filter(probe)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("table_idx"),
+      s"expected the probe in PartitionFilters:\n$plan")
+    // the probe read a strict subset of the index, and the query vector is
+    // in every one of its own buckets
+    val hits = probed.select("vec_id").collect().map(_.getLong(0))
+    assert(hits.count(_ == 0L) === planes.size)
+    assert(probed.count() < spark.read.parquet(dir).count())
+  }
 }
