@@ -79,19 +79,26 @@ object Bench {
         spark.catalog.clearCache()
         (dt, ok)
       }
-      val dt = times.map(_._1).min
+      val samples = times.map(_._1)
+      val dt = samples.min
       val ok = times.forall(_._2)
-      System.err.println(f"[bench] $name: $dt%.2f s (min of $runs)")
-      (name, dt, ok)
+      System.err.println(f"[bench] $name: $dt%.2f s (min of $runs, max ${samples.max}%.2f)")
+      (name, dt, samples, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    // Per-query spread (all N samples, in run order): lets a reader separate
+    // one-off contention (min ≪ max) from a real regression (min ≈ max both
+    // high) without a re-run (VERDICT r4 item 2).
+    val spread = results.map { case (k, _, ss, _) =>
+      "\"" + k + "\":[" + ss.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // "warm" records whether an unmeasured steady-state warmup ran, so
     // consumers can tell warm timings from cold-start ones (ADVICE r2)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"sf":"$sfDir","warm":$warmed,"warm_dir":"$warmDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"samples":$spread,"failed":$failed,"sf":"$sfDir","warm":$warmed,"warm_dir":"$warmDir"}"""
     // stdout gets captured-and-truncated by the harness (the r3 tail lost
     // the "value" field) — always write the full line to a file as well
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

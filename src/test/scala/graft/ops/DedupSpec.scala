@@ -64,6 +64,16 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L)) // one per cluster + untouched singleton
   }
 
+  test("union-find labels re-enter as an RDD scan, never a plan-embedded LocalRelation") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+    val plan = comps.queryExecution.optimizedPlan
+    // at the 5M-edge cap a LocalRelation here would embed millions of rows
+    // in the plan object itself (VERDICT r4 item 6)
+    assert(!plan.exists(_.nodeName.contains("LocalRelation")), plan.toString)
+    assert(plan.exists(_.nodeName.contains("ExternalRDD")), plan.toString)
+  }
+
   test("ngram jaccard finds the near-dup pair with high overlap") {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
