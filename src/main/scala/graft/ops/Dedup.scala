@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   *    docs) are capped by `maxBucket` before the pair join, bounding the
   *    quadratic blowup and doubling as skew protection;
   *  - exact-verify joins happen only on surviving candidate pairs;
-  *  - persisted intermediates (inverted indexes, component labels) live
-  *    until the caller releases them — batch harnesses here call
-  *    `spark.catalog.clearCache()` between queries; a production pipeline
-  *    materializes them as tables instead of caching.
+  *  - caching contract: operators that cache intermediates release them
+  *    internally once the result is materialized ([[materializeAndRelease]]);
+  *    the returned frame is the single persisted handle, which the caller
+  *    unpersists when done. A production pipeline would materialize the
+  *    result as a table instead of relying on the cache at all.
   */
 object Dedup {
 
@@ -35,10 +36,26 @@ object Dedup {
     * persisted handle the operator leaks: the caller unpersists it (or
     * `spark.catalog.clearCache()`) when done — VERDICT r4's "explicit
     * handle" contract, spec'd by CacheContractSpec.
+    *
+    * Making the operator eager is a deliberate tradeoff: callers that only
+    * count, or that apply selective filters, pay the full pair-set
+    * materialization anyway. Callers wanting lazy composition should use
+    * the un-cached primitives (minhashCandidates, bucketPairs) directly.
+    *
+    * Failure path: if the materializing action throws (OOM, task failure),
+    * BOTH the half-filled result cache and the inputs caches are
+    * unpersisted before the exception propagates — a caller that catches
+    * it is not left holding dead MEMORY_AND_DISK registrations.
     */
   private[ops] def materializeAndRelease(result: DataFrame, inputs: DataFrame*): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // one action: fills the result cache, drains the inputs
+    try {
+      out.count() // one action: fills the result cache, drains the inputs
+    } catch {
+      case e: Throwable =>
+        try out.unpersist() finally inputs.foreach(d => try d.unpersist() catch { case _: Throwable => () })
+        throw e
+    }
     inputs.foreach(_.unpersist())
     out
   }

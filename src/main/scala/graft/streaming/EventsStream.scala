@@ -105,7 +105,7 @@ object EventsStream {
     // see purchaseClickJoin: fewer state stores for the bounded local run
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try dedupedCountsImpl(spark, sfDir)
+    try StreamingConf.withStateBackend(spark)(dedupedCountsImpl(spark, sfDir))
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -154,7 +154,7 @@ object EventsStream {
     // busy for this data scale; a real cluster sizes this to |executors|
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try purchaseClickJoinImpl(spark, sfDir)
+    try StreamingConf.withStateBackend(spark)(purchaseClickJoinImpl(spark, sfDir))
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 

@@ -51,6 +51,21 @@ object StressDedup {
       val c = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.01, maxBucket = 100).count()
       println(s"  pairs: $c")
     }
+    // Portable md5 replay kernels (the oracle-gate twins, VERDICT r4 item
+    // 8): same shuffle shape as the xxhash64 production kernels above, a
+    // constant-factor-heavier hash. These runs confirm the 2-3× kernel
+    // cost stays a constant factor (linear in corpus size), not a new
+    // asymptotic term.
+    spark.catalog.clearCache()
+    time(s"replay_minhash_candidates n=$n") {
+      val c = graft.ops.Replay.minhashCandidates(docs, minEstJaccard = 0.25).count()
+      println(s"  pairs: $c")
+    }
+    spark.catalog.clearCache()
+    time(s"replay_simhash_pairs n=$n") {
+      val c = graft.ops.Replay.simhashPairs(docs, maxHamming = 3).count()
+      println(s"  pairs: $c")
+    }
     spark.stop()
   }
 }

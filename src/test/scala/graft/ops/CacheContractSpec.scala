@@ -6,12 +6,30 @@ import graft.{SparkSpec, Tables}
   * persist internal intermediates release them before returning, and the
   * RETURNED frame is the single persisted handle — so after a caller
   * consumes the result and unpersists it, no cached RDDs remain at all.
+  *
+  * Execution-model assumption (ADVICE r6): these tests measure the
+  * JVM-global getPersistentRDDs registry as a DELTA from a baseline taken
+  * after clearCache(), and rely on suites running sequentially in the one
+  * forked test JVM (`Test/fork := true`, no testForkedParallel). Enabling
+  * suite-level parallelism would make ANY registry-count assertion racy —
+  * revisit the whole approach (e.g. per-test SparkSession) before doing so.
   */
 class CacheContractSpec extends SparkSpec {
 
   import spark.implicits._
 
   private def cachedRddCount: Int = spark.sparkContext.getPersistentRDDs.size
+
+  /** clearCache, run `body`, and return (delta-after-body, delta-after-unpersist). */
+  private def deltaAround(body: => org.apache.spark.sql.DataFrame): (Int, Int) = {
+    spark.catalog.clearCache()
+    val base = cachedRddCount
+    val result = body
+    result.collect()
+    val afterRun = cachedRddCount - base
+    result.unpersist(blocking = true)
+    (afterRun, cachedRddCount - base)
+  }
 
   private lazy val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
@@ -21,38 +39,30 @@ class CacheContractSpec extends SparkSpec {
   ).toDF("doc_id", "text")
 
   test("verifiedNearDupPairs leaks exactly one handle; unpersist clears all") {
-    spark.catalog.clearCache()
-    val result = Dedup.verifiedNearDupPairs(docs, threshold = 0.5)
-    result.collect()
-    assert(cachedRddCount === 1) // the result handle only — sketches released
-    result.unpersist(blocking = true)
-    assert(cachedRddCount === 0)
+    val (held, released) = deltaAround(Dedup.verifiedNearDupPairs(docs, threshold = 0.5))
+    assert(held === 1) // the result handle only — sketches released
+    assert(released === 0)
   }
 
   test("ngramJaccardPairs leaks exactly one handle; unpersist clears all") {
-    spark.catalog.clearCache()
-    val result = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
-    result.collect()
-    assert(cachedRddCount === 1)
-    result.unpersist(blocking = true)
-    assert(cachedRddCount === 0)
+    val (held, released) = deltaAround(Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3))
+    assert(held === 1)
+    assert(released === 0)
   }
 
   test("Similarity.nearDupPairs leaks exactly one handle; unpersist clears all") {
-    spark.catalog.clearCache()
     val embs = Tables(spark, sf(), "embeddings")
     val planes = Similarity.hyperplanes(dim = 64, tables = 4, bitsPerTable = 4)
-    val result = Similarity.nearDupPairs(embs, threshold = 0.3, planes)
-    result.collect()
-    assert(cachedRddCount === 1)
-    result.unpersist(blocking = true)
-    assert(cachedRddCount === 0)
+    val (held, released) = deltaAround(Similarity.nearDupPairs(embs, threshold = 0.3, planes))
+    assert(held === 1)
+    assert(released === 0)
   }
 
   test("connectedComponents driver path leaves no cached RDDs at all") {
     spark.catalog.clearCache()
+    val base = cachedRddCount
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
     Dedup.connectedComponents(pairs).collect()
-    assert(cachedRddCount === 0) // edges cache released inside the operator
+    assert(cachedRddCount - base === 0) // edges cache released inside the operator
   }
 }

@@ -144,6 +144,22 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming dedup under the RocksDB state backend matches the default provider") {
+    // the SPARK_GRAFT_ROCKSDB=1 harness path, forced on explicitly: the
+    // state backend must be a pure performance knob — identical results
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def run(rocks: Boolean) =
+      StreamingConf.withStateBackend(spark, enabled = rocks) {
+        EventsStream.dedupedCounts(spark, sf()).collect()
+          .map(r => r.getAs[String]("event_type") ->
+            (r.getAs[Long]("cnt"), r.getAs[Double]("total_value"))).toMap
+      }
+    assert(run(rocks = true) === run(rocks = false))
+    // the conf wrapper restored the provider
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass").isEmpty ||
+      !spark.conf.get("spark.sql.streaming.stateStore.providerClass").contains("RocksDB"))
+  }
+
   test("batch sessionize agrees with stateful fold on the same events") {
     import spark.implicits._
     val events = Seq(
