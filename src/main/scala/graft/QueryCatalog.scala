@@ -2034,6 +2034,436 @@ object QueryCatalog {
       },
       Some(tpchQ20Sql)),
 
+    // TPC-H Q7 shape (volume shipping between two nations), DataFrame API:
+    // the big fact joins shuffle on their keys; the two nation dims are
+    // explicit broadcast()s (alias-renamed so the double nation join is
+    // unambiguous). Revenue via the exact-decimal money idiom.
+    CatalogEntry("tpch_q7",
+      (s, d) => {
+        val n1 = broadcast(T(s, d, "nation")
+          .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+        val n2 = broadcast(T(s, d, "nation")
+          .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+        T(s, d, "supplier")
+          .join(T(s, d, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+          .join(T(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+          .join(T(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+          .join(n1, col("s_nationkey") === col("s_nkey"))
+          .join(n2, col("c_nationkey") === col("c_nkey"))
+          .filter(((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")) &&
+            col("l_shipdate").cast("date").between("1995-01-01", "1996-12-31"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate").cast("date")).as("l_year"))
+          .agg(Cols.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS l_year,
+        |    l_extendedprice, l_discount
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        |) shipping
+        |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q8 shape (national market share): conditional-share aggregate.
+    // Both the numerator (one nation's volume) and denominator accumulate
+    // as exact decimals; the final share is one double/double division —
+    // deterministic IEEE op, identical in both engines.
+    CatalogEntry("tpch_q8",
+      (s, d) => {
+        val zero = lit(0).cast(DecimalType(18, 4))
+        val suppNation = broadcast(T(s, d, "nation")
+          .select(col("n_nationkey").as("s_nkey"), col("n_name").as("nation")))
+        val custNation = broadcast(T(s, d, "nation")
+          .select(col("n_nationkey").as("c_nkey"), col("n_regionkey").as("c_rkey")))
+        val asiaRegion = broadcast(T(s, d, "region").filter(col("r_name") === "ASIA"))
+        T(s, d, "part").filter(col("p_type") === "PROMO")
+          .join(T(s, d, "lineitem"), col("p_partkey") === col("l_partkey"))
+          .join(T(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
+          .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(custNation, col("c_nationkey") === col("c_nkey"))
+          .join(asiaRegion, col("c_rkey") === col("r_regionkey"))
+          .join(suppNation, col("s_nationkey") === col("s_nkey"))
+          .filter(col("o_orderdate").cast("date").between("1995-01-01", "1996-12-31"))
+          .select(year(col("o_orderdate").cast("date")).as("o_year"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast(DecimalType(18, 4)).as("volume"),
+            col("nation"))
+          .groupBy(col("o_year"))
+          .agg((sum(when(col("nation") === "NATION_2", col("volume")).otherwise(zero))
+              .cast(DoubleType) / sum(col("volume")).cast(DoubleType)).as("mkt_share"))
+      },
+      Some("""SELECT o_year,
+        |  CAST(CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        |) allnations GROUP BY o_year""".stripMargin)),
+
+    // TPC-H Q10 shape (returned-item reporting): quarter of 'R' lineitems
+    // re-aggregated per customer, top 20 by lost revenue. The LIMIT
+    // tie-break is (revenue DESC, c_custkey) — deterministic.
+    CatalogEntry("tpch_q10",
+      (s, d) => {
+        T(s, d, "customer")
+          .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(T(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .filter(col("o_orderdate").cast("date") >= lit("1995-10-01").cast("date") &&
+            col("o_orderdate").cast("date") < lit("1996-01-01").cast("date") &&
+            col("l_returnflag") === "R")
+          .groupBy(col("c_custkey"), col("c_name"),
+            col("c_acctbal").cast(DoubleType).as("acctbal"),
+            col("n_name"), col("c_mktsegment"))
+          .agg(Cols.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(c_acctbal AS DOUBLE) AS acctbal, n_name, c_mktsegment
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-10-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 4, 5, 6
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q14 shape (promotion effect): one global conditional-share
+    // row. Same decimal-accumulate / single-double-division discipline as
+    // tpch_q8; the part dim broadcasts into the lineitem scan's stage.
+    CatalogEntry("tpch_q14",
+      (s, d) => {
+        val zero = lit(0).cast(DecimalType(18, 4))
+        T(s, d, "lineitem")
+          .filter(col("l_shipdate").cast("date") >= lit("1995-09-01").cast("date") &&
+            col("l_shipdate").cast("date") < lit("1995-10-01").cast("date"))
+          .join(broadcast(T(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .select(col("p_type"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast(DecimalType(18, 4)).as("rev"))
+          .agg(((lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev")).otherwise(zero))
+              .cast(DoubleType)) / sum(col("rev")).cast(DoubleType)).as("promo_revenue"))
+      },
+      Some("""SELECT CAST(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |  AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-09-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1995-10-01'""".stripMargin)),
+
+    // Rolling exact median over a trailing 7-row frame: collect the frame,
+    // sort it, and take the midpoint. Even-count interpolation is
+    // (lo+hi)*0.5 — MEASURED as DuckDB's median form ((lo+hi)/2, which
+    // *0.5 equals bitwise); the lo+(hi-lo)*0.5 form differs in the last
+    // ulp on ~2% of frames. The
+    // frame ordering (date, orderkey) is unique per partition, so the
+    // collected list is deterministic. At 100 TB this is one window shuffle
+    // on the partition key with a bounded 7-element buffer per row — the
+    // frame bound, not the partition size, caps the per-row cost.
+    CatalogEntry("rolling_median",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").cast("date"), col("o_orderkey"))
+          .rowsBetween(-6, Window.currentRow)
+        val n = size(col("xs"))
+        val mid = (n / 2).cast("int") // element_at is 1-based; int division
+        val lo = element_at(col("xs"), mid)
+        val hi = element_at(col("xs"), mid + 1)
+        T(s, d, "orders")
+          .withColumn("xs", array_sort(collect_list(col("o_totalprice")).over(w)))
+          .select(col("o_orderkey"), col("o_custkey"),
+            when(n % 2 === 1, element_at(col("xs"), ((n + 1) / 2).cast("int")))
+              .otherwise((lo + hi) * lit(0.5)).as("rolling_median"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        |  median(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_median
+        |FROM orders""".stripMargin)),
+
+    // MapType operator family: per-brand type→count maps built with
+    // map_from_entries, consumed with element_at / map_keys / map_values /
+    // map_filter and a fold over map_values. The map is per-GROUP (≤ 6
+    // entries), built from a pre-aggregated frame — the HOF lambdas run
+    // interpreted but over 6-element maps, not rows (ROUNDLOG lesson 1).
+    CatalogEntry("map_funcs",
+      (s, d) => {
+        val perType = T(s, d, "part").groupBy(col("p_brand"), col("p_type"))
+          .agg(count(lit(1)).as("cnt"))
+        perType.groupBy(col("p_brand"))
+          .agg(map_from_entries(array_sort(
+            collect_list(struct(col("p_type"), col("cnt"))))).as("m"))
+          .select(col("p_brand"),
+            coalesce(element_at(col("m"), "PROMO"), lit(0L)).as("n_promo"),
+            coalesce(element_at(col("m"), "ECONOMY"), lit(0L)).as("n_economy"),
+            aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x).as("n_total"),
+            size(map_keys(col("m"))).as("n_types"),
+            size(map_keys(map_filter(col("m"), (_, v) => v < 10))).as("n_small_types"))
+      },
+      Some("""WITH t AS (
+        |  SELECT p_brand, p_type, COUNT(*) AS cnt FROM part GROUP BY 1, 2)
+        |SELECT p_brand,
+        |  COALESCE(MAX(CASE WHEN p_type = 'PROMO' THEN cnt END), 0) AS n_promo,
+        |  COALESCE(MAX(CASE WHEN p_type = 'ECONOMY' THEN cnt END), 0) AS n_economy,
+        |  SUM(cnt) AS n_total,
+        |  COUNT(*) AS n_types,
+        |  COUNT(CASE WHEN cnt < 10 THEN 1 END) AS n_small_types
+        |FROM t GROUP BY 1""".stripMargin)),
+
+    // Linear-regression aggregate family (regr_slope/intercept/r2/count/
+    // avgx/avgy): one partial+final aggregate pass; both engines accumulate
+    // in doubles with different partition orders, so float outputs use the
+    // stats_suite round(...,6) parity convention (exact count stays exact).
+    CatalogEntry("regr_aggs",
+      (s, d) => T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+          round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 6).as("avgx"),
+          round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 6).as("avgy")),
+      Some("""SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  regr_count(l_extendedprice, l_quantity) AS n,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy
+        |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // Z-order (Morton) data layout: interleave the bits of two filter
+    // columns and bucket rows by z-range — the multi-dimensional clustering
+    // that makes file-level min/max stats prune BOTH dimensions at 100 TB
+    // (a lexicographic sort prunes only the leading one). Pure integer
+    // Column math (functions.Bits), bit-for-bit replayed by the oracle's
+    // mask-shift cascade; the per-bucket (a,b) ranges SHOW the locality.
+    CatalogEntry("zorder_clustering",
+      (s, d) => T(s, d, "lineitem")
+        .select((col("l_partkey") % 65536).cast("long").as("a"),
+          (col("l_suppkey") % 65536).cast("long").as("b"))
+        .withColumn("z", functions.Bits.interleave16(col("a"), col("b")))
+        .groupBy(shiftright(col("z"), 16).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+          min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+          min(col("b")).as("b_min"), max(col("b")).as("b_max")),
+      Some("""WITH src AS (
+        |  SELECT CAST(l_partkey % 65536 AS BIGINT) AS a,
+        |         CAST(l_suppkey % 65536 AS BIGINT) AS b FROM lineitem
+        |), c1 AS (SELECT a, b, (a | (a<<8)) & 16711935 AS sa, (b | (b<<8)) & 16711935 AS sb FROM src
+        |), c2 AS (SELECT a, b, (sa | (sa<<4)) & 252645135 AS sa, (sb | (sb<<4)) & 252645135 AS sb FROM c1
+        |), c3 AS (SELECT a, b, (sa | (sa<<2)) & 858993459 AS sa, (sb | (sb<<2)) & 858993459 AS sb FROM c2
+        |), c4 AS (SELECT a, b, (sa | (sa<<1)) & 1431655765 AS sa, (sb | (sb<<1)) & 1431655765 AS sb FROM c3
+        |), zt AS (SELECT a, b, sa | (sb << 1) AS z FROM c4)
+        |SELECT z >> 16 AS bucket, COUNT(*) AS cnt, MIN(z) AS z_min, MAX(z) AS z_max,
+        |  MIN(a) AS a_min, MAX(a) AS a_max, MIN(b) AS b_min, MAX(b) AS b_max
+        |FROM zt GROUP BY 1""".stripMargin)),
+
+    // Bloom-filter membership, replayable: k=3 md5-hash positions in a
+    // 1024-bit filter built over the member set, then every key probed
+    // against the bit set. The oracle recomputes the SAME bit positions, so
+    // the verdict pins real false positives (~3% at this fill), not just
+    // counts. At 100 TB the bit set is a broadcast bitmap (here an id-join
+    // against the distinct-position table — same semantics, plan-visible);
+    // Spark's own bloom_filter_agg is the opaque-production alternative.
+    CatalogEntry("bloom_membership",
+      (s, d) => {
+        def positions(df: DataFrame): DataFrame = df.select(
+          col("p_partkey"), col("actual_member"),
+          explode(array((0 until 3).map(i =>
+            ops.Replay.hash60(concat(lit(s"bloom$i:"), col("p_partkey").cast("string"))) % 1024): _*))
+            .as("pos"))
+        val parts = T(s, d, "part").withColumn("actual_member", col("p_size") > 47)
+        val bits = positions(parts.filter(col("actual_member")))
+          .select(col("pos")).distinct().withColumn("hit", lit(1))
+        positions(parts)
+          .join(broadcast(bits), Seq("pos"), "left")
+          .groupBy(col("p_partkey"), col("actual_member"))
+          .agg((countDistinct(col("pos")) ===
+            countDistinct(when(col("hit").isNotNull, col("pos")))).as("bloom_hit"))
+      },
+      Some("""WITH members AS (
+        |  SELECT p_partkey FROM part WHERE p_size > 47
+        |), bits AS (
+        |  SELECT DISTINCT ('0x' || substr(md5('bloom' || i || ':' || CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT % 1024 AS pos
+        |  FROM members, (SELECT unnest([0,1,2]) AS i)
+        |), probe AS (
+        |  SELECT p_partkey, p_size > 47 AS actual_member,
+        |    ('0x' || substr(md5('bloom' || i || ':' || CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT % 1024 AS pos
+        |  FROM part, (SELECT unnest([0,1,2]) AS i)
+        |)
+        |SELECT p_partkey, actual_member,
+        |  COUNT(DISTINCT pos) = COUNT(DISTINCT CASE WHEN pos IN (SELECT pos FROM bits) THEN pos END) AS bloom_hit
+        |FROM probe GROUP BY 1, 2""".stripMargin)),
+
+    // Count-Min sketch token frequencies, replayable: d=4 rows × w=32
+    // buckets of md5-hash counters; the estimate is the min over rows —
+    // always >= the true count, over only on collision. Counters are built
+    // from pre-aggregated token counts (identical arithmetic to
+    // per-occurrence increments, and the map-side-combinable shape a
+    // 100 TB stream would use — CMS rows merge by addition). The oracle
+    // recomputes the sketch and both engines exhibit the same
+    // overestimates.
+    CatalogEntry("cms_token_freq",
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        val cnt = toks.groupBy(col("token")).agg(count(lit(1)).as("true_count"))
+        val placed = cnt.select(col("token"), col("true_count"),
+          explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+            (ops.Replay.hash60(concat(lit(s"cms$j:"), col("token"))) % 32).as("bucket"))): _*))
+            .as("p"))
+          .select(col("token"), col("true_count"), col("p.j"), col("p.bucket"))
+        val counters = placed.groupBy(col("j"), col("bucket"))
+          .agg(sum(col("true_count")).as("c"))
+        placed.join(counters, Seq("j", "bucket"))
+          .groupBy(col("token"), col("true_count"))
+          .agg(min(col("c")).as("cms_est"))
+      },
+      Some("""WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |), cnt AS (
+        |  SELECT token, COUNT(*) AS true_count FROM tok WHERE token <> '' GROUP BY 1
+        |), placed AS (
+        |  SELECT token, true_count, j,
+        |    ('0x' || substr(md5('cms' || j || ':' || token), 1, 15))::BIGINT % 32 AS bucket
+        |  FROM cnt, (SELECT unnest([0,1,2,3]) AS j)
+        |), counters AS (
+        |  SELECT j, bucket, SUM(true_count) AS c FROM placed GROUP BY 1, 2
+        |)
+        |SELECT p.token, p.true_count, MIN(c.c) AS cms_est
+        |FROM placed p JOIN counters c ON p.j = c.j AND p.bucket = c.bucket
+        |GROUP BY 1, 2""".stripMargin)),
+
+    // Jaro-Winkler fuzzy pairs on the custom codegen expression
+    // (functions.JaroWinkler) vs DuckDB's built-in: per-row scalar double
+    // math with no accumulation order, so the scores match BITWISE (the
+    // round(,6) is cosmetic). Blocked sampling keys keep the pair set
+    // quadratic-bounded — the production shape puts a blocking key (here
+    // the sample predicate) before any fuzzy scorer.
+    CatalogEntry("jaro_winkler_pairs",
+      (s, d) => {
+        val a = T(s, d, "part").filter(col("p_partkey") % 37 === 0)
+          .select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+        val b = T(s, d, "part").filter(col("p_partkey") % 41 === 0)
+          .select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+        a.crossJoin(broadcast(b))
+          .filter(col("key_a") < col("key_b"))
+          .withColumn("jw", functions.StringSimilarity.jaroWinkler(col("name_a"), col("name_b")))
+          .filter(col("jw") > 0.85)
+          .select(col("key_a"), col("key_b"), round(col("jw"), 6).as("jw_sim"))
+      },
+      Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_sim
+        |FROM part a, part b
+        |WHERE a.p_partkey % 37 = 0 AND b.p_partkey % 41 = 0
+        |  AND a.p_partkey < b.p_partkey
+        |  AND jaro_winkler_similarity(a.p_name, b.p_name) > 0.85""".stripMargin)),
+
+    // Integer PageRank over the part↔supplier bipartite graph (ops.Graph):
+    // 5 iterations of shuffle-join + aggregate with scaled-integer ranks,
+    // so the oracle can unroll the SAME iterations in SQL and match
+    // exactly (a double PageRank drifts by engine ulps per iteration).
+    // Top-30 tie-break: (rank DESC, node).
+    CatalogEntry("pagerank_bipartite",
+      (s, d) => {
+        // long node ids (parts even, suppliers odd): distinct/shuffle on
+        // longs, display labels rendered only on the final 30 rows
+        val edges = T(s, d, "lineitem")
+          .select((col("l_partkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        ops.Graph.pageRank(edges, "src", "dst", iterations = 5)
+          .select(expr("CASE WHEN node % 2 = 0 THEN 'p:' || CAST(node div 2 AS STRING) " +
+            "ELSE 's:' || CAST(node div 2 AS STRING) END").as("node"), col("rank"))
+          .orderBy(col("rank").desc, col("node")).limit(30)
+      },
+      Some("""WITH e0 AS (
+        |  SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+        |                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst FROM lineitem
+        |), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        |), deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1
+        |), base AS (SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS b FROM deg
+        |), it0 AS (SELECT src AS node, (SELECT b FROM base) AS rank FROM deg
+        |), it1 AS (
+        |  SELECT e.dst AS node, CAST((15 * (SELECT b FROM base)) // 100
+        |    + (85 * SUM(r.rank // d.outdeg)) // 100 AS BIGINT) AS rank
+        |  FROM e JOIN it0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1
+        |), it2 AS (
+        |  SELECT e.dst AS node, CAST((15 * (SELECT b FROM base)) // 100
+        |    + (85 * SUM(r.rank // d.outdeg)) // 100 AS BIGINT) AS rank
+        |  FROM e JOIN it1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1
+        |), it3 AS (
+        |  SELECT e.dst AS node, CAST((15 * (SELECT b FROM base)) // 100
+        |    + (85 * SUM(r.rank // d.outdeg)) // 100 AS BIGINT) AS rank
+        |  FROM e JOIN it2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1
+        |), it4 AS (
+        |  SELECT e.dst AS node, CAST((15 * (SELECT b FROM base)) // 100
+        |    + (85 * SUM(r.rank // d.outdeg)) // 100 AS BIGINT) AS rank
+        |  FROM e JOIN it3 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1
+        |), it5 AS (
+        |  SELECT e.dst AS node, CAST((15 * (SELECT b FROM base)) // 100
+        |    + (85 * SUM(r.rank // d.outdeg)) // 100 AS BIGINT) AS rank
+        |  FROM e JOIN it4 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1
+        |)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'p:' || CAST(node // 2 AS VARCHAR)
+        |            ELSE 's:' || CAST(node // 2 AS VARCHAR) END AS node, rank
+        |FROM it5 ORDER BY rank DESC, node LIMIT 30""".stripMargin)),
+
+    // Deterministic weighted sampling (A-ES / exponential-jitter keys):
+    // priority = -ln(u)/w with u a (0,1] md5-hash uniform — the standard
+    // one-pass weighted reservoir, as a top-k by priority. Both engines'
+    // ln differ by at most an ulp; the measured relative gap between
+    // rank-100 and rank-101 keys is 2.8e-3 (sf0.01), so the SELECTED SET
+    // is stable and only hash-exact columns (key, weight) are output. At
+    // 100 TB this is TakeOrderedAndProject: per-partition k-heaps, no
+    // shuffle of the data itself.
+    CatalogEntry("weighted_sample",
+      (s, d) => T(s, d, "orders")
+        .withColumn("u",
+          (ops.Replay.hash60(concat(lit("ws:"), col("o_orderkey").cast("string"))) + 1)
+            / lit(1152921504606846976.0))
+        .withColumn("k", -log(col("u")) / col("o_totalprice"))
+        .orderBy(col("k"), col("o_orderkey")).limit(100)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some("""WITH t AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    -ln((('0x' || substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT + 1)
+        |        / 1152921504606846976.0) / o_totalprice AS k
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice FROM t ORDER BY k, o_orderkey LIMIT 100""".stripMargin)),
+
     // Trailing EWMA (α=0.5) over the last 10 orders per customer: the
     // recursive smoother as a deterministic sequential fold over a bounded
     // ROWS frame (collect_list → aggregate). Both engines fold the same

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for Jaro-Winkler string similarity — the
+  * record-linkage scorer Spark lacks as a built-in (it ships only
+  * levenshtein / soundex). Fuzzy entity matching at 100 TB runs this inside
+  * a blocked self-join's hot loop, so the same rules as CosineSimilarity
+  * apply: no UDF boxing, `doGenCode` emits a static-kernel call that stays
+  * inside whole-stage codegen.
+  *
+  * Algorithm: the textbook Jaro measure (matches within a
+  * `max(|a|,|b|)/2 - 1` window, half-transpositions) with the Winkler
+  * prefix boost (`p = 0.1`, up to 4 chars, applied when jaro > 0.7). The
+  * float arithmetic is ordered exactly as the common reference form
+  * `(m/|a| + m/|b| + (m-t)/m) / 3` — every op is a correctly-rounded IEEE
+  * double op on per-row scalars (no accumulation-order dependence), so the
+  * result is bitwise-reproducible across engines implementing the same
+  * form (verified bitwise against DuckDB's jaro_winkler_similarity).
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.compute(
+      a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinkler$$.MODULE$$.compute($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object JaroWinkler {
+
+  /** Jaro-Winkler similarity in [0, 1]. Identical strings are 1.0 by
+    * definition (short-circuit, like every reference implementation);
+    * either side empty scores 0.0.
+    */
+  def compute(s1: String, s2: String): Double = {
+    if (s1 == s2) return 1.0
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+
+    val matched1 = new Array[Boolean](l1)
+    val matched2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val c = s1.charAt(i)
+      var j = math.max(0, i - window)
+      val hi = math.min(l2, i + window + 1)
+      var found = false
+      while (j < hi && !found) {
+        if (!matched2(j) && s2.charAt(j) == c) {
+          matched1(i) = true
+          matched2(j) = true
+          m += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+
+    // transpositions: matched chars of s1 vs matched chars of s2, in order
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (matched1(i)) {
+        while (!matched2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+    if (jaro > 0.7) {
+      var prefix = 0
+      val maxP = math.min(4, math.min(l1, l2))
+      while (prefix < maxP && s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1
+      jaro + prefix * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+}
+
+object StringSimilarity {
+  /** Jaro-Winkler similarity between two string columns. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    bridge.column(JaroWinkler(bridge.expression(a), bridge.expression(b)))
+}
