@@ -2464,6 +2464,52 @@ object QueryCatalog {
         |  FROM orders)
         |SELECT o_orderkey, o_totalprice FROM t ORDER BY k, o_orderkey LIMIT 100""".stripMargin)),
 
+    // Shannon token entropy per document (the vocabulary-diversity quality
+    // signal): H = log2(n) - sum(c*log2(c))/n over per-doc token counts —
+    // two codegen hash aggregates, no window. Per-doc float sums differ
+    // across engines only in accumulation order -> round(,6) parity
+    // (stats_suite convention).
+    CatalogEntry("token_entropy",
+      (s, d) => {
+        val tok = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).cast("long").as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            round(log2(sum(col("c"))) - sum(col("c") * log2(col("c"))) / sum(col("c")), 6)
+              .as("entropy"))
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), tc AS (
+        |  SELECT doc_id, token, COUNT(*) AS c FROM tok WHERE token <> '' GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+        |  round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy
+        |FROM tc GROUP BY 1""".stripMargin)),
+
+    // Distinct count over a sliding frame: Spark windows reject DISTINCT
+    // aggregates, so the idiom is collect_list over the frame ->
+    // array_distinct -> size (bounded by the 10-row frame, so the per-row
+    // buffer is constant). DuckDB states the same thing natively as
+    // COUNT(DISTINCT) OVER — the oracle pins the workaround's semantics
+    // against the native form.
+    CatalogEntry("window_count_distinct",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").cast("date"), col("o_orderkey"))
+          .rowsBetween(-9, Window.currentRow)
+        T(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+          size(array_distinct(collect_list(col("o_orderpriority")).over(w))).as("n_prios"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |  COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n_prios
+        |FROM orders""".stripMargin)),
+
     // Trailing EWMA (α=0.5) over the last 10 orders per customer: the
     // recursive smoother as a deterministic sequential fold over a bounded
     // ROWS frame (collect_list → aggregate). Both engines fold the same

@@ -58,6 +58,13 @@ class CacheContractSpec extends SparkSpec {
     assert(released === 0)
   }
 
+  test("Graph.pageRank leaks exactly one handle; unpersist clears all") {
+    val edges = Seq((2L, 3L), (2L, 5L), (4L, 3L), (6L, 7L)).toDF("src", "dst")
+    val (held, released) = deltaAround(Graph.pageRank(edges, "src", "dst", iterations = 3))
+    assert(held === 1) // the final rank vector — und/deg/adj/intermediates released
+    assert(released === 0)
+  }
+
   test("connectedComponents driver path leaves no cached RDDs at all") {
     spark.catalog.clearCache()
     val base = cachedRddCount
