@@ -2510,6 +2510,56 @@ object QueryCatalog {
         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n_prios
         |FROM orders""".stripMargin)),
 
+    // Training-mixture weights with temperature sampling (alpha = 0.5):
+    // per-source sampling weight ∝ size^alpha — the standard multilingual/
+    // multi-source rebalancing rule. sqrt is IEEE-exact in both engines;
+    // only the 20-term normalizing sum is order-sensitive -> round(,6).
+    // One tiny aggregate + a 1-row broadcast: nothing here grows with
+    // corpus size except the first groupBy.
+    CatalogEntry("mixture_weights",
+      (s, d) => {
+        val src = docs(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("n_chars"))
+        val tot = src.agg(sum(sqrt(col("n_chars").cast("double"))).as("tw"))
+        src.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_chars"),
+            round(sqrt(col("n_chars").cast("double")) / col("tw"), 6).as("mix_weight"))
+      },
+      Some("""WITH src AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT source, n_docs, n_chars, sqrt(CAST(n_chars AS DOUBLE)) AS raw_w FROM src
+        |)
+        |SELECT source, n_docs, n_chars,
+        |  round(raw_w / (SELECT SUM(raw_w) FROM w), 6) AS mix_weight
+        |FROM w""".stripMargin)),
+
+    // Passage-level exact dedup: fixed 20-token chunks per document,
+    // repeated chunks surfaced with occurrence/document counts — the
+    // within-and-across-document duplication signal paragraph dedup needs
+    // when documents themselves are distinct. The chunking lambda runs per
+    // CHUNK over a materialized token array (ROUNDLOG lesson 1 — never per
+    // token); the aggregate shuffles chunk text once, and at 100 TB the
+    // groupBy key would be the chunk md5, not the text.
+    CatalogEntry("passage_dedup",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, CAST(ceil(size(ts) / 20.0) AS INT) - 1), " +
+            "i -> array_join(slice(ts, i * 20 + 1, 20), ' '))")).as("chunk"))
+        .groupBy(col("chunk"))
+        .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_occurrences") > 1),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), chunks AS (
+        |  SELECT doc_id, array_to_string(ts[(i*20+1):(i*20+20)], ' ') AS chunk
+        |  FROM toks, LATERAL (SELECT unnest(range(0, CAST(ceil(len(ts)/20.0) AS INT))) AS i) g
+        |)
+        |SELECT chunk, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM chunks GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin)),
+
     // Trailing EWMA (α=0.5) over the last 10 orders per customer: the
     // recursive smoother as a deterministic sequential fold over a bounded
     // ROWS frame (collect_list → aggregate). Both engines fold the same
