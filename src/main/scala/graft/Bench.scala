@@ -85,26 +85,34 @@ object Bench {
       System.err.println(f"[bench] $name: $dt%.2f s (min of $runs, max ${samples.max}%.2f)")
       (name, dt, samples, ok)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    // 4-decimal times: full double repr made the stdout line ~3× longer and
+    // the r5/r6 driver capture truncated it mid-line → "parsed": null. 0.1 ms
+    // resolution is far below this box's run-to-run noise.
+    def fmt(d: Double) = f"$d%.4f"
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // Per-query spread (all N samples, in run order): lets a reader separate
     // one-off contention (min ≪ max) from a real regression (min ≈ max both
     // high) without a re-run (VERDICT r4 item 2).
     val spread = results.map { case (k, _, ss, _) =>
-      "\"" + k + "\":[" + ss.mkString(",") + "]"
+      "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // "warm" records whether an unmeasured steady-state warmup ran, so
     // consumers can tell warm timings from cold-start ones (ADVICE r2)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"samples":$spread,"failed":$failed,"sf":"$sfDir","warm":$warmed,"warm_dir":"$warmDir"}"""
+    def line(withSamples: Boolean) = {
+      val samples = if (withSamples) s""","samples":$spread""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs$samples,"failed":$failed,"sf":"$sfDir","warm":$warmed,"warm_dir":"$warmDir"}"""
+    }
     // stdout gets captured-and-truncated by the harness (the r3 tail lost
-    // the "value" field) — always write the full line to a file as well
+    // the "value" field; r5/r6 lost the whole parse) — keep stdout compact
+    // (no per-sample spread) and always write the full line to a file
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes("UTF-8"))
-    println(line)
+      (line(withSamples = true) + "\n").getBytes("UTF-8"))
+    println(line(withSamples = false))
     spark.stop()
   }
 }

@@ -184,6 +184,145 @@ object QueryCatalog {
       |      AND CAST(l2.l_shipdate AS DATE) >= DATE '1995-01-01'
       |      AND CAST(l2.l_shipdate AS DATE) < DATE '1996-01-01'))""".stripMargin
 
+  /** Dialect-shared TPC-H Q2 shape (minimum-cost supplier): the schema has
+    * no partsupp, so per-(part, supplier) unit cost derives from lineitem as
+    * MIN(extendedprice/quantity) — a pure-double division, IEEE-identical in
+    * both engines, so the correlated-MIN equality is exact. Plan shape is
+    * the original's: a derived supply table joined to dims, filtered by a
+    * correlated scalar MIN over the same derived table.
+    */
+  val tpchQ2Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+      |FROM part JOIN ps ON p_partkey = ps_partkey
+      |JOIN supplier ON s_suppkey = ps_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+      |  AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost) FROM ps ps2
+      |      JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      |      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |      WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')""".stripMargin
+
+  /** Dialect-shared TPC-H Q4 shape (order-priority checking): EXISTS
+    * semi-join against lineitem. The schema has no commit/receipt dates, so
+    * "late" is shipdate > orderdate + 30 days — same semi-join plan.
+    */
+  val tpchQ4Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+      |              AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)
+      |GROUP BY 1""".stripMargin
+
+  /** Dialect-shared TPC-H Q11 shape (important stock): grouped HAVING
+    * against an uncorrelated scalar aggregate over the same CTE (a
+    * global-fraction cut). Value per (part, supplier) derives from lineitem
+    * (no partsupp); both the group sums and the global sum accumulate as
+    * exact decimals, and the fraction compare happens on one deterministic
+    * double multiply each side.
+    */
+  val tpchQ11Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_7'
+      |  GROUP BY 1, 2)
+      |SELECT l_partkey AS ps_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+      |FROM ps GROUP BY 1
+      |HAVING CAST(SUM(val) AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM ps)""".stripMargin
+
+  /** Dialect-shared TPC-H Q15 shape (top supplier): CTE view + scalar MAX
+    * subquery over it. total_revenue is an exact-decimal sum cast to double
+    * on both sides, so the MAX equality is exact.
+    */
+  val tpchQ15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin
+
+  /** Dialect-shared TPC-H Q16 shape (parts/supplier relationship count):
+    * COUNT(DISTINCT) under a null-aware NOT IN anti-join (complaint
+    * suppliers → negative account balance stands in for the comment LIKE).
+    */
+  val tpchQ16Sql: String =
+    """SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#3' AND p_type NOT IN ('PROMO', 'ECONOMY')
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Dialect-shared TPC-H Q17 shape (small-quantity-order revenue): a
+    * correlated scalar AVG per part. l_quantity is whole-valued, so the
+    * double AVG is exact regardless of either engine's summation order, and
+    * the 0.2× cut is one deterministic multiply.
+    */
+  val tpchQ17Sql: String =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#5' AND p_type = 'SMALL'
+      |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** Dialect-shared TPC-H Q21 shape (suppliers who kept orders waiting):
+    * the double-correlated EXISTS / NOT EXISTS pair on the same fact —
+    * "this supplier shipped late on a multi-supplier order where no other
+    * supplier was late". Late = shipdate > orderdate + 60 days (no
+    * commit/receipt dates in the schema).
+    */
+  val tpchQ21Sql: String =
+    """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND n_name IN ('NATION_3', 'NATION_4', 'NATION_5')
+      |  AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                  AND CAST(l3.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+      |GROUP BY 1""".stripMargin
+
+  /** Dialect-shared TPC-H Q22 shape (global sales opportunity): an
+    * uncorrelated scalar-AVG cut plus a NOT EXISTS anti-join. No c_phone in
+    * the schema, so country code = c_nationkey % 10; "no orders" becomes
+    * "no open ('O') orders" (every synthetic customer has some order). The
+    * AVG threshold is computed as exact-decimal SUM cast to double, divided
+    * by the count — one IEEE division, identical both engines (a native
+    * decimal AVG would round at engine-specific scales).
+    */
+  val tpchQ22Sql: String =
+    """SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM (
+      |  SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal, c_custkey
+      |  FROM customer
+      |  WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+      |    AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |                     FROM customer
+      |                     WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (1, 3, 5, 7, 9))
+      |) custsale
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |GROUP BY 1""".stripMargin
+
   /** Dialect-shared recursive CTE: ancestor chain over the binary-heap
     * parent function floor((k-1)/2), per nation key.
     */
@@ -2179,6 +2318,190 @@ object QueryCatalog {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-09-01'
         |  AND CAST(l_shipdate AS DATE) < DATE '1995-10-01'""".stripMargin)),
+
+    // TPC-H Q2 shape: correlated-MIN over a derived supply table. Both
+    // sides of the min-cost equality are the same double division, so the
+    // filter is exact. The ps CTE is tiny relative to lineitem (one row per
+    // (part, supplier) seen) — at 100 TB it aggregates map-side first.
+    CatalogEntry("tpch_q2",
+      (s, d) => {
+        Seq("part", "supplier", "nation", "region", "lineitem").foreach(t =>
+          T(s, d, t).createOrReplaceTempView(t))
+        s.sql(tpchQ2Sql)
+      },
+      Some(tpchQ2Sql)),
+
+    CatalogEntry("tpch_q4",
+      (s, d) => {
+        Seq("orders", "lineitem").foreach(t =>
+          T(s, d, t).createOrReplaceTempView(t))
+        s.sql(tpchQ4Sql)
+      },
+      Some(tpchQ4Sql)),
+
+    // TPC-H Q6 shape (forecast revenue), DataFrame API: the one-table
+    // filter-and-aggregate. All three predicates reach the parquet scan
+    // (PushedFilters) — at 100 TB this is a scan whose row-group stats
+    // skip most of the table, then a map-side partial sum.
+    CatalogEntry("tpch_q6",
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-01-01").cast("date") &&
+          col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+          col("l_quantity") < 24)
+        .agg(Cols.moneySum(col("l_extendedprice") * col("l_discount"), 4).as("revenue")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q9 shape (product-type profit), DataFrame API: the widest join
+    // tree in the suite. part (LIKE-filtered), supplier, and nation
+    // broadcast; lineitem ⋈ orders is the only shuffle pair. No partsupp in
+    // the schema, so unit cost is 0.1 × p_retailprice. The profit expression
+    // keeps the oracle's exact association: (price·(1−disc)) − ((0.1·retail)·qty).
+    CatalogEntry("tpch_q9",
+      (s, d) => {
+        val redParts = broadcast(T(s, d, "part").filter(col("p_name").contains("red"))
+          .select(col("p_partkey"), col("p_retailprice")))
+        T(s, d, "lineitem")
+          .join(redParts, col("p_partkey") === col("l_partkey"))
+          .join(broadcast(T(s, d, "supplier")), col("s_suppkey") === col("l_suppkey"))
+          .join(T(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(T(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"),
+            year(col("o_orderdate").cast("date")).as("o_year"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+              lit(0.1) * col("p_retailprice") * col("l_quantity"))
+              .cast(DecimalType(18, 4)).as("amount"))
+          .groupBy(col("nation"), col("o_year"))
+          .agg(sum(col("amount")).cast(DoubleType).as("sum_profit"))
+      },
+      Some("""SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        |FROM (SELECT n_name AS nation, EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%red%') profit
+        |GROUP BY 1, 2""".stripMargin)),
+
+    CatalogEntry("tpch_q11",
+      (s, d) => {
+        Seq("lineitem", "supplier", "nation").foreach(t =>
+          T(s, d, t).createOrReplaceTempView(t))
+        s.sql(tpchQ11Sql)
+      },
+      Some(tpchQ11Sql)),
+
+    // TPC-H Q12 shape (priority classes per flag), DataFrame API: one
+    // shuffle join then conditional long sums. No l_shipmode in the schema,
+    // so l_returnflag ∈ (A, R) stands in for the two ship modes.
+    CatalogEntry("tpch_q12",
+      (s, d) => {
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        T(s, d, "orders")
+          .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_returnflag").isin("A", "R") &&
+            col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+            col("l_shipdate").cast("date") < lit("1997-01-01").cast("date"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      },
+      Some("""SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q13 shape (customer order-count distribution), DataFrame API:
+    // LEFT OUTER with the priority predicate inside the join condition (a
+    // WHERE would turn it inner and drop zero-order customers), count of a
+    // nullable column, then a second tiny aggregate over the counts.
+    CatalogEntry("tpch_q13",
+      (s, d) => T(s, d, "customer")
+        .join(T(s, d, "orders"),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "4-NOT SPECIFIED",
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist")),
+      Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '4-NOT SPECIFIED'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY 1""".stripMargin)),
+
+    CatalogEntry("tpch_q15",
+      (s, d) => {
+        Seq("supplier", "lineitem").foreach(t =>
+          T(s, d, t).createOrReplaceTempView(t))
+        s.sql(tpchQ15Sql)
+      },
+      Some(tpchQ15Sql)),
+
+    CatalogEntry("tpch_q16",
+      (s, d) => {
+        Seq("part", "supplier", "lineitem").foreach(t =>
+          T(s, d, t).createOrReplaceTempView(t))
+        s.sql(tpchQ16Sql)
+      },
+      Some(tpchQ16Sql)),
+
+    CatalogEntry("tpch_q17",
+      (s, d) => {
+        Seq("part", "lineitem").foreach(t =>
+          T(s, d, t).createOrReplaceTempView(t))
+        s.sql(tpchQ17Sql)
+      },
+      Some(tpchQ17Sql)),
+
+    // TPC-H Q19 shape (disjunctive predicates), DataFrame API: the classic
+    // OR-of-conjunctions. The equi key (partkey) is a shared conjunct, so
+    // Catalyst plans a broadcast hash join with the disjunction as a
+    // post-join filter — not a nested-loop.
+    CatalogEntry("tpch_q19",
+      (s, d) => T(s, d, "lineitem")
+        .join(broadcast(T(s, d, "part")), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(Cols.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    CatalogEntry("tpch_q21",
+      (s, d) => {
+        Seq("supplier", "lineitem", "orders", "nation").foreach(t =>
+          T(s, d, t).createOrReplaceTempView(t))
+        s.sql(tpchQ21Sql)
+      },
+      Some(tpchQ21Sql)),
+
+    CatalogEntry("tpch_q22",
+      (s, d) => {
+        Seq("customer", "orders").foreach(t =>
+          T(s, d, t).createOrReplaceTempView(t))
+        s.sql(tpchQ22Sql)
+      },
+      Some(tpchQ22Sql)),
 
     // Rolling exact median over a trailing 7-row frame: collect the frame,
     // sort it, and take the midpoint. Even-count interpolation is

@@ -34,4 +34,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2000))
     assert(!p.contains("Join"), p.take(2000))
   }
+
+  test("tpch_q6 pushes its predicates into the parquet scan") {
+    val run = QueryCatalog.all.find(_.name == "tpch_q6").get.run
+    val formatted = run(spark, sf()).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the discount/quantity range conjuncts must reach PushedFilters; the
+    // shipdate cast keeps that one in the post-scan filter, which is fine
+    assert(formatted.contains("PushedFilters:"), formatted.take(3000))
+    assert(formatted.contains("GreaterThanOrEqual(l_discount,0.04)"), formatted.take(3000))
+    assert(formatted.contains("LessThan(l_quantity,24"), formatted.take(3000))
+  }
+
+  test("tpch_q9 broadcasts part/supplier/nation; only lineitem⋈orders shuffles") {
+    val p = planOf("tpch_q9")
+    assert(p.split("BroadcastHashJoin").length >= 4, p.take(3000)) // 3 broadcast joins
+  }
+
+  test("tpch_q19 plans the disjunction as a broadcast hash join, not a nested loop") {
+    val p = planOf("tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("NestedLoop"), p.take(3000))
+  }
 }
