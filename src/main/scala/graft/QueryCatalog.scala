@@ -2813,6 +2813,73 @@ object QueryCatalog {
         |  round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy
         |FROM tc GROUP BY 1""".stripMargin)),
 
+    // Okapi BM25 retrieval scores against a fixed query term set. Every
+    // arithmetic step is a double op the oracle mirrors verbatim (literals
+    // cast to double on the SQL side — DuckDB would otherwise multiply
+    // BIGINT·DECIMAL exactly where Spark multiplies doubles); only the
+    // per-doc sum over matched terms is order-dependent -> round(,6).
+    CatalogEntry("bm25_scores",
+      (s, d) => ops.TextAnalysis.bm25Scores(docs(s, d),
+        queryTerms = Seq("spark", "join", "window", "shuffle")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS n,
+        |         (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(DISTINCT doc_id) FROM dl) AS avgdl
+        |), qdf AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+        |  WHERE term IN ('spark', 'join', 'window', 'shuffle') GROUP BY 1
+        |)
+        |SELECT tf.doc_id,
+        |  round(SUM(ln(1e0 + (stats.n - qdf.df + 0.5) / (qdf.df + 0.5))
+        |    * ((CAST(tf.tf AS DOUBLE) * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl))))), 6) AS bm25,
+        |  CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY 1""".stripMargin)),
+
+    // Per-source KL divergence from the corpus unigram distribution — the
+    // data-mixture drift diagnostic. Probabilities are exact-count double
+    // divisions; the per-source sum rounds to 6 (accumulation order).
+    CatalogEntry("source_kl_divergence",
+      (s, d) => ops.TextAnalysis.sourceKlDivergence(docs(s, d)),
+      Some("""WITH toks AS (
+        |  SELECT source,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT source, term, COUNT(*) AS cnt FROM toks WHERE length(term) > 0 GROUP BY 1, 2
+        |), st AS (SELECT source, SUM(cnt) AS total FROM tf GROUP BY 1
+        |), gt AS (SELECT term, SUM(cnt) AS gcnt FROM tf GROUP BY 1
+        |), g AS (SELECT SUM(cnt) AS gtotal FROM tf)
+        |SELECT tf.source,
+        |  round(SUM((CAST(tf.cnt AS DOUBLE) / st.total)
+        |    * ln((CAST(tf.cnt AS DOUBLE) / st.total) / (CAST(gt.gcnt AS DOUBLE) / g.gtotal))), 6) AS kl,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms
+        |FROM tf JOIN st USING (source) JOIN gt USING (term) CROSS JOIN g
+        |GROUP BY 1""".stripMargin)),
+
+    // Boilerplate mining: word bigrams in ≥5% of documents. The threshold
+    // compares via integer cross-multiplication on both sides — see the
+    // operator scaladoc for the double-ceil tie hazard it avoids.
+    CatalogEntry("boilerplate_ngrams",
+      (s, d) => ops.TextAnalysis.boilerplateGrams(docs(s, d), n = 2, minDocPct = 5),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[j:j+1], ' ') AS gram
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j) u
+        |  WHERE len(t) >= 2
+        |)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY 1
+        |HAVING COUNT(*) * 100 >= 5 * (SELECT COUNT(*) FROM documents)""".stripMargin)),
+
     // Distinct count over a sliding frame: Spark windows reject DISTINCT
     // aggregates, so the idiom is collect_list over the frame ->
     // array_distinct -> size (bounded by the 10-row frame, so the per-row

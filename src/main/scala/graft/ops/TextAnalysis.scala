@@ -315,4 +315,121 @@ object TextAnalysis {
         xxhash64(col(textCol)).as("content_hash"))
       .filter(size(col("fingerprint")) > 0)
       .select(col("doc_id"), col("fingerprint"), col("content_hash"))
+
+  /** Per-doc term frequencies — the shared first stage of the retrieval /
+    * distribution operators below: normalize once, explode tokens, one
+    * partial+final hash aggregate on (doc, term). Text never shuffles; only
+    * (doc_id, term, count) rows do.
+    */
+  private def termFrequencies(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .select(col(idCol).as("doc_id"), explode(Shingles.tokensOfNorm(col("norm"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Okapi BM25 relevance score of every document against a fixed query
+    * term set: score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). Only docs matching ≥1 query
+    * term appear (`n_hits` = matched terms).
+    *
+    * Shape at scale: tf aggregates map-side; doc length is a window sum over
+    * the already-(doc,term)-grouped frame (rows ≪ tokens); the filter to
+    * query terms happens BEFORE the df window, so the per-term doc-frequency
+    * count runs over |query|·|matching docs| rows only. avgdl and N are
+    * 1-row broadcast frames — no driver action at plan-build time.
+    *
+    * Floats: every arithmetic step is a double op mirrored verbatim by the
+    * oracle SQL; the per-doc sum over matched terms is order-dependent at
+    * the last ulp, so the score rounds to 6 dp (stats_suite convention).
+    *
+    * Caching: tf feeds both avgdl and the scoring chain — persisted, then
+    * released via [[Dedup.materializeAndRelease]] (explicit-handle
+    * contract; the returned frame is the one persisted handle).
+    */
+  def bm25Scores(docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val tf = termFrequencies(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.select(count(lit(1)).as("__n"))
+    val avgdl = tf.agg(
+      (sum(col("tf")).cast("double") / countDistinct(col("doc_id"))).as("__avgdl"))
+    val idf = log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("__avgdl"))))
+    val result = tf
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("term").isin(queryTerms: _*))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(avgdl))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(idf * tfNorm), 6).as("bm25"), count(lit(1)).as("n_hits"))
+    Dedup.materializeAndRelease(result, tf)
+  }
+
+  /** KL divergence of each source's unigram distribution from the corpus
+    * distribution: KL(P_s‖Q) = Σ_t P_s(t)·ln(P_s(t)/Q(t)) — the standard
+    * data-mixture drift diagnostic (a source whose token mix diverges from
+    * the corpus gets a large score). Every source term also occurs in the
+    * corpus, so Q(t) > 0 and no smoothing is needed.
+    *
+    * Shape at scale: one (source, term) aggregate (map-side combined — the
+    * shuffle carries vocabulary-sized rows per source, not tokens); source
+    * totals as a window sum over that frame; corpus term counts broadcast
+    * back (vocabulary ≪ corpus); the grand total is a 1-row broadcast.
+    * Per-source sums round to 6 dp (order-dependent double accumulation).
+    *
+    * Caching: the (source, term) frame feeds three consumers — persisted,
+    * then released via [[Dedup.materializeAndRelease]].
+    */
+  def sourceKlDivergence(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = termFrequencies(docs, textCol, sourceCol)
+      .withColumnRenamed("doc_id", "source").withColumnRenamed("tf", "cnt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gt = tf.groupBy(col("term")).agg(sum(col("cnt")).as("gcnt"))
+    val g = tf.agg(sum(col("cnt")).as("__gtotal"))
+    val p = col("cnt").cast("double") / col("total")
+    val q = col("gcnt").cast("double") / col("__gtotal")
+    val result = tf
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .join(broadcast(gt), "term")
+      .crossJoin(broadcast(g))
+      .groupBy(col("source"))
+      .agg(round(sum(p * log(p / q)), 6).as("kl"), count(lit(1)).as("n_terms"))
+    Dedup.materializeAndRelease(result, tf)
+  }
+
+  /** Boilerplate n-gram mining: distinct word n-grams present in at least
+    * `minDocPct`% of documents — headers, footers, and template fragments
+    * shared across a crawl surface as high-document-frequency grams. The
+    * threshold compares as integer cross-multiplication (df·100 ≥ N·pct):
+    * a double `ceil(0.05·N)` puts 25.000000000000004 on one engine and 25.0
+    * on the other when N·pct lands exactly on an integer.
+    *
+    * Shape at scale: grams are distinct-per-doc at the map side
+    * ([[Shingles.wordNgrams]]), so the aggregate counts document frequency
+    * directly; only (gram, count) rows shuffle. N is a 1-row broadcast.
+    */
+  def boilerplateGrams(docs: DataFrame, n: Int = 2, minDocPct: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minDocPct >= 1 && minDocPct <= 100, s"minDocPct=$minDocPct out of range")
+    val nDocs = docs.select(count(lit(1)).as("__n"))
+    docs
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .withColumn("toks", Shingles.tokensOfNorm(col("norm")))
+      .select(col(idCol).as("doc_id"), explode(Shingles.wordNgrams(col("toks"), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 100 >= col("__n") * minDocPct)
+      .select(col("gram"), col("df"))
+  }
 }

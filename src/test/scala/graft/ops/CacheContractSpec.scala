@@ -65,6 +65,25 @@ class CacheContractSpec extends SparkSpec {
     assert(released === 0)
   }
 
+  test("bm25Scores leaks exactly one handle; unpersist clears all") {
+    val (held, released) = deltaAround(
+      TextAnalysis.bm25Scores(docs, queryTerms = Seq("quick", "fox", "parquet")))
+    assert(held === 1) // the result handle only — tf released
+    assert(released === 0)
+  }
+
+  test("sourceKlDivergence leaks exactly one handle; unpersist clears all") {
+    val srcDocs = Seq(
+      ("the quick brown fox", "src_a"),
+      ("spark engines and parquet files", "src_a"),
+      ("the lazy dog sleeps", "src_b"),
+      ("parquet files everywhere again", "src_b")
+    ).toDF("text", "source")
+    val (held, released) = deltaAround(TextAnalysis.sourceKlDivergence(srcDocs))
+    assert(held === 1)
+    assert(released === 0)
+  }
+
   test("connectedComponents driver path leaves no cached RDDs at all") {
     spark.catalog.clearCache()
     val base = cachedRddCount
