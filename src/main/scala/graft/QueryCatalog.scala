@@ -2813,6 +2813,25 @@ object QueryCatalog {
         |  round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy
         |FROM tc GROUP BY 1""".stripMargin)),
 
+    // The custom physical operator (plans.TopKPerGroup: logical node ->
+    // strategy -> partial/final bounded-heap execs): top-3 customers per
+    // nation by balance. Same answer as a window row_number <= 3, but the
+    // plan is heap-prune -> one hash exchange -> heap, never a full
+    // partition sort. Ordering is total (acctbal desc, custkey asc), so the
+    // result is deterministic and the oracle is the window form.
+    CatalogEntry("topk_native",
+      (s, d) => plans.TopKPerGroup(
+          T(s, d, "customer"), Seq("c_nationkey"),
+          Seq(("c_acctbal", true), ("c_custkey", false)), k = 3)
+        .select(col("c_nationkey"), col("c_custkey"),
+          col("c_acctbal").cast(DoubleType).as("acctbal")),
+      Some("""SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |        row_number() OVER (PARTITION BY c_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |      FROM customer) ranked
+        |WHERE rn <= 3""".stripMargin)),
+
     // Okapi BM25 retrieval scores against a fixed query term set. Every
     // arithmetic step is a double op the oracle mirrors verbatim (literals
     // cast to double on the SQL side — DuckDB would otherwise multiply

@@ -62,6 +62,8 @@ object JaroWinklerLengthPruning extends Rule[LogicalPlan] {
   * rules at session build time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => JaroWinklerLengthPruning)
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+  }
 }
