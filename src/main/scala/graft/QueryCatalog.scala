@@ -1399,6 +1399,25 @@ object QueryCatalog {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts_us BETWEEN p.ts_us - 3600000000 AND p.ts_us""".stripMargin)),
 
+    // Stream-stream LEFT OUTER interval join: null-side rows emit on state
+    // eviction, so both the stream and the oracle keep only purchases below
+    // the conservative watermark cutoff (see EventsStream scaladoc).
+    CatalogEntry("events_stream_left_join",
+      (s, d) => streaming.EventsStream.purchaseClickLeftJoin(s, d),
+      Some("""WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events
+        |), p AS (SELECT * FROM e WHERE event_type = 'purchase'
+        |), c AS (SELECT * FROM e WHERE event_type = 'click'
+        |), cut AS (SELECT least((SELECT max(ts_us) FROM p),
+        |                        (SELECT max(ts_us) FROM c)) - 5400000000 AS cutoff)
+        |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |  (p.ts_us // 1000000) - (c.ts_us // 1000000) AS lag_secs
+        |FROM p LEFT JOIN c
+        |  ON p.user_id = c.user_id
+        | AND c.ts_us BETWEEN p.ts_us - 3600000000 AND p.ts_us
+        |CROSS JOIN cut
+        |WHERE p.ts_us < cut.cutoff""".stripMargin)),
+
     // MERGE/upsert composed from anti-join + union (etl.Upsert): updates =
     // deterministic derived batch (balance bump on %7 keys, new %13 rows)
     CatalogEntry("upsert_dim",

@@ -182,6 +182,64 @@ object EventsStream {
     detachAppendResult(joined, "purchase_click_join")
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase, with its
+    * preceding-hour clicks when they exist and a null match when none do.
+    * Same watermark/state shape as [[purchaseClickJoin]]; the added
+    * semantics are the null-side emissions, which Spark produces on state
+    * EVICTION — an unmatched purchase row appears only once the global
+    * watermark (min over sides of max event time − 1 h) proves no matching
+    * click can still arrive. AvailableNow runs the no-data finalization
+    * batch, so end-of-stream state drains (verified: unmatched rows emit).
+    *
+    * Determinism: purchases above the final watermark are withheld by
+    * design (their match set is still open), so the result — and the batch
+    * oracle — keep only purchases BELOW a conservative cutoff,
+    * min(max purchase ts, max click ts) − 90 min (watermark delay + 30 min
+    * margin; exact integer µs arithmetic both engines). Below the cutoff
+    * streaming output provably equals the batch left join; at the boundary
+    * the eviction edge cases are excluded from BOTH sides by the same
+    * integer compare.
+    */
+  def purchaseClickLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try StreamingConf.withStateBackend(spark) {
+      def side(tpe: String, prefix: String) = spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .filter(col("event_type") === tpe)
+        .select(
+          col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          expr("ts div 1000").as(s"${prefix}_us"),
+          expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+      val joined = side("purchase", "purchase")
+        .join(side("click", "click"),
+          col("purchase_user") === col("click_user") &&
+            col("click_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
+            col("click_ts") <= col("purchase_ts"),
+          "left_outer")
+        .select(col("purchase_id"), col("click_id"),
+          col("purchase_user").as("user_id"),
+          (col("purchase_ts").cast("long") - col("click_ts").cast("long")).as("lag_secs"),
+          col("purchase_us"))
+      val res = detachAppendResult(joined, "purchase_click_left")
+      // completeness cutoff from the batch side of the same file — exact
+      // integer µs math, mirrored by the oracle's scalar subquery
+      val cutoffUs = spark.read.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .agg(
+          max(when(col("event_type") === "purchase", col("ts"))).as("maxp"),
+          max(when(col("event_type") === "click", col("ts"))).as("maxc"))
+        .select(expr("least(maxp, maxc) div 1000 - 5400000000").as("cutoff"))
+        .head.getLong(0)
+      res.filter(col("purchase_us") < cutoffUs).drop("purchase_us")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Copy the memory sink's (small, aggregated) result out and drop the
     * temp view — otherwise every invocation leaks a UUID-named in-memory
     * table into the session catalog for its lifetime.
