@@ -323,6 +323,14 @@ object QueryCatalog {
       |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
       |GROUP BY 1""".stripMargin
 
+  /** Dialect-shared ANSI FILTER (WHERE) aggregate clause. */
+  val filteredAggsSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_closed,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_open,
+      |  CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending_custs
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** Dialect-shared recursive CTE: ancestor chain over the binary-heap
     * parent function floor((k-1)/2), per nation key.
     */
@@ -2831,6 +2839,38 @@ object QueryCatalog {
         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
         |  round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy
         |FROM tc GROUP BY 1""".stripMargin)),
+
+    // ANSI FILTER (WHERE ...) aggregate clause — per-aggregate predicates
+    // in one pass (the declarative twin of the when/otherwise conditional
+    // sums in tpch_q12). Dialect-shared text; empty filtered SUM is NULL
+    // in both engines.
+    CatalogEntry("filtered_aggs",
+      (s, d) => {
+        T(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(filteredAggsSql)
+      },
+      Some(filteredAggsSql)),
+
+    // Stable CONTIGUOUS row ids via sort + zipWithIndex — the scalable
+    // pattern monotonically_increasing_id cannot give (its ids jump by
+    // partition stride). Sort gives a total order (range partitioning);
+    // zipWithIndex then numbers rows with ONE tiny job collecting per-
+    // partition counts — no single-partition coalesce, no window over the
+    // whole table (row_number without PARTITION BY is the 1-partition
+    // scale-killer the oracle uses, fine for DuckDB, wrong for Spark).
+    CatalogEntry("row_ids",
+      (s, d) => {
+        val src = T(s, d, "supplier").orderBy(col("s_suppkey"))
+        val schema = src.schema.add("row_id", org.apache.spark.sql.types.LongType)
+        val rdd = src.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        }
+        s.createDataFrame(rdd, schema)
+          .select(col("s_suppkey"), col("row_id"))
+      },
+      Some("""SELECT s_suppkey,
+        |  row_number() OVER (ORDER BY s_suppkey) - 1 AS row_id
+        |FROM supplier""".stripMargin)),
 
     // The custom physical operator (plans.TopKPerGroup: logical node ->
     // strategy -> partial/final bounded-heap execs): top-3 customers per

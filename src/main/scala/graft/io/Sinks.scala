@@ -26,6 +26,24 @@ object Sinks {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.partitionBy(partitionCols: _*).mode(mode).parquet(path)
 
+  /** Dynamic partition overwrite: replace ONLY the partitions present in
+    * `df`, leaving sibling partitions untouched — the idempotent daily-
+    * backfill write (static overwrite mode would drop the whole table
+    * root). Session-conf scoped to this call and restored after.
+    */
+  def dynamicPartitionOverwrite(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.partitionBy(partitionCols: _*).mode(SaveMode.Overwrite).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** K3: JDBC append (reference: src/main/write/database_write.py:8-15). */
   def jdbcAppend(df: DataFrame, url: String, table: String, props: Properties): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, props)

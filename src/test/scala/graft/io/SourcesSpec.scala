@@ -31,6 +31,23 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("_bad").isNull && col("quantity").isNotNull).count() === 2)
   }
 
+  test("dynamicPartitionOverwrite replaces only the written partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dyn").toString
+    Sinks.partitionedParquet(
+      Seq(("2024-01", 1L, 10.0), ("2024-02", 2L, 20.0)).toDF("month", "id", "v"),
+      dir, Seq("month"))
+    // overwrite ONLY 2024-02; 2024-01 must survive (static mode drops it)
+    Sinks.dynamicPartitionOverwrite(
+      Seq(("2024-02", 3L, 30.0)).toDF("month", "id", "v"), dir, Seq("month"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 2)
+    assert(back.filter(col("month") === "2024-01").count() === 1)
+    assert(back.filter(col("month") === "2024-02").select("id").head().getLong(0) === 3L)
+    // the conf is restored afterwards (scoped override)
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") !== "dynamic")
+  }
+
   test("mergeSchema unions drifted parquet batch schemas") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-evolve").toString
