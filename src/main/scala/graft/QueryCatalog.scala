@@ -3400,5 +3400,5 @@ object QueryCatalog {
         |FROM f WHERE frame_idx % 2 = 0""".stripMargin)),
   )
 
-  def all: Seq[CatalogEntry] = parity ++ extensions
+  def all: Seq[CatalogEntry] = parity ++ extensions ++ QueryCatalogR7.entries
 }

@@ -80,4 +80,58 @@ object Graph {
     und.unpersist()
     ranks
   }
+
+  /** Whole-graph triangle statistics over an undirected simple graph given
+    * as a deduplicated edge list with `src < dst` (long node ids). Returns
+    * ONE row: (n_nodes, n_edges, n_wedges, n_triangles, global_clustering).
+    *
+    * Scale shape — degree-ordered orientation (the standard distributed
+    * triangle-count trick): each edge is directed from its lower-(degree,
+    * id) endpoint to the higher one, so every triangle is counted exactly
+    * once from its lowest-ordered vertex, and the wedge join fans out from
+    * a vertex's OUT-neighbours only. A vertex of degree d contributes
+    * O(outdeg²) wedge pairs, and orientation bounds outdeg by ~√|E| even
+    * for celebrity vertices — the naive undirected join would square the
+    * full degree of every hub. The wedge check is a left-semi join against
+    * the oriented edges (build side shuffles once on the wedge endpoints).
+    *
+    * Determinism: all counts are exact integers; the only double is the
+    * final clustering ratio (one division). The ordering key packs
+    * (degree, id) into one long — valid while ids < 2^32.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (degree, id) packed into one orderable long; ids are < 2^32 here
+    val keyed = e
+      .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("ddeg")), "dst")
+      .select(col("src"), col("dst"),
+        (col("sdeg") * lit(4294967296L) + col("src")).as("skey"),
+        (col("ddeg") * lit(4294967296L) + col("dst")).as("dkey"))
+    val oriented = keyed.select(
+      when(col("skey") < col("dkey"), col("src")).otherwise(col("dst")).as("u"),
+      when(col("skey") < col("dkey"), col("dst")).otherwise(col("src")).as("v"),
+      greatest(col("skey"), col("dkey")).as("vkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedgePairs = oriented.select(col("u"), col("v").as("a"), col("vkey").as("akey"))
+      .join(oriented.select(col("u"), col("v").as("b"), col("vkey").as("bkey")), "u")
+      .filter(col("akey") < col("bkey"))
+    val triangles = wedgePairs
+      .join(oriented.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val edgeNodeCounts = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      // undirected wedges (length-2 paths): sum over deg-choose-2
+      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    val edgeCount = e.agg(count(lit(1)).as("n_edges"))
+    val out = edgeNodeCounts.crossJoin(edgeCount).crossJoin(triangles)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        (col("n_triangles").cast("double") * 3.0 / col("n_wedges")).as("global_clustering"))
+    Dedup.materializeAndRelease(out, e, deg, oriented)
+  }
 }

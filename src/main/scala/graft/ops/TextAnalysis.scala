@@ -432,4 +432,79 @@ object TextAnalysis {
       .filter(col("df") * 100 >= col("__n") * minDocPct)
       .select(col("gram"), col("df"))
   }
+
+  /** Collocation mining: top-`topK` bigrams by pointwise-association lift
+    * `count(w1 w2) · N_unigrams / (count(w1) · count(w2))` — PMI without
+    * the log (the ranking is identical and the score stays in exact-ish
+    * double territory: one multiply chain in a fixed order, no libm).
+    * Bigrams below `minCount` are cut BEFORE the unigram join.
+    *
+    * Shape at scale: two corpus token passes (unigram counts, bigram
+    * counts), both map-side-combined hash aggregates; the unigram
+    * vocabulary joins in broadcast (vocabularies are millions of rows at
+    * most — tiny next to the corpus). The final top-K is a single window
+    * over the `minCount`-surviving bigrams, which the cut keeps small; at
+    * 100 TB you would swap the window for TopKPerGroup or raise minCount.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5, topK: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withToks = docs
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .withColumn("toks", Shingles.tokensOfNorm(col("norm")))
+    val uni = withToks.select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nUni = uni.agg(sum(col("wc")).as("__n_uni"))
+    val bigrams = withToks.filter(size(col("toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val scored = bigrams
+      .join(broadcast(uni.select(col("w").as("w1"), col("wc").as("c_a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("wc").as("c_b"))), "w2")
+      .crossJoin(broadcast(nUni))
+      // fixed association order: (c_ab · N) first, then the divisor product
+      .withColumn("lift",
+        (col("c_ab").cast("double") * col("__n_uni")) /
+          (col("c_a").cast("double") * col("c_b")))
+    val w = Window.orderBy(col("lift").desc, col("w1"), col("w2"))
+    val result = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("w1"), col("w2"), col("c_ab"), col("lift"))
+    Dedup.materializeAndRelease(result, uni)
+  }
+
+  /** Corpus vocabulary head: top-`topK` words by frequency with their rank,
+    * the Zipf invariant rank·freq (exact integer), and frequency relative
+    * to the top word. One map-side-combined aggregate over the tokens; the
+    * rank window runs on the (tiny) top slice only after a `limit`-friendly
+    * global ordering — at scale this is TakeOrderedAndProject territory,
+    * not a full sort.
+    */
+  def zipfRanks(docs: DataFrame, topK: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uni = docs
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .select(explode(Shingles.tokensOfNorm(col("norm"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val top = uni.orderBy(col("freq").desc, col("w")).limit(topK)
+    val w = Window.orderBy(col("freq").desc, col("w"))
+    val topFreq = top.agg(max(col("freq")).as("__top"))
+    top.withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(topFreq))
+      .select(col("rank").cast("long").as("rank"), col("w").as("word"), col("freq"),
+        (col("rank").cast("long") * col("freq")).as("rank_freq"),
+        (col("freq").cast("double") / col("__top")).as("ratio_to_top"))
+  }
 }

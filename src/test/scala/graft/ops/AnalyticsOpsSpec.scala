@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Known-answer tests for the round-7 analytics operators: triangle census,
+  * interval occupancy, equi-depth buckets, largest-remainder allocation,
+  * and the Pareto skyline. Each fixture is small enough to verify by hand.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangleStats: K4 plus a pendant vertex") {
+    // complete graph on {1,2,3,4} (4 triangles) + pendant edge 4-5
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val row = Graph.triangleStats(edges).head()
+    assert(row.getAs[Long]("n_nodes") === 5)
+    assert(row.getAs[Long]("n_edges") === 7)
+    assert(row.getAs[Long]("n_triangles") === 4)
+    // wedges: degrees (3,3,3,4,1) -> 3+3+3+6+0 = 15
+    assert(row.getAs[Long]("n_wedges") === 15)
+    assert(math.abs(row.getAs[Double]("global_clustering") - 12.0 / 15.0) < 1e-15)
+  }
+
+  test("triangleStats: triangle-free bipartite graph counts zero") {
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val row = Graph.triangleStats(edges).head()
+    assert(row.getAs[Long]("n_triangles") === 0)
+    assert(row.getAs[Long]("n_wedges") === 4) // each vertex degree 2 -> 4x1
+  }
+
+  test("dailyOccupancy: two overlapping 3-day intervals") {
+    val df = Seq("2024-01-01", "2024-01-02").toDF("start")
+      .select(to_date(col("start")).as("start"))
+    val occ = Intervals.dailyOccupancy(df, col("start"), lengthDays = 3)
+      .orderBy("day").collect()
+    assert(occ.map(r => (r.getDate(0).toString, r.getLong(1))).toSeq === Seq(
+      ("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 2L), ("2024-01-04", 1L)))
+  }
+
+  test("equiDepthBuckets: 10 rows into 3 buckets of sizes 4/3/3") {
+    // ranks 0..9 -> floor(rank*3/10)+1: bucket 1 x4, bucket 2 x3, bucket 3 x3
+    val df = (1 to 10).map(i => (i.toDouble, i.toLong)).toDF("v", "k")
+    val got = Distribution.equiDepthBuckets(df, col("v"), Seq(col("k")), n = 3)
+      .orderBy("bucket").collect()
+    assert(got.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("cnt"))).toSeq
+      === Seq((1L, 4L), (2L, 3L), (3L, 3L)))
+    assert(got.head.getAs[Double]("min_v") === 1.0)
+    assert(got.last.getAs[Double]("max_v") === 10.0)
+  }
+
+  test("quotaAllocation: classic largest-remainder example") {
+    // weights 47000/16000/15800/12000/6100/3100 of 100000, 10 seats:
+    // quotas 4.7/1.6/1.58/1.2/0.61/0.31 -> base 4/1/1/1/0/0 = 7, three
+    // extras go to the largest remainders: a(.7), e(.61), b(.6)
+    val w = Seq(("a", 47000L), ("b", 16000L), ("c", 15800L),
+      ("d", 12000L), ("e", 6100L), ("f", 3100L)).toDF("k", "w")
+    val got = Distribution.quotaAllocation(w, "k", "w", seats = 10L)
+      .select("key", "seats").as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 5L, "b" -> 2L, "c" -> 1L, "d" -> 1L, "e" -> 1L, "f" -> 0L))
+  }
+
+  test("quotaAllocation: seats always sum to the target") {
+    val w = Seq(("x", 1L), ("y", 1L), ("z", 1L)).toDF("k", "w")
+    val total = Distribution.quotaAllocation(w, "k", "w", seats = 100L)
+      .agg(sum(col("seats"))).head().getLong(0)
+    assert(total === 100L)
+  }
+
+  test("paretoFrontier: dominated rows drop, equal points both survive") {
+    val df = Seq(
+      (1L, 1.0, 10), // frontier (cheapest)
+      (2L, 2.0, 20), // frontier
+      (3L, 2.0, 20), // duplicate of 2 -> also frontier (equals don't dominate)
+      (4L, 2.0, 15), // dominated by 2 within its cost group
+      (5L, 3.0, 20), // dominated by 2 (same gain, higher cost)
+      (6L, 4.0, 30)  // frontier
+    ).toDF("id", "cost", "gain")
+    val ids = Skyline.paretoFrontier(df, col("cost"), col("gain"))
+      .select("id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L, 6L))
+  }
+}
