@@ -288,5 +288,209 @@ object QueryCatalogR7 {
         |  CAST(rank * freq AS BIGINT) AS rank_freq,
         |  CAST(freq AS DOUBLE) / (SELECT MAX(freq) FROM top) AS ratio_to_top
         |FROM top""".stripMargin)),
+
+    // 2-core of the minute-grain co-activity graph via iterative peeling
+    // (Graph.kCore). The fixpoint is unique, so the oracle can unroll the
+    // same peels as SQL CTEs: sf0.01 converges in 2 rounds (measured), the
+    // oracle unrolls 4 — two spare rounds of margin.
+    CatalogEntry("kcore_decomposition",
+      (s, d) => {
+        val b = QueryCatalog.eventsRaw(s, d)
+          .select(expr("ts_us div 60000000").as("h"), col("event_type"), col("user_id"))
+          .distinct()
+        val e = b.select(col("h"), col("event_type"), col("user_id").as("src"))
+          .join(b.select(col("h"), col("event_type"), col("user_id").as("dst")),
+            Seq("h", "event_type"))
+          .filter(col("src") < col("dst"))
+          .select(col("src"), col("dst")).distinct()
+        ops.Graph.kCore(e, k = 2)
+          .select(col("node").as("user_id"), col("core_deg"))
+      },
+      Some("""WITH b AS (
+        |  SELECT DISTINCT date_trunc('minute', ts) AS h, event_type, user_id FROM events
+        |), e0 AS (
+        |  SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+        |  FROM b a JOIN b c ON a.h = c.h AND a.event_type = c.event_type
+        |    AND a.user_id < c.user_id
+        |), sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        |), a0 AS (SELECT DISTINCT src AS node FROM sym
+        |), a1 AS (
+        |  SELECT s.src AS node FROM sym s JOIN a0 x ON s.src = x.node
+        |    JOIN a0 y ON s.dst = y.node GROUP BY 1 HAVING COUNT(*) >= 2
+        |), a2 AS (
+        |  SELECT s.src AS node FROM sym s JOIN a1 x ON s.src = x.node
+        |    JOIN a1 y ON s.dst = y.node GROUP BY 1 HAVING COUNT(*) >= 2
+        |), a3 AS (
+        |  SELECT s.src AS node FROM sym s JOIN a2 x ON s.src = x.node
+        |    JOIN a2 y ON s.dst = y.node GROUP BY 1 HAVING COUNT(*) >= 2
+        |), a4 AS (
+        |  SELECT s.src AS node FROM sym s JOIN a3 x ON s.src = x.node
+        |    JOIN a3 y ON s.dst = y.node GROUP BY 1 HAVING COUNT(*) >= 2
+        |)
+        |SELECT s.src AS user_id, COUNT(*) AS core_deg
+        |FROM sym s JOIN a4 x ON s.src = x.node JOIN a4 y ON s.dst = y.node
+        |GROUP BY 1""".stripMargin)),
+
+    // Winsorize (clip at exact p05/p95 order statistics) per event type.
+    // The in-group ranks come from Distribution.groupedRanks — ONE
+    // range-partitioned distributed sort, never a per-group window task.
+    // Cut indices are integer-ceil cross-multiplications; no percentile
+    // interpolation anywhere, so both engines pick identical bound rows.
+    CatalogEntry("winsorize_clip",
+      (s, d) => {
+        val ev = QueryCatalog.eventsRaw(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val ranked = ops.Distribution.groupedRanks(
+          ev, "event_type", col("value"), Seq(col("event_id")))
+        val bounds = ranked
+          .withColumn("k_lo", expr("(5 * n + 99) div 100"))
+          .withColumn("k_hi", expr("(95 * n + 99) div 100"))
+          .filter(col("rank") === col("k_lo") || col("rank") === col("k_hi"))
+          .groupBy(col("g"))
+          .agg(min(when(col("rank") === col("k_lo"), col("v"))).as("lo"),
+            min(when(col("rank") === col("k_hi"), col("v"))).as("hi"))
+        ev.join(broadcast(bounds), ev("event_type") === bounds("g"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            when(col("value") < col("lo"), col("lo"))
+              .when(col("value") > col("hi"), col("hi"))
+              .otherwise(col("value")).as("clipped"))
+      },
+      Some("""WITH r AS (
+        |  SELECT event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rank,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |), bounds AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN rank = (5 * n + 99) // 100 THEN value END) AS lo,
+        |    MIN(CASE WHEN rank = (95 * n + 99) // 100 THEN value END) AS hi
+        |  FROM r
+        |  WHERE rank = (5 * n + 99) // 100 OR rank = (95 * n + 99) // 100
+        |  GROUP BY 1
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN e.value < b.lo THEN b.lo
+        |       WHEN e.value > b.hi THEN b.hi
+        |       ELSE e.value END AS clipped
+        |FROM events e JOIN bounds b USING (event_type)""".stripMargin)),
+
+    // Min-max feature scaling per event type: group extrema broadcast back,
+    // one mirrored double expression (exact — min/max are data values, the
+    // subtraction/division order is identical in both engines)
+    CatalogEntry("minmax_scale",
+      (s, d) => {
+        val st = QueryCatalog.eventsRaw(s, d).groupBy(col("event_type"))
+          .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+        QueryCatalog.eventsRaw(s, d)
+          .join(broadcast(st), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            when(col("mx") === col("mn"), 0.5)
+              .otherwise((col("value") - col("mn")) / (col("mx") - col("mn")))
+              .as("scaled"))
+      },
+      Some("""WITH st AS (
+        |  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN st.mx = st.mn THEN 5e-1
+        |       ELSE (e.value - st.mn) / (st.mx - st.mn) END AS scaled
+        |FROM events e JOIN st USING (event_type)""".stripMargin)),
+
+    // First-order Markov transition matrix over per-user event sequences:
+    // lead() within user (distributed by user), then a (prev, next) count
+    // aggregate; the conditional probability normalizes per prev state
+    // over the tiny state×state frame
+    CatalogEntry("event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val wp = Window.partitionBy(col("prev_type"))
+        QueryCatalog.eventsRaw(s, d)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("p", col("cnt").cast("double")
+            / sum(col("cnt")).over(wp).cast("double"))
+      },
+      Some("""WITH seq AS (
+        |  SELECT event_type AS prev_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events
+        |), c AS (
+        |  SELECT prev_type, next_type, COUNT(*) AS cnt FROM seq
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, cnt,
+        |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM c""".stripMargin)),
+
+    // Native ntile() window over the nation dim — the one place an
+    // unpartitioned window is the RIGHT call (25 rows; dims stay dim-sized
+    // at any corpus scale). Total order via (revenue desc, name).
+    CatalogEntry("ntile_nations",
+      (s, d) => {
+        val rev = T(s, d, "orders")
+          .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(T(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+        val w = Window.orderBy(col("revenue").desc, col("n_name"))
+        rev.withColumn("quartile", ntile(4).over(w).cast("long"))
+      },
+      Some("""WITH rev AS (
+        |  SELECT n_name,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1
+        |)
+        |SELECT n_name, revenue,
+        |  CAST(ntile(4) OVER (ORDER BY revenue DESC, n_name) AS BIGINT) AS quartile
+        |FROM rev""".stripMargin)),
+
+    // Bloom-prefilter join: the fact side is pruned MAP-SIDE against a
+    // 4 KB broadcast bitmap (3 md5-derived bit positions per key, all
+    // codegen Column bit math — no explode, no UDF) before the exact join
+    // removes the ~2-3% false positives. The oracle is the PLAIN join:
+    // the bloom only prunes, so the result is identical by construction —
+    // this pins the optimization as semantics-preserving. Bitmap build is
+    // a dim-sized driver-side fold (the IVF static-init pattern).
+    CatalogEntry("bloom_join",
+      (s, d) => {
+        // xxhash64, not the md5 replay kernel: the bloom is pure pruning
+        // (the exact join removes FPs), so nothing needs cross-engine
+        // replay and the fact-side probe stays a cheap codegen'd hash
+        val m = 32768
+        def posCol(i: Int, c: org.apache.spark.sql.Column) =
+          pmod(xxhash64(lit(i), c), lit(m)).cast("int")
+        val dim = T(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val words = new Array[Long](m / 64)
+        dim.select(explode(array((0 until 3).map(i =>
+            posCol(i, col("o_orderkey"))): _*)).as("p"))
+          .distinct().collect()
+          .foreach { r => val p = r.getInt(0); words(p / 64) |= (1L << (p % 64)) }
+        val hit = (0 until 3).map(i =>
+          expr(s"(shiftright(element_at(bmp, CAST(p$i div 64 AS INT) + 1), " +
+            s"CAST(p$i % 64 AS INT)) & 1) = 1")).reduce(_ && _)
+        (0 until 3).foldLeft(
+            T(s, d, "lineitem").withColumn("bmp", typedLit(words.toSeq))) {
+            (df, i) => df.withColumn(s"p$i", posCol(i, col("l_orderkey")))
+          }
+          .filter(hit)
+          .join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin)),
   )
 }

@@ -43,6 +43,40 @@ object Distribution {
       .agg(count(lit(1)).as("cnt"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
   }
 
+  /** Exact per-group ranks WITHOUT a per-group window: a single
+    * range-partitioned sort on (group, value, ties) + `zipWithIndex` gives
+    * a global contiguous index in which each group's rows are contiguous;
+    * subtracting the group's cumulative offset (a window over the TINY
+    * per-group-count frame) yields the 1-based in-group rank.
+    *
+    * Why: `row_number().over(partitionBy(group))` puts one group per task —
+    * a handful of heavy groups (5 event types over 100 TB) means 5 tasks do
+    * all the work. This shape keeps the sort fully distributed regardless
+    * of group cardinality; only the offsets frame (|groups| rows) is ever
+    * single-partition. Returns the projected (group, v, ties..., rank)
+    * frame; `n` (group size) rides along for rank-based cuts.
+    */
+  def groupedRanks(df: DataFrame, groupCol: String, valueCol: Column,
+      orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val projected = df.select((col(groupCol).as("g") +: valueCol.as("v") +:
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }): _*)
+    val sorted = projected.orderBy(
+      col("g") +: col("v") +: orderCols.indices.map(i => col(s"t$i")): _*)
+    val schema = sorted.schema.add("gidx", LongType)
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    // per-group start offsets: cumulative counts over the group frame (tiny)
+    val w = Window.orderBy(col("g")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = projected.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(w), lit(0L)))
+    indexed.join(broadcast(offsets), "g")
+      .withColumn("rank", col("gidx") - col("offset") + 1)
+      .drop("gidx", "offset")
+  }
+
   /** Largest-remainder (Hamilton) apportionment of `seats` integer seats
     * proportional to a per-key integer weight. Returns
     * (key, weight, base_seats, extra, seats).

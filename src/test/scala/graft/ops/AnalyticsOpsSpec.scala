@@ -70,6 +70,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(total === 100L)
   }
 
+  test("kCore: pendant chain peels off, triangle plus tail keeps the triangle") {
+    // triangle {1,2,3} + chain 3-4-5: 2-core is exactly the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("core_deg"))).sorted
+    assert(core.toSeq === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kCore: k=3 on a graph with no 3-core returns empty") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.kCore(edges, k = 3).isEmpty)
+  }
+
+  test("groupedRanks matches the per-group window row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", 3.0, 1L), ("a", 1.0, 2L), ("a", 1.0, 3L), ("b", 2.0, 4L),
+      ("b", 5.0, 5L), ("c", 0.5, 6L)).toDF("grp", "v", "id")
+    val got = Distribution.groupedRanks(df, "grp", col("v"), Seq(col("id")))
+      .select(col("g"), col("t0").as("id"), col("rank"))
+    val want = df.withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))))
+      .select(col("grp").as("g"), col("id"), col("rank").cast("long").as("rank"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("paretoFrontier: dominated rows drop, equal points both survive") {
     val df = Seq(
       (1L, 1.0, 10), // frontier (cheapest)
