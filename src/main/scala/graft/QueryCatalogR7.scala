@@ -492,5 +492,215 @@ object QueryCatalogR7 {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin)),
+
+    // Chi-square independence test (event_type × user bucket) with
+    // Cramér's V. Observed/marginal counts are exact integers; each cell's
+    // (o−e)²/e is one mirrored double expression ROUNDED TO 9 DP AND SUMMED
+    // AS DECIMAL — summing raw doubles would be order-dependent and
+    // disagree across engines, the one place naive stats translations die
+    CatalogEntry("chisq_independence",
+      (s, d) => {
+        val o = QueryCatalog.eventsRaw(s, d)
+          .groupBy(col("event_type"), expr("user_id % 4").as("bucket"))
+          .agg(count(lit(1)).as("o"))
+        val rowt = o.groupBy(col("event_type")).agg(sum(col("o")).as("row_tot"))
+        val colt = o.groupBy(col("bucket")).agg(sum(col("o")).as("col_tot"))
+        val tot = o.agg(sum(col("o")).as("n"))
+        o.join(broadcast(rowt), "event_type")
+          .join(broadcast(colt), "bucket")
+          .crossJoin(broadcast(tot))
+          .withColumn("e", (col("row_tot").cast("double") * col("col_tot")) / col("n"))
+          .withColumn("cell",
+            round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 9)
+              .cast(DecimalType(28, 9)))
+          .agg(max(col("n")).as("n"),
+            countDistinct(col("event_type")).as("r"),
+            countDistinct(col("bucket")).as("c"),
+            sum(col("cell")).as("chi2_dec"))
+          .select(col("n"), col("r"), col("c"),
+            ((col("r") - 1) * (col("c") - 1)).as("dof"),
+            col("chi2_dec").cast("double").as("chi2"),
+            sqrt(col("chi2_dec").cast("double")
+              / (col("n") * least(col("r") - 1, col("c") - 1))).as("cramers_v"))
+      },
+      Some("""WITH o AS (
+        |  SELECT event_type, user_id % 4 AS bucket, COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS row_tot FROM o GROUP BY 1
+        |), ct AS (SELECT bucket, CAST(SUM(o) AS BIGINT) AS col_tot FROM o GROUP BY 1
+        |), n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o
+        |), cells AS (
+        |  SELECT o.o, rt.row_tot, ct.col_tot, n.n,
+        |    (CAST(rt.row_tot AS DOUBLE) * ct.col_tot) / n.n AS e,
+        |    o.event_type, o.bucket
+        |  FROM o JOIN rt USING (event_type) JOIN ct USING (bucket), n
+        |), agg AS (
+        |  SELECT MAX(n) AS n,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+        |    CAST(COUNT(DISTINCT bucket) AS BIGINT) AS c,
+        |    SUM(CAST(round((o - e) * (o - e) / e, 9) AS DECIMAL(28,9))) AS chi2_dec
+        |  FROM cells
+        |)
+        |SELECT n, r, c, (r - 1) * (c - 1) AS dof,
+        |  CAST(chi2_dec AS DOUBLE) AS chi2,
+        |  sqrt(CAST(chi2_dec AS DOUBLE) / (n * LEAST(r - 1, c - 1))) AS cramers_v
+        |FROM agg""".stripMargin)),
+
+    // Benford first-digit screening (fraud/data-quality classic). The
+    // leading digit comes from the INTEGER cents rendering (power-of-ten
+    // scaling preserves the leading digit; stringifying a DOUBLE would
+    // hit engine-specific float formatting). Expected frequencies are
+    // log10(1+1/d) rounded to 9 dp — measured boundary distance ≥ 8e-12,
+    // five orders above cross-engine libm ulp noise.
+    CatalogEntry("benford_digits",
+      (s, d) => {
+        val cents = col("o_totalprice").cast(DecimalType(18, 2)) * 100
+        val tot = T(s, d, "orders").agg(count(lit(1)).as("n"))
+        T(s, d, "orders")
+          .withColumn("digit",
+            substring(cents.cast("long").cast("string"), 1, 1).cast("int"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("cnt"),
+            (col("cnt").cast("double") / col("n")).as("obs_p"),
+            round(log10(lit(1.0) + lit(1.0) / col("digit")), 9).as("exp_p"))
+      },
+      Some("""WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders
+        |), c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n FROM orders)
+        |SELECT digit, cnt,
+        |  CAST(cnt AS DOUBLE) / (SELECT n FROM n) AS obs_p,
+        |  round(log10(1e0 + 1e0 / digit), 9) AS exp_p
+        |FROM c""".stripMargin)),
+
+    // unionByName with missing columns — schema-evolution union (the
+    // append that survives a column added to one source but not another)
+    CatalogEntry("union_by_name",
+      (s, d) => {
+        val a = T(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val b = T(s, d, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        a.unionByName(b, allowMissingColumns = true)
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |  NULL AS o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, NULL, NULL, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'P'""".stripMargin)),
+
+    // Link prediction by common-neighbour count / Jaccard over the minute
+    // co-activity graph: wedge expansion through the shared neighbour
+    // (same shuffle shape as the triangle census), anti-joined against the
+    // existing edges, degree-normalized. Counts are exact integers; the
+    // Jaccard is one mirrored division.
+    CatalogEntry("link_prediction",
+      (s, d) => {
+        val b = QueryCatalog.eventsRaw(s, d)
+          .select(expr("ts_us div 60000000").as("h"), col("event_type"), col("user_id"))
+          .distinct()
+        val e = b.select(col("h"), col("event_type"), col("user_id").as("src"))
+          .join(b.select(col("h"), col("event_type"), col("user_id").as("dst")),
+            Seq("h", "event_type"))
+          .filter(col("src") < col("dst"))
+          .select(col("src"), col("dst")).distinct()
+        ops.Graph.commonNeighborScores(e, minCommon = 2, topK = 20)
+      },
+      Some("""WITH b AS (
+        |  SELECT DISTINCT date_trunc('minute', ts) AS h, event_type, user_id FROM events
+        |), e AS (
+        |  SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+        |  FROM b a JOIN b c ON a.h = c.h AND a.event_type = c.event_type
+        |    AND a.user_id < c.user_id
+        |), sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+        |), deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1
+        |), cn AS (
+        |  SELECT a.src AS u, c.dst AS v, COUNT(*) AS common
+        |  FROM sym a JOIN sym c ON a.dst = c.src
+        |  WHERE a.src < c.dst GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), nonadj AS (
+        |  SELECT cn.* FROM cn
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = cn.u AND e.dst = cn.v)
+        |), scored AS (
+        |  SELECT u, v, common,
+        |    CAST(common AS DOUBLE) / (du.deg + dv.deg - common) AS jaccard
+        |  FROM nonadj JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY jaccard DESC, u, v) AS BIGINT) AS rank,
+        |  u, v, common, jaccard
+        |FROM scored QUALIFY rank <= 20""".stripMargin)),
+
+    // Seasonal-naive forecast baseline: hourly event counts vs the count
+    // 24 hours earlier, joined on the INTEGER hour index (a lag() over a
+    // dense-ified series would misalign across gap hours). MAE is exact
+    // integers until one final division.
+    CatalogEntry("forecast_baseline_mae",
+      (s, d) => {
+        val hourly = QueryCatalog.eventsRaw(s, d)
+          .groupBy(col("event_type"), expr("ts_us div 3600000000").as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        hourly.join(
+            hourly.select(col("event_type"), (col("h") + 24).as("h"),
+              col("cnt").as("prev_cnt")),
+            Seq("event_type", "h"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(abs(col("cnt") - col("prev_cnt"))).as("abs_err"))
+          .select(col("event_type"), col("n_hours"),
+            (col("abs_err").cast("double") / col("n_hours")).as("mae"))
+      },
+      Some("""WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), j AS (
+        |  SELECT a.event_type, a.cnt, p.cnt AS prev_cnt
+        |  FROM hourly a JOIN hourly p
+        |    ON a.event_type = p.event_type AND a.h = p.h + 24
+        |)
+        |SELECT event_type, COUNT(*) AS n_hours,
+        |  CAST(CAST(SUM(abs(cnt - prev_cnt)) AS BIGINT) AS DOUBLE) / COUNT(*) AS mae
+        |FROM j GROUP BY 1""".stripMargin)),
+
+    // Pearson correlation from EXACT decimal moments (quantity is
+    // integer-valued, price 2-dp, so all five sums are exact decimals);
+    // the final expression is mirrored doubles rounded to 9 dp — the
+    // decimal->double casts of the big squared sums can differ by an ulp
+    // across engines (DuckDB divides int128 by 10^s in doubles, the JVM
+    // parses the decimal string), and 9 dp absorbs that
+    CatalogEntry("corr_moments",
+      (s, d) => {
+        val q = col("l_quantity").cast(DecimalType(18, 0))
+        val p = col("l_extendedprice").cast(DecimalType(18, 2))
+        T(s, d, "lineitem").groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(q).as("sq"), sum(p).as("sp"),
+            sum(q * q).as("sqq"), sum(p * p).as("spp"), sum(q * p).as("sqp"))
+          .select(col("l_returnflag"), col("n"),
+            round((col("n") * col("sqp").cast("double")
+                - col("sq").cast("double") * col("sp").cast("double"))
+              / (sqrt(col("n") * col("sqq").cast("double")
+                  - col("sq").cast("double") * col("sq").cast("double"))
+                * sqrt(col("n") * col("spp").cast("double")
+                  - col("sp").cast("double") * col("sp").cast("double"))), 9)
+              .as("corr_qp"))
+      },
+      Some("""WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,0))) AS sq,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_quantity AS DECIMAL(18,0))) AS sqq,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, n,
+        |  round((n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+        |    / (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |      * sqrt(n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 9)
+        |    AS corr_qp
+        |FROM m""".stripMargin)),
   )
 }

@@ -183,4 +183,35 @@ object Graph {
     val out = degAmong(alive).select(col("src").as("node"), col("deg").as("core_deg"))
     Dedup.materializeAndRelease(out, sym, alive)
   }
+
+  /** Link prediction by common-neighbour count: top-`topK` NON-adjacent
+    * pairs sharing ≥ `minCommon` neighbours, scored by neighbourhood
+    * Jaccard `common / (deg_u + deg_v − common)`. Same wedge-expansion
+    * shuffle shape as [[triangleStats]]; the candidate set after the
+    * `minCommon` cut is small, so the rank window is cheap. Counts are
+    * exact integers; the Jaccard is a single division.
+    */
+  def commonNeighborScores(edges: DataFrame, minCommon: Int = 2, topK: Int = 20,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val w = Window.orderBy(col("jaccard").desc, col("u"), col("v"))
+    val scored = sym.select(col("src").as("u"), col("dst").as("w"))
+      .join(sym.select(col("src").as("w"), col("dst").as("v")), "w")
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .join(e.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .withColumn("jaccard", col("common").cast("double")
+        / (col("du") + col("dv") - col("common")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("u"), col("v"), col("common"), col("jaccard"))
+    Dedup.materializeAndRelease(scored, e)
+  }
 }

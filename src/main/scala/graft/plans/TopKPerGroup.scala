@@ -28,9 +28,11 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Scale shape: map-side pruning cuts the shuffle from |rows| to
   * ≤ k·|groups per partition|; the final heap runs after a hash exchange
   * on the group key. Memory is O(k · distinct groups per partition) per
-  * task, spill-free by construction when k is small (the intended regime;
-  * a production hardening would fall back to sort-based on heap-count
-  * pressure, as hash aggregate falls back to sort aggregate).
+  * task. Heap-count pressure in the PARTIAL exec is bounded by a flush
+  * fallback (session conf `graft.topk.flushThreshold`, default 65536
+  * groups): the map drains downstream and restarts, which is correct
+  * because top-k partials merge associatively — the degenerate
+  * all-groups-distinct case becomes a pass-through, never an OOM.
   *
   * Determinism: ties at the heap boundary keep the first-seen row, so
   * callers wanting reproducible output must make the ordering total (add
@@ -57,8 +59,11 @@ case class TopKPerGroup(
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, child) =>
-      val partial = TopKPerGroupExec(g, o, k, partial = true, planLater(child))
-      TopKPerGroupExec(g, o, k, partial = false, partial) :: Nil
+      val flushThreshold = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.topk.flushThreshold", "65536").toInt
+      val partial = TopKPerGroupExec(g, o, k, partial = true, flushThreshold,
+        planLater(child))
+      TopKPerGroupExec(g, o, k, partial = false, flushThreshold, partial) :: Nil
     case _ => Nil
   }
 }
@@ -73,6 +78,7 @@ case class TopKPerGroupExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    flushThreshold: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -87,9 +93,22 @@ case class TopKPerGroupExec(
     val groupLocal = group
     val orderLocal = order
     val schema = child.output
+    // Heap-count pressure fallback (the r7 VERDICT hardening item): a
+    // PARTIAL heap flushes its whole map downstream and starts fresh
+    // whenever it holds `flushThreshold` groups. This is CORRECT because
+    // top-k partials are associative — several partial outputs for the
+    // same group merge in the final exec exactly like map-side combine
+    // spilling multiple runs. Worst case (every row its own group) the
+    // operator degrades to a pass-through of the input, i.e. the plain
+    // hash-exchange + final-heap plan — never OOM. The FINAL exec must
+    // hold every group of its hash partition, which the exchange already
+    // bounds to |groups| / shuffle-partitions; it never flushes.
+    val partialLocal = partial
+    val thresholdLocal = if (partial) flushThreshold else Int.MaxValue
     // preservesPartitioning: output rows keep their partition; only keys
     // are projected, the rows themselves pass through
     child.execute().mapPartitions({ iter =>
+      import scala.jdk.CollectionConverters._
       val keyProj = UnsafeProjection.create(groupLocal, schema)
       // codegen'd row comparator over the SortOrder keys (interpreted
       // fallback built in); "smallest under the ordering" = best
@@ -98,8 +117,8 @@ case class TopKPerGroupExec(
       // incoming row needs one compare against the head and rows that
       // can't enter the top-k are dropped without copying
       val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -111,8 +130,31 @@ case class TopKPerGroupExec(
           heap.poll(); heap.offer(row.copy())
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+
+      def drain(): Iterator[InternalRow] = {
+        val queues = heaps.values().asScala.toVector
+        heaps.clear()
+        queues.iterator.flatMap(_.iterator().asScala)
+      }
+
+      new Iterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        private var inputDone = false
+        private def advance(): Unit = {
+          while (!cur.hasNext && !inputDone) {
+            var flushed = false
+            while (!flushed && iter.hasNext) {
+              insert(iter.next())
+              if (partialLocal && heaps.size() >= thresholdLocal) {
+                cur = drain(); flushed = true
+              }
+            }
+            if (!flushed) { cur = drain(); inputDone = true }
+          }
+        }
+        override def hasNext: Boolean = { advance(); cur.hasNext }
+        override def next(): InternalRow = { advance(); cur.next() }
+      }
     }, preservesPartitioning = true)
   }
 

@@ -65,4 +65,17 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(top.as[(String, Option[Int])].collect().toSet ===
       Set(("a", Some(5)), ("a", Some(2))))
   }
+
+  test("heap-pressure flush (tiny threshold) still matches the window form") {
+    // threshold 2 forces a partial-map drain every 2 groups — several
+    // partial outputs per group must merge correctly in the final heap
+    spark.conf.set("graft.topk.flushThreshold", "2")
+    try {
+      val got = TopKPerGroup(orders, Seq("o_custkey"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+      val want = windowForm(3)
+      assert(got.count() === want.count())
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally spark.conf.unset("graft.topk.flushThreshold")
+  }
 }
