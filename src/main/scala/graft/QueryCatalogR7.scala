@@ -342,9 +342,11 @@ object QueryCatalogR7 {
           .select(col("event_id"), col("event_type"), col("value"))
         val ranked = ops.Distribution.groupedRanks(
           ev, "event_type", col("value"), Seq(col("event_id")))
-        val bounds = ranked
+        val cuts = ev.groupBy(col("event_type").as("g"))
+          .agg(count(lit(1)).as("n"))
           .withColumn("k_lo", expr("(5 * n + 99) div 100"))
           .withColumn("k_hi", expr("(95 * n + 99) div 100"))
+        val bounds = ranked.join(broadcast(cuts), "g")
           .filter(col("rank") === col("k_lo") || col("rank") === col("k_hi"))
           .groupBy(col("g"))
           .agg(min(when(col("rank") === col("k_lo"), col("v"))).as("lo"),

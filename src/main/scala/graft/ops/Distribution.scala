@@ -43,38 +43,70 @@ object Distribution {
       .agg(count(lit(1)).as("cnt"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
   }
 
-  /** Exact per-group ranks WITHOUT a per-group window: a single
-    * range-partitioned sort on (group, value, ties) + `zipWithIndex` gives
-    * a global contiguous index in which each group's rows are contiguous;
-    * subtracting the group's cumulative offset (a window over the TINY
-    * per-group-count frame) yields the 1-based in-group rank.
+  /** Exact per-group ranks WITHOUT a one-task-per-group window:
+    * `rank = bucket start offset + in-bucket row_number`, where the bucket
+    * is an ORDER-PRESERVING value-range bucket (`floor((v-mn)/(mx-mn)*B)`,
+    * clamped) and bucket offsets are cumulative counts over the tiny
+    * (group x bucket) frame. The in-bucket window partitions by
+    * (group, bucket), so a heavy group fans out over B tasks instead of 1.
     *
-    * Why: `row_number().over(partitionBy(group))` puts one group per task —
+    * Why: `row_number().over(partitionBy(group))` puts one group per task:
     * a handful of heavy groups (5 event types over 100 TB) means 5 tasks do
-    * all the work. This shape keeps the sort fully distributed regardless
-    * of group cardinality; only the offsets frame (|groups| rows) is ever
-    * single-partition. Returns the projected (group, v, ties..., rank)
-    * frame; `n` (group size) rides along for rank-based cuts.
+    * ALL the work, and a group larger than one task's memory cannot run at
+    * all. Every step here is a hash shuffle or a small-frame window; the
+    * heavy data is never globally ordered.
+    *
+    * Two discarded designs, for the record (cost a debugging session each):
+    * ids from `spark_partition_id + monotonically_increasing_id` above a
+    * range exchange are WRONG under multi-consumption (each physical
+    * execution re-samples range bounds with a fresh-RDD-id seed, so
+    * subtrees can partition differently and the ids disagree);
+    * `orderBy + rdd.zipWithIndex` is correct (one pinned lineage) but pays
+    * the external-Row codec and a double execution of the sort - measured
+    * 4-5x slower than this shape on StressRanks. Value-bucket determinism
+    * has neither problem: the bucket is a pure function of the row.
+    *
+    * Skew caveat: a single massively-repeated v lands one hot bucket (ties
+    * break by `orderCols` inside it); if that is your data, salt the
+    * bucket by a tie column. Requires (group, value, ties) to be a TOTAL
+    * order; `valueCol` must be numeric (the bucket does literal arithmetic
+    * on it). Returns (g, v, ties..., rank).
     */
   def groupedRanks(df: DataFrame, groupCol: String, valueCol: Column,
-      orderCols: Seq[Column]): DataFrame = {
+      orderCols: Seq[Column], buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
     val projected = df.select((col(groupCol).as("g") +: valueCol.as("v") +:
       orderCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }): _*)
-    val sorted = projected.orderBy(
-      col("g") +: col("v") +: orderCols.indices.map(i => col(s"t$i")): _*)
-    val schema = sorted.schema.add("gidx", LongType)
-    val indexed = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
-    // per-group start offsets: cumulative counts over the group frame (tiny)
-    val w = Window.orderBy(col("g")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = projected.groupBy(col("g")).agg(count(lit(1)).as("n"))
-      .withColumn("offset", coalesce(sum(col("n")).over(w), lit(0L)))
-    indexed.join(broadcast(offsets), "g")
-      .withColumn("rank", col("gidx") - col("offset") + 1)
-      .drop("gidx", "offset")
+    // GLOBAL extrema as driver scalars (1-row fetch, the pageRank-base
+    // pattern): order-preservation within every group only needs a
+    // monotone bucket function, so the global range serves all groups and
+    // the fact side never joins a stats frame (a per-group-extrema
+    // broadcast probe on every row measured ~2x the whole operator)
+    val ex = projected.agg(min(col("v")).as("mn"), max(col("v")).as("mx")).head()
+    val (mn, mx) = (ex.getAs[Any]("mn"), ex.getAs[Any]("mx"))
+    val bucketExpr =
+      if (mn == mx) lit(0L)
+      else least(floor((col("v") - lit(mn)) / (lit(mx) - lit(mn)) * buckets),
+        lit(buckets - 1).cast("long"))
+    val bucketed = projected.withColumn("__b", bucketExpr)
+    // bucket start offsets within each group: cumulative counts over the
+    // (group x bucket) frame - at most |groups|*buckets rows
+    val wb = Window.partitionBy(col("g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boffsets = bucketed.groupBy(col("g"), col("__b"))
+      .agg(count(lit(1)).as("__bc"))
+      .withColumn("__boff", coalesce(sum(col("__bc")).over(wb), lit(0L)))
+      .select(col("g"), col("__b"), col("__boff"))
+    // in-bucket rank: the window partitions by (group, bucket), so a heavy
+    // group fans out over `buckets` tasks instead of one
+    val wr = Window.partitionBy(col("g"), col("__b"))
+      .orderBy(col("v") +: orderCols.indices.map(i => col(s"t$i")): _*)
+    // explicit broadcast: the offsets frame sits behind a window, so the
+    // planner has no stats and would fall back to a sort-merge join (one
+    // extra full sort of the fact side, measured 3x the whole operator)
+    bucketed.join(broadcast(boffsets), Seq("g", "__b"))
+      .withColumn("rank", col("__boff") + row_number().over(wr))
+      .drop("__b", "__boff")
   }
 
   /** Largest-remainder (Hamilton) apportionment of `seats` integer seats
