@@ -91,4 +91,25 @@ class CacheContractSpec extends SparkSpec {
     Dedup.connectedComponents(pairs).collect()
     assert(cachedRddCount - base === 0) // edges cache released inside the operator
   }
+
+  private lazy val triEdges = Seq(
+    (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+
+  test("triangleStats leaks exactly one handle; unpersist clears all") {
+    val (held, released) = deltaAround(Graph.triangleStats(triEdges))
+    assert(held === 1) // edge/degree/oriented caches released
+    assert(released === 0)
+  }
+
+  test("kCore leaks exactly one handle; unpersist clears all") {
+    val (held, released) = deltaAround(Graph.kCore(triEdges, k = 2))
+    assert(held === 1) // sym + final alive released
+    assert(released === 0)
+  }
+
+  test("commonNeighborScores leaks exactly one handle; unpersist clears all") {
+    val (held, released) = deltaAround(Graph.commonNeighborScores(triEdges, minCommon = 1))
+    assert(held === 1)
+    assert(released === 0)
+  }
 }
