@@ -704,5 +704,131 @@ object QueryCatalogR7 {
         |      * sqrt(n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 9)
         |    AS corr_qp
         |FROM m""".stripMargin)),
+
+    // Exact stratified holdout: the validation set gets EXACTLY 50 docs,
+    // apportioned across sources by largest remainder (integer-only), and
+    // each source contributes its `seats` lowest-(md5-rank) docs — a
+    // replayable hash order, so the oracle re-derives the identical split.
+    // This is the mixture-exact split a training pipeline needs when
+    // "10%-ish per shard" isn't acceptable.
+    CatalogEntry("stratified_split_exact",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("hkey"), col("doc_id"))
+        val weights = docs(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        val quotas = ops.Distribution.quotaAllocation(
+            weights, "source", "n_docs", seats = 50L)
+          .select(col("key").as("source"), col("seats"))
+        docs(s, d)
+          .withColumn("hkey", ops.Replay.hash60(concat(lit("split:"),
+            col("doc_id").cast("string"))))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .join(broadcast(quotas), "source")
+          .select(col("doc_id"), col("source"),
+            when(col("rnk") <= col("seats"), "val").otherwise("train").as("split"))
+      },
+      Some(s"""WITH w AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tw FROM w
+        |), b AS (
+        |  SELECT source, (50 * n_docs) // (SELECT tw FROM tot) AS base_seats,
+        |    50 * n_docs - ((50 * n_docs) // (SELECT tw FROM tot)) * (SELECT tw FROM tot) AS rem
+        |  FROM w
+        |), l AS (SELECT CAST(50 - SUM(base_seats) AS BIGINT) AS leftover FROM b
+        |), q AS (
+        |  SELECT source, CAST(base_seats
+        |    + (CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+        |              <= (SELECT leftover FROM l) THEN 1 ELSE 0 END) AS BIGINT) AS seats
+        |  FROM b
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ${ops.Replay.hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+        |      AS BIGINT) AS rnk
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.source,
+        |  CASE WHEN r.rnk <= q.seats THEN 'val' ELSE 'train' END AS split
+        |FROM r JOIN q USING (source)""".stripMargin)),
+
+    // Nucleus (top-p) filtering over the event-transition matrix: per prev
+    // state, keep the minimal probability-desc prefix whose cumulative mass
+    // reaches 0.9 (the row that CROSSES the threshold is kept). The cumsum
+    // and the cut run on INTEGER counts (p desc ≡ cnt desc under one
+    // denominator; threshold as cross-multiplication) — a windowed SUM of
+    // doubles is NOT portable even in a pinned order, because engines are
+    // free to accumulate frames tree-wise rather than sequentially.
+    CatalogEntry("topp_nucleus",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val wp = Window.partitionBy(col("prev_type"))
+        val wcum = Window.partitionBy(col("prev_type"))
+          .orderBy(col("cnt").desc, col("next_type"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        QueryCatalog.eventsRaw(s, d)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("tot", sum(col("cnt")).over(wp))
+          .withColumn("cum_cnt", sum(col("cnt")).over(wcum))
+          .filter((col("cum_cnt") - col("cnt")) * 10 < col("tot") * 9)
+          .select(col("prev_type"), col("next_type"), col("cnt"),
+            (col("cnt").cast("double") / col("tot").cast("double")).as("p"),
+            (col("cum_cnt").cast("double") / col("tot").cast("double")).as("cum_p"))
+      },
+      Some("""WITH seq AS (
+        |  SELECT event_type AS prev_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events
+        |), c AS (
+        |  SELECT prev_type, next_type, COUNT(*) AS cnt FROM seq
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2
+        |), cm AS (
+        |  SELECT prev_type, next_type, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY prev_type) AS BIGINT) AS tot,
+        |    CAST(SUM(cnt) OVER (PARTITION BY prev_type ORDER BY cnt DESC, next_type
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+        |  FROM c
+        |)
+        |SELECT prev_type, next_type, cnt,
+        |  CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS p,
+        |  CAST(cum_cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_p
+        |FROM cm WHERE (cum_cnt - cnt) * 10 < tot * 9""".stripMargin)),
+
+    // Inverted index profile: per term, document frequency, total term
+    // frequency, and an order-stable digest of the sorted posting list —
+    // the shuffle shape of index building (explode -> one aggregate), with
+    // the posting list pinned cross-engine via the md5-60bit digest instead
+    // of shipping arrays through the compare (whose sort pandas can't do)
+    CatalogEntry("inverted_index",
+      (s, d) => {
+        val withToks = docs(s, d)
+          .repartition(col("doc_id"))
+          .withColumn("norm", ops.Shingles.normalize(col("text")))
+          .withColumn("toks", ops.Shingles.tokensOfNorm(col("norm")))
+        withToks
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+            ops.Replay.hash60(concat_ws(",",
+              sort_array(collect_list(col("doc_id"))).cast("array<string>")))
+              .as("postings_digest"))
+          .filter(col("df") >= 5)
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT term, doc_id, COUNT(*) AS tf FROM toks
+        |  WHERE length(term) > 0 GROUP BY 1, 2
+        |)
+        |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+        |  ${ops.Replay.hash60Sql("array_to_string(list_sort(list(doc_id)), ',')")} AS postings_digest
+        |FROM tf GROUP BY 1 HAVING COUNT(*) >= 5""".stripMargin)),
   )
 }
