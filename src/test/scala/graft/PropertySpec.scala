@@ -132,4 +132,24 @@ class PropertySpec extends SparkSpec {
       assert(bad.isEmpty)
     }
   }
+
+  test("∀ weights: Hamilton allocation sums to seats and stays within 1 of quota") {
+    val weightsGen = Gen.listOfN(8, Gen.choose(1L, 1000000L))
+    (1 to 5).foreach { i =>
+      val ws = weightsGen.apply(Gen.Parameters.default, Seed(7L + i)).get
+        .zipWithIndex.map { case (w, k) => (s"k$k", w) }
+      val seats = 97L
+      val total = ws.map(_._2).sum.toDouble
+      val got = ops.Distribution
+        .quotaAllocation(ws.toDF("k", "w"), "k", "w", seats)
+        .select($"key", $"weight", $"seats").as[(String, Long, Long)].collect()
+      assert(got.map(_._3).sum === seats)
+      // largest-remainder quota property: every key gets floor(q) or ceil(q)
+      got.foreach { case (k, w, s) =>
+        val q = seats * w / total
+        assert(s === math.floor(q).toLong || s === math.ceil(q).toLong,
+          s"$k: seats $s outside [floor,ceil] of quota $q")
+      }
+    }
+  }
 }
