@@ -830,5 +830,103 @@ object QueryCatalogR7 {
         |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
         |  ${ops.Replay.hash60Sql("array_to_string(list_sort(list(doc_id)), ',')")} AS postings_digest
         |FROM tf GROUP BY 1 HAVING COUNT(*) >= 5""".stripMargin)),
+
+    // Gini coefficient of customer spend — G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+    // over ascending-sorted integer cents. Σ(i·xᵢ) stays exact in longs
+    // (≤ ~1.4e15 at sf0.1); the rank window runs over the AGGREGATED
+    // per-customer frame, not the facts
+    CatalogEntry("gini_coefficient",
+      (s, d) => {
+        val w = Window.orderBy(col("cents"), col("o_custkey"))
+        T(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+            .cast("long").as("cents"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_x"),
+            sum(col("i") * col("cents")).as("sum_ix"))
+          .select(col("n"), col("sum_x"),
+            ((col("sum_ix") * 2).cast("double")
+              / (col("n").cast("double") * col("sum_x"))
+              - (col("n") + 1).cast("double") / col("n")).as("gini"))
+      },
+      Some("""WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i FROM spend
+        |), m AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_x,
+        |    CAST(SUM(i * cents) AS BIGINT) AS sum_ix
+        |  FROM r
+        |)
+        |SELECT n, sum_x,
+        |  CAST(sum_ix * 2 AS DOUBLE) / (CAST(n AS DOUBLE) * sum_x)
+        |    - CAST(n + 1 AS DOUBLE) / n AS gini
+        |FROM m""".stripMargin)),
+
+    // Herfindahl–Hirschman market concentration per segment: supplier
+    // revenue shares squared and summed. w² runs in DECIMAL(38,0) (1e26
+    // fits; Spark caps the product type at 38 digits, DuckDB uses
+    // HUGEINT) and the final share division is rounded to 9 dp — the
+    // >2^53 decimal→double casts can differ in the last ulp across
+    // engines (same note as corr_moments)
+    CatalogEntry("hhi_concentration",
+      (s, d) => {
+        val rev = T(s, d, "lineitem")
+          .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("l_suppkey"))
+          .agg((sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast(DecimalType(18, 4))) * 10000)
+            .cast(DecimalType(38, 0)).as("w"))
+        rev.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(col("w")).as("tot"), sum(col("w") * col("w")).as("sum_w2"))
+          .select(col("c_mktsegment"), col("n_suppliers"),
+            round(col("sum_w2").cast("double")
+              / (col("tot").cast("double") * col("tot").cast("double")), 9).as("hhi"))
+      },
+      Some("""WITH rev AS (
+        |  SELECT c_mktsegment, l_suppkey,
+        |    CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000 AS DECIMAL(38,0)) AS HUGEINT) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c_mktsegment, COUNT(*) AS n_suppliers,
+        |  round(CAST(SUM(w * w) AS DOUBLE)
+        |    / (CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE)), 9) AS hhi
+        |FROM rev GROUP BY 1""".stripMargin)),
+
+    // Blocklist screening (the policy-filter mechanism of a curation
+    // pipeline): per-doc hit count against a word blocklist via the same
+    // marker-intersect machinery as lang_id; 'spamword' exercises the
+    // zero-hit path
+    CatalogEntry("blocklist_hits",
+      (s, d) => {
+        val blocklist = Seq("slow", "dup", "spamword")
+        docs(s, d)
+          .withColumn("norm", ops.Shingles.normalize(col("text")))
+          .withColumn("toks", ops.Shingles.tokensOfNorm(col("norm")))
+          .select(col("doc_id"),
+            size(array_intersect(col("toks"), lit(blocklist.toArray)))
+              .cast("long").as("n_distinct_hits"),
+            size(filter(col("toks"), t => t.isin(blocklist.map(lit(_)): _*)))
+              .cast("long").as("n_total_hits"))
+          .withColumn("flagged", col("n_distinct_hits") > 0)
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(list_intersect(toks, ['slow','dup','spamword'])) AS BIGINT) AS n_distinct_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('slow','dup','spamword'))) AS BIGINT) AS n_total_hits,
+        |  len(list_intersect(toks, ['slow','dup','spamword'])) > 0 AS flagged
+        |FROM t""".stripMargin)),
   )
 }

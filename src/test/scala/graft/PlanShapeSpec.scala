@@ -56,4 +56,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("NestedLoop"), p.take(3000))
   }
+
+  test("bloom_join probes the bitmap in a Filter directly above the fact scan") {
+    val p = planOf("bloom_join")
+    // the three bit tests run map-side BEFORE the join
+    assert(p.contains("shiftright"), p.take(3000))
+    assert(p.indexOf("shiftright") < p.indexOf("BroadcastHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("xxhash64"), p.take(3000))
+  }
+
+  test("interval_occupancy is explode -> two aggregate pairs, no window/join") {
+    val p = planOf("interval_occupancy")
+    assert(p.contains("Generate explode"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("skyline_pareto windows only the per-cost group frame and broadcasts back") {
+    val p = planOf("skyline_pareto")
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the n² dominance join must not exist: exactly one join in the plan
+    assert(p.split("Join").length == 2, p.take(3000))
+  }
+
+  test("anomaly_zscore re-enters via broadcast; z is map-side above the scan") {
+    val p = planOf("anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }
