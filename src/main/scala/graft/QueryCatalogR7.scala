@@ -928,5 +928,30 @@ object QueryCatalogR7 {
         |  CAST(len(list_filter(toks, x -> x IN ('slow','dup','spamword'))) AS BIGINT) AS n_total_hits,
         |  len(list_intersect(toks, ['slow','dup','spamword'])) > 0 AS flagged
         |FROM t""".stripMargin)),
+
+    // The custom DataSource V2 (sources.GeneratedTableProvider) under a
+    // filtered aggregate: the id-range predicate pushes into the SOURCE
+    // (the scan plans only the surviving generated interval — source-side
+    // partition pruning, asserted in GeneratedSourceSpec) and the
+    // projection prunes the produced columns. The generator is a pure
+    // integer function of id, so DuckDB replays it from range().
+    CatalogEntry("dsv2_generated_scan",
+      (s, d) => s.read.format("graft-gen")
+        .option("rows", "100000").option("parts", "8").load()
+        .filter(col("id") >= 25000L && col("id") < 75000L)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("val").cast(DecimalType(18, 0))).cast("double").as("sum_val"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id")),
+      Some("""WITH g AS (SELECT range AS id FROM range(0, 100000)),
+        |v AS (
+        |  SELECT id, CAST((id * 2654435761) % 1000003 AS DOUBLE) AS val,
+        |    CAST(id % 16 AS INT) AS bucket
+        |  FROM g WHERE id >= 25000 AND id < 75000
+        |)
+        |SELECT bucket, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,0))) AS DOUBLE) AS sum_val,
+        |  CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
+        |FROM v GROUP BY 1""".stripMargin)),
   )
 }

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The custom DSv2 source: pushdown reaches the source (the scan interval
+  * narrows and plans fewer partitions), projection prunes the produced
+  * columns, and the generated values replay exactly.
+  */
+class GeneratedSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def read(rows: Long = 100000L, parts: Int = 8) =
+    spark.read.format("graft-gen")
+      .option("rows", rows.toString).option("parts", parts.toString).load()
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): GeneratedScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[GeneratedScan]
+    }.get
+
+  test("range predicates on id narrow the scan interval at the source") {
+    val df = read().filter(col("id") >= 25000L && col("id") < 75000L)
+    val scan = scanOf(df)
+    assert(scan.description().startsWith("GeneratedScan[25000,75000)"),
+      scan.description())
+    assert(df.count() === 50000L)
+  }
+
+  test("a selective filter plans fewer input partitions (source-side pruning)") {
+    val full = scanOf(read()).planInputPartitions().length
+    val pruned = scanOf(read().filter(col("id") < 12500L)).planInputPartitions()
+    assert(full === 8)
+    assert(pruned.length === 1, s"expected 1 partition, got ${pruned.length}")
+  }
+
+  test("projection prunes the produced columns") {
+    val scan = scanOf(read().select(col("bucket")))
+    assert(scan.readSchema().fieldNames.toSeq === Seq("bucket"))
+  }
+
+  test("unsupported predicates stay residual and still filter correctly") {
+    // bucket isn't pushable: the source keeps the full interval, Spark
+    // re-evaluates the predicate above the scan
+    val df = read(rows = 1000L).filter(col("bucket") === 3)
+    assert(scanOf(df).description().startsWith("GeneratedScan[0,1000)"))
+    assert(df.count() === 63L) // ids 3, 19, 35, ... under 1000
+  }
+
+  test("generated values replay the documented pure function of id") {
+    val got = read(rows = 100L, parts = 2)
+      .select("id", "val", "bucket", "label").as[(Long, Double, Int, String)]
+      .collect().sortBy(_._1)
+    assert(got.length === 100)
+    got.foreach { case (id, v, b, l) =>
+      assert(v === GeneratedSource.valOf(id))
+      assert(b === GeneratedSource.bucketOf(id))
+      assert(l === GeneratedSource.labelOf(id))
+    }
+  }
+}
