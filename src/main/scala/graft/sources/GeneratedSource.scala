@@ -44,7 +44,8 @@ class GeneratedTableProvider extends TableProvider
       properties: util.Map[String, String]): Table =
     new GeneratedTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("parts", "8").toInt)
+      properties.getOrDefault("parts", "8").toInt,
+      properties.getOrDefault("batchRows", "0").toLong)
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -59,17 +60,17 @@ object GeneratedSource {
   def labelOf(id: Long): String = "r" + id
 }
 
-private[sources] class GeneratedTable(rows: Long, parts: Int)
+private[sources] class GeneratedTable(rows: Long, parts: Int, batchRows: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft_gen($rows)"
   override def schema(): StructType = GeneratedSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeneratedScanBuilder(rows, parts)
+    new GeneratedScanBuilder(rows, parts, batchRows)
 }
 
-private[sources] class GeneratedScanBuilder(rows: Long, parts: Int)
+private[sources] class GeneratedScanBuilder(rows: Long, parts: Int, batchRows: Long)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = 0L
   private var hi = rows // exclusive
@@ -99,13 +100,13 @@ private[sources] class GeneratedScanBuilder(rows: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GeneratedScan(lo, hi, rows, parts, required)
+  override def build(): Scan = new GeneratedScan(lo, hi, rows, parts, batchRows, required)
 }
 
 private[sources] case class GeneratedRange(start: Long, end: Long) extends InputPartition
 
 private[sources] class GeneratedScan(lo: Long, hi: Long, rows: Long, parts: Int,
-    required: StructType) extends Scan with Batch {
+    batchRows: Long, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -131,6 +132,54 @@ private[sources] class GeneratedScan(lo: Long, hi: Long, rows: Long, parts: Int,
     val fields = required.fieldNames
     new GeneratedReaderFactory(fields)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GeneratedMicroBatchStream(lo, hi, rows, parts,
+      if (batchRows > 0) batchRows else math.max(1L, rows / 4), required)
+}
+
+private[sources] case class GenOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** Micro-batch twin of the batch scan: offsets are plain row positions in
+  * [lo, hi); each `latestOffset` call admits at most `batchRows` more rows
+  * (rate limiting), and `planInputPartitions(start, end)` re-uses the same
+  * fixed-grid pruning as the batch side. The generator is stateless, so
+  * recovery from any checkpointed offset is trivially exactly-once — the
+  * property a replayable source (Kafka, file listing) provides and a
+  * socket-style source cannot.
+  */
+private[sources] class GeneratedMicroBatchStream(lo: Long, hi: Long, rows: Long,
+    parts: Int, batchRows: Long, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private var emitted = lo
+
+  override def initialOffset(): Offset = GenOffset(lo)
+  override def latestOffset(): Offset = {
+    emitted = math.min(hi, emitted + batchRows)
+    GenOffset(emitted)
+  }
+  override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[GenOffset].v, end.asInstanceOf[GenOffset].v)
+    if (e <= s) return Array.empty
+    val per = math.max(1L, (rows + parts - 1) / parts)
+    (0L until rows by per)
+      .map(g => GeneratedRange(math.max(g, s), math.min(g + per, e)))
+      .filter(r => r.end > r.start)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeneratedReaderFactory(required.fieldNames)
 }
 
 private[sources] class GeneratedReaderFactory(fields: Array[String])

@@ -50,6 +50,28 @@ class GeneratedSourceSpec extends SparkSpec {
     assert(df.count() === 63L) // ids 3, 19, 35, ... under 1000
   }
 
+  test("micro-batch stream over the source equals the batch read (multi-batch)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = "gen_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("graft-gen")
+      .option("rows", "10000").option("parts", "4").option("batchRows", "1500")
+      .load()
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("id")).as("sum_id"))
+      .writeStream.outputMode("complete").format("memory").queryName(sink)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // 10000 rows at 1500/batch -> at least 7 micro-batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink)
+    val want = read(rows = 10000L, parts = 4)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("id")).as("sum_id"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    spark.catalog.dropTempView(sink)
+  }
+
   test("generated values replay the documented pure function of id") {
     val got = read(rows = 100L, parts = 2)
       .select("id", "val", "bucket", "label").as[(Long, Double, Int, String)]
