@@ -72,6 +72,15 @@ class GeneratedSourceSpec extends SparkSpec {
     spark.catalog.dropTempView(sink)
   }
 
+  test("DSv2 write path: per-task commit messages aggregate at the driver") {
+    val tag = "w_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    read(rows = 5000L, parts = 4)
+      .write.format("graft-count").option("run", tag).mode("append").save()
+    val (rows, tasks) = CountingSink.committed.get(tag)
+    assert(rows === 5000L)
+    assert(tasks === 4) // one commit message per input partition
+  }
+
   test("generated values replay the documented pure function of id") {
     val got = read(rows = 100L, parts = 2)
       .select("id", "val", "bucket", "label").as[(Long, Double, Int, String)]
