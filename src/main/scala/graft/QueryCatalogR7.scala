@@ -953,5 +953,40 @@ object QueryCatalogR7 {
         |  CAST(SUM(CAST(val AS DECIMAL(18,0))) AS DOUBLE) AS sum_val,
         |  CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
         |FROM v GROUP BY 1""".stripMargin)),
+
+    // The custom MICRO-BATCH source under the oracle gate: the stream is
+    // driven through ~5 rate-limited batches to completion and the final
+    // complete-mode aggregate must equal DuckDB's replay of the generator
+    // — stream/batch parity for a custom connector, same contract the
+    // events_hourly_stream twin pins for the file source
+    CatalogEntry("dsv2_stream_agg",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val sink = "dsv2_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = s.readStream.format("graft-gen")
+          .option("rows", "20000").option("parts", "4").option("batchRows", "4096")
+          .load()
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("id")).as("sum_id"),
+            sum(col("val").cast(DecimalType(18, 0))).cast("double").as("sum_val"))
+          .writeStream.outputMode("complete").format("memory").queryName(sink)
+          .trigger(Trigger.ProcessingTime(0)).start()
+        try q.processAllAvailable() finally q.stop()
+        val out = s.table(sink)
+        val copied = s.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)), out.schema)
+        s.catalog.dropTempView(sink)
+        copied
+      },
+      Some("""WITH g AS (SELECT range AS id FROM range(0, 20000)),
+        |v AS (
+        |  SELECT id, CAST((id * 2654435761) % 1000003 AS DOUBLE) AS val,
+        |    CAST(id % 16 AS INT) AS bucket
+        |  FROM g
+        |)
+        |SELECT bucket, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_id,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,0))) AS DOUBLE) AS sum_val
+        |FROM v GROUP BY 1""".stripMargin)),
   )
 }
