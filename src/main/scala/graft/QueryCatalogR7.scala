@@ -988,5 +988,147 @@ object QueryCatalogR7 {
         |SELECT bucket, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_id,
         |  CAST(SUM(CAST(val AS DECIMAL(18,0))) AS DOUBLE) AS sum_val
         |FROM v GROUP BY 1""".stripMargin)),
+
+    // Mann-Whitney AUC between two event classes by rank sum: ranks are
+    // integers under the (value, event_id) total order, so
+    // U = R1 − n1(n1+1)/2 is exact and AUC is one division. The global
+    // rank comes from the DISTRIBUTED bucket-rank machinery (groupedRanks
+    // under a constant group — a bare row_number() window would drag both
+    // classes into one task); the class label rides along as a tie column
+    // behind the already-unique event_id.
+    CatalogEntry("auc_rank",
+      (s, d) => {
+        val base = QueryCatalog.eventsRaw(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(lit("all").as("one"), col("event_type"), col("value"), col("event_id"))
+        val ranked = ops.Distribution.groupedRanks(
+          base, "one", col("value"), Seq(col("event_id"), col("event_type")))
+        ranked.agg(
+            sum(when(col("t1") === "purchase", 1L).otherwise(0L)).as("n1"),
+            sum(when(col("t1") =!= "purchase", 1L).otherwise(0L)).as("n2"),
+            sum(when(col("t1") === "purchase", col("rank"))
+              .otherwise(0L)).as("r1"))
+          .select(col("n1"), col("n2"),
+            ((col("r1") - col("n1") * (col("n1") + 1) / 2).cast("double")
+              / (col("n1") * col("n2")).cast("double")).as("auc"))
+      },
+      Some("""WITH f AS (
+        |  SELECT event_type, value, event_id,
+        |    CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS r
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |), m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN r ELSE 0 END) AS BIGINT) AS r1
+        |  FROM f
+        |)
+        |SELECT n1, n2,
+        |  CAST(r1 - n1 * (n1 + 1) // 2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS auc
+        |FROM m""".stripMargin)),
+
+    // Kolmogorov-Smirnov distance between the same two classes: the CDF
+    // difference maximized as an INTEGER cross-multiplication
+    // |c1·n2 − c2·n1|, divided once at the end. The supremum lands on a
+    // data point, so per-row cumulative counts suffice — and both come
+    // from DISTRIBUTED ranks: c_own = the row's rank within its own class,
+    // c_other = global rank − c_own. No global-order window anywhere.
+    CatalogEntry("ks_test",
+      (s, d) => {
+        val base = QueryCatalog.eventsRaw(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(lit("all").as("one"), col("event_type"), col("value"), col("event_id"))
+        val globalRank = ops.Distribution.groupedRanks(
+            base, "one", col("value"), Seq(col("event_id"), col("event_type")))
+          .select(col("t0").as("event_id"), col("t1").as("event_type"),
+            col("rank").as("r"))
+        val classRank = ops.Distribution.groupedRanks(
+            base.drop("one"), "event_type", col("value"), Seq(col("event_id")))
+          .select(col("t0").as("event_id"), col("rank").as("rc"))
+        val tot = base.agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).as("n2"))
+        globalRank.join(classRank, "event_id")
+          .withColumn("c1", when(col("event_type") === "purchase", col("rc"))
+            .otherwise(col("r") - col("rc")))
+          .withColumn("c2", col("r") - col("c1"))
+          .crossJoin(broadcast(tot))
+          .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("num"))
+          .select(col("n1"), col("n2"),
+            (col("num").cast("double")
+              / (col("n1") * col("n2")).cast("double")).as("ks_d"))
+      },
+      Some("""WITH f AS (
+        |  SELECT event_type, value, event_id FROM events
+        |  WHERE event_type IN ('purchase', 'click')
+        |), c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY value, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY value, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+        |  FROM f
+        |), t AS (
+        |  SELECT (SELECT MAX(c1) FROM c) AS n1, (SELECT MAX(c2) FROM c) AS n2
+        |), m AS (
+        |  SELECT CAST(MAX(abs(c1 * (SELECT n2 FROM t) - c2 * (SELECT n1 FROM t))) AS BIGINT) AS num
+        |  FROM c
+        |)
+        |SELECT (SELECT n1 FROM t) AS n1, (SELECT n2 FROM t) AS n2,
+        |  CAST(num AS DOUBLE) / CAST((SELECT n1 FROM t) * (SELECT n2 FROM t) AS DOUBLE) AS ks_d
+        |FROM m""".stripMargin)),
+
+    // Exact per-group percentile profile WITHOUT percentile()'s
+    // buffer-every-value aggregation: order-statistic selection by integer
+    // index over groupedRanks (the winsorize machinery, three cuts)
+    CatalogEntry("exact_percentile_profile",
+      (s, d) => {
+        val ev = QueryCatalog.eventsRaw(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val ranked = ops.Distribution.groupedRanks(
+          ev, "event_type", col("value"), Seq(col("event_id")))
+        val cuts = ev.groupBy(col("event_type").as("g"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("k50", expr("(50 * n + 99) div 100"))
+          .withColumn("k90", expr("(90 * n + 99) div 100"))
+          .withColumn("k99", expr("(99 * n + 99) div 100"))
+        ranked.join(broadcast(cuts), "g")
+          .filter(col("rank") === col("k50") || col("rank") === col("k90")
+            || col("rank") === col("k99"))
+          .groupBy(col("g").as("event_type"))
+          .agg(max(col("n")).as("n"),
+            min(when(col("rank") === col("k50"), col("v"))).as("p50"),
+            min(when(col("rank") === col("k90"), col("v"))).as("p90"),
+            min(when(col("rank") === col("k99"), col("v"))).as("p99"))
+      },
+      Some("""WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rank,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  MIN(CASE WHEN rank = (50 * n + 99) // 100 THEN value END) AS p50,
+        |  MIN(CASE WHEN rank = (90 * n + 99) // 100 THEN value END) AS p90,
+        |  MIN(CASE WHEN rank = (99 * n + 99) // 100 THEN value END) AS p99
+        |FROM r
+        |WHERE rank = (50 * n + 99) // 100 OR rank = (90 * n + 99) // 100
+        |   OR rank = (99 * n + 99) // 100
+        |GROUP BY 1""".stripMargin)),
+
+    // Join-fanout histogram (count-of-counts): how many join keys have
+    // exactly k matching fact rows — THE pre-join skew diagnostic (a key
+    // with 10^6 rows means a hot partition; run this before debugging a
+    // slow join, not after)
+    CatalogEntry("fanout_histogram",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("fanout"))
+        .groupBy(col("fanout")).agg(count(lit(1)).as("n_keys")),
+      Some("""SELECT fanout, COUNT(*) AS n_keys FROM (
+        |  SELECT l_orderkey, COUNT(*) AS fanout FROM lineitem GROUP BY 1) t
+        |GROUP BY 1""".stripMargin)),
   )
 }
