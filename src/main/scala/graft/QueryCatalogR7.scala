@@ -1130,5 +1130,123 @@ object QueryCatalogR7 {
       Some("""SELECT fanout, COUNT(*) AS n_keys FROM (
         |  SELECT l_orderkey, COUNT(*) AS fanout FROM lineitem GROUP BY 1) t
         |GROUP BY 1""".stripMargin)),
+
+    // Quantile normalization (batch-effect correction): every value maps
+    // to the POOLED order statistic at its in-group quantile position —
+    // index arithmetic is integer cross-multiplied ceil(rg·N/ng), the
+    // lookup is a join on the index, and both rank passes run on the
+    // distributed bucket-rank machinery. Zero interpolation, zero FP until
+    // the values themselves.
+    CatalogEntry("quantile_normalize",
+      (s, d) => {
+        val ev = QueryCatalog.eventsRaw(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val grouped = ops.Distribution.groupedRanks(
+            ev, "event_type", col("value"), Seq(col("event_id")))
+          .select(col("g").as("event_type"), col("v").as("value"),
+            col("t0").as("event_id"), col("rank").as("rg"))
+        val pooledBase = ev.select(lit("all").as("one"), col("value"), col("event_id"))
+        val pooled = ops.Distribution.groupedRanks(
+            pooledBase, "one", col("value"), Seq(col("event_id")))
+          .select(col("rank").as("idx"), col("v").as("pooled_v"))
+        val sizes = ev.groupBy(col("event_type")).agg(count(lit(1)).as("ng"))
+        val total = ev.agg(count(lit(1)).as("nn"))
+        grouped
+          .join(broadcast(sizes), "event_type")
+          .crossJoin(broadcast(total))
+          .withColumn("idx", expr("(rg * nn + ng - 1) div ng"))
+          .join(pooled, "idx")
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("pooled_v").as("normalized"))
+      },
+      Some("""WITH ranked AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS BIGINT) AS rg,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS ng,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS nn
+        |  FROM events
+        |), pooled AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS idx,
+        |    value AS pooled_v
+        |  FROM events
+        |)
+        |SELECT r.event_id, r.event_type, r.value, p.pooled_v AS normalized
+        |FROM ranked r JOIN pooled p
+        |  ON p.idx = (r.rg * r.nn + r.ng - 1) // r.ng""".stripMargin)),
+
+    // Churn labeling for supervised training: a user is churned if silent
+    // for the last 7 days of the observation window — exact integer-µs
+    // timestamp compare, one aggregate per user plus a 1-row broadcast
+    CatalogEntry("churn_labels",
+      (s, d) => {
+        val ev = QueryCatalog.eventsRaw(s, d)
+        val horizon = ev.agg(max(col("ts_us")).as("max_ts"))
+        ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), max(col("ts_us")).as("last_ts"))
+          .crossJoin(broadcast(horizon))
+          .select(col("user_id"), col("n_events"),
+            (col("last_ts") < col("max_ts") - 604800000000L).as("churned"))
+      },
+      Some("""WITH h AS (SELECT MAX(epoch_us(ts)) AS max_ts FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  MAX(epoch_us(ts)) < (SELECT max_ts FROM h) - 604800000000 AS churned
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    // Population-stability index between the first and second half of the
+    // event stream (distribution drift over time): 10 equal-width global
+    // value bins, integer bin counts Laplace-smoothed by +1 (an empty bin
+    // otherwise puts ln(0) in the cell — DuckDB errors, Spark nulls), and
+    // the (p1−p2)·ln(p1/p2) cells ROUNDED TO 9 DP AND SUMMED AS DECIMAL
+    // (the chisq_independence recipe — raw double cell sums are
+    // order-dependent across engines)
+    CatalogEntry("psi_stability",
+      (s, d) => {
+        val ev = QueryCatalog.eventsRaw(s, d)
+        val st = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"),
+          min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+        val binned = ev.crossJoin(broadcast(st))
+          .withColumn("half",
+            when(col("ts_us") * 2 < col("t0") + col("t1"), "h1").otherwise("h2"))
+          .withColumn("bin", least(
+            floor((col("value") - col("mn")) / (col("mx") - col("mn")) * 10),
+            lit(9L)).cast("long"))
+        val counts = binned.groupBy(col("bin"))
+          .agg(sum(when(col("half") === "h1", 1L).otherwise(0L)).as("c1"),
+            sum(when(col("half") === "h2", 1L).otherwise(0L)).as("c2"))
+        val tots = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        counts.crossJoin(broadcast(tots))
+          .withColumn("p1", (col("c1") + 1).cast("double") / (col("n1") + 10))
+          .withColumn("p2", (col("c2") + 1).cast("double") / (col("n2") + 10))
+          .withColumn("cell",
+            round((col("p1") - col("p2")) * log(col("p1") / col("p2")), 9)
+              .cast(DecimalType(28, 9)))
+          .agg(count(lit(1)).as("n_bins"), sum(col("cell")).as("psi_dec"))
+          .select(col("n_bins"), col("psi_dec").cast("double").as("psi"))
+      },
+      Some("""WITH st AS (
+        |  SELECT MIN(value) AS mn, MAX(value) AS mx,
+        |    MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+        |  FROM events
+        |), b AS (
+        |  SELECT CASE WHEN epoch_us(ts) * 2 < (SELECT t0 + t1 FROM st)
+        |              THEN 'h1' ELSE 'h2' END AS half,
+        |    LEAST(CAST(floor((value - (SELECT mn FROM st))
+        |      / ((SELECT mx FROM st) - (SELECT mn FROM st)) * 10) AS BIGINT), 9) AS bin
+        |  FROM events
+        |), c AS (
+        |  SELECT bin,
+        |    CAST(SUM(CASE WHEN half = 'h1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN half = 'h2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM b GROUP BY 1
+        |), t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM c
+        |), cells AS (
+        |  SELECT CAST(c1 + 1 AS DOUBLE) / ((SELECT n1 FROM t) + 10) AS p1,
+        |    CAST(c2 + 1 AS DOUBLE) / ((SELECT n2 FROM t) + 10) AS p2
+        |  FROM c
+        |)
+        |SELECT COUNT(*) AS n_bins,
+        |  CAST(SUM(CAST(round((p1 - p2) * ln(p1 / p2), 9) AS DECIMAL(28,9))) AS DOUBLE) AS psi
+        |FROM cells""".stripMargin)),
   )
 }
