@@ -1248,5 +1248,130 @@ object QueryCatalogR7 {
         |SELECT COUNT(*) AS n_bins,
         |  CAST(SUM(CAST(round((p1 - p2) * ln(p1 / p2), 9) AS DECIMAL(28,9))) AS DOUBLE) AS psi
         |FROM cells""".stripMargin)),
+
+    // Lorenz curve by customer-spend decile (the curve behind the
+    // gini_coefficient scalar): cumulative integer cents over equi-depth
+    // deciles, shares as single divisions. Decile placement reuses the
+    // floor(rank·10/n) arithmetic; cumulative sums run over the 10-row
+    // decile frame.
+    CatalogEntry("lorenz_deciles",
+      (s, d) => {
+        val wr = Window.orderBy(col("cents"), col("o_custkey"))
+        val wc = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val spend = T(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+            .cast("long").as("cents"))
+        val n = spend.count()
+        val deciles = spend
+          .withColumn("rank0", row_number().over(wr).cast("long") - 1)
+          .withColumn("decile", expr(s"rank0 * 10 div $n + 1"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("decile_cents"))
+        val tot = deciles.agg(sum(col("decile_cents")).as("total_cents"))
+        deciles
+          .withColumn("cum_cents", sum(col("decile_cents")).over(wc))
+          .crossJoin(broadcast(tot))
+          .select(col("decile"), col("n_customers"), col("decile_cents"),
+            (col("decile_cents").cast("double") / col("total_cents")).as("share"),
+            (col("cum_cents").cast("double") / col("total_cents")).as("cum_share"))
+      },
+      Some("""WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) - 1 AS rank0,
+        |    (SELECT COUNT(*) FROM spend) AS n
+        |  FROM spend
+        |), dec AS (
+        |  SELECT CAST(rank0 * 10 // n + 1 AS BIGINT) AS decile,
+        |    COUNT(*) AS n_customers, CAST(SUM(cents) AS BIGINT) AS decile_cents
+        |  FROM r GROUP BY 1
+        |), t AS (SELECT CAST(SUM(decile_cents) AS BIGINT) AS total_cents FROM dec)
+        |SELECT decile, n_customers, decile_cents,
+        |  CAST(decile_cents AS DOUBLE) / (SELECT total_cents FROM t) AS share,
+        |  CAST(SUM(decile_cents) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / (SELECT total_cents FROM t) AS cum_share
+        |FROM dec""".stripMargin)),
+
+    // Calendar dimension over the order-date span — the conformed date dim
+    // every mart joins; only fields with identical cross-engine semantics
+    // (ISO day-of-week via weekday()+1 / isodow; NOT dayofweek, whose week
+    // start differs between engines)
+    CatalogEntry("calendar_dim",
+      (s, d) => {
+        val span = T(s, d, "orders").agg(
+          min(col("o_orderdate").cast("date")).as("d0"),
+          max(col("o_orderdate").cast("date")).as("d1"))
+        span.select(explode(sequence(col("d0"), col("d1"),
+            expr("INTERVAL 1 DAY"))).as("cal_date"))
+          .select(col("cal_date"),
+            year(col("cal_date")).cast("long").as("cal_year"),
+            month(col("cal_date")).cast("long").as("cal_month"),
+            dayofmonth(col("cal_date")).cast("long").as("cal_day"),
+            quarter(col("cal_date")).cast("long").as("cal_quarter"),
+            (weekday(col("cal_date")) + 1).cast("long").as("isodow"),
+            (weekday(col("cal_date")) >= 5).as("is_weekend"))
+      },
+      Some("""WITH span AS (
+        |  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+        |    MAX(CAST(o_orderdate AS DATE)) AS d1
+        |  FROM orders
+        |), days AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS cal_date
+        |  FROM span
+        |)
+        |SELECT cal_date,
+        |  CAST(year(cal_date) AS BIGINT) AS cal_year,
+        |  CAST(month(cal_date) AS BIGINT) AS cal_month,
+        |  CAST(day(cal_date) AS BIGINT) AS cal_day,
+        |  CAST(quarter(cal_date) AS BIGINT) AS cal_quarter,
+        |  CAST(isodow(cal_date) AS BIGINT) AS isodow,
+        |  isodow(cal_date) >= 6 AS is_weekend
+        |FROM days""".stripMargin)),
+
+    // Cohen's d effect size between the two event classes: pooled-variance
+    // standardized mean difference from EXACT decimal moments (the
+    // anomaly_zscore recipe), one mirrored double expression at the end
+    CatalogEntry("cohens_d",
+      (s, d) => {
+        val v2 = col("value").cast(DecimalType(18, 2))
+        val st = QueryCatalog.eventsRaw(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .withColumn("cls", when(col("event_type") === "purchase", 1).otherwise(2))
+          .groupBy(col("cls"))
+          .agg(count(lit(1)).as("n"), sum(v2).as("s"), sum(v2 * v2).as("sq"))
+        val a = st.filter(col("cls") === 1)
+          .select(col("n").as("n1"), col("s").as("s1"), col("sq").as("sq1"))
+        val b = st.filter(col("cls") === 2)
+          .select(col("n").as("n2"), col("s").as("s2"), col("sq").as("sq2"))
+        val m1 = col("s1").cast("double") / col("n1")
+        val m2 = col("s2").cast("double") / col("n2")
+        val ss1 = (col("sq1").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / col("n1"))
+        val ss2 = (col("sq2").cast("double")
+          - col("s2").cast("double") * col("s2").cast("double") / col("n2"))
+        a.crossJoin(b).select(col("n1"), col("n2"),
+          ((m1 - m2) / sqrt((ss1 + ss2) / (col("n1") + col("n2") - 2))).as("cohens_d"))
+      },
+      Some("""WITH st AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS cls,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS s,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sq
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY 1
+        |), a AS (SELECT n AS n1, s AS s1, sq AS sq1 FROM st WHERE cls = 1
+        |), b AS (SELECT n AS n2, s AS s2, sq AS sq2 FROM st WHERE cls = 2)
+        |SELECT n1, n2,
+        |  ((CAST(s1 AS DOUBLE) / n1) - (CAST(s2 AS DOUBLE) / n2))
+        |    / sqrt(((CAST(sq1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+        |          + (CAST(sq2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2))
+        |        / (n1 + n2 - 2)) AS cohens_d
+        |FROM a, b""".stripMargin)),
   )
 }
