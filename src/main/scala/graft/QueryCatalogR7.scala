@@ -1373,5 +1373,83 @@ object QueryCatalogR7 {
         |          + (CAST(sq2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2))
         |        / (n1 + n2 - 2)) AS cohens_d
         |FROM a, b""".stripMargin)),
+
+    // Median absolute deviation per event type — the robust dispersion
+    // behind outlier fences that survive heavy tails. TWO order-statistic
+    // passes on the distributed rank machinery: median = value at rank
+    // ceil(n/2), MAD = median of |v − med|. Discrete selection only (no
+    // averaging of middle pairs), so both engines pick identical rows.
+    CatalogEntry("mad_robust",
+      (s, d) => {
+        val ev = QueryCatalog.eventsRaw(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+        def medianOf(df: DataFrame, valCol: String): DataFrame = {
+          val ranked = ops.Distribution.groupedRanks(
+            df.select(col("event_type"), col(valCol), col("event_id")),
+            "event_type", col(valCol), Seq(col("event_id")))
+          val cuts = df.groupBy(col("event_type").as("g"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn("k", expr("(n + 1) div 2"))
+          ranked.join(broadcast(cuts), "g")
+            .filter(col("rank") === col("k"))
+            .select(col("g").as("event_type"), col("v").as("med"))
+        }
+        val med = medianOf(ev, "value")
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("value") - col("med")))
+        medianOf(dev, "adev")
+          .withColumnRenamed("med", "mad")
+          .join(broadcast(med), "event_type")
+          .select(col("event_type"), col("med").as("median"), col("mad"))
+      },
+      Some("""WITH r1 AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |), med AS (
+        |  SELECT event_type, value AS med FROM r1 WHERE rk = (n + 1) // 2
+        |), dev AS (
+        |  SELECT e.event_type, e.event_id, abs(e.value - m.med) AS adev, m.med
+        |  FROM events e JOIN med m USING (event_type)
+        |), r2 AS (
+        |  SELECT event_type, adev, med,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev
+        |)
+        |SELECT event_type, med AS median, adev AS mad
+        |FROM r2 WHERE rk = (n + 1) // 2""".stripMargin)),
+
+    // Month-of-year seasonality index: each calendar month's average
+    // daily revenue relative to the all-months average — exact integer
+    // cents with cross-month division at the very end
+    CatalogEntry("seasonality_index",
+      (s, d) => {
+        val monthly = T(s, d, "orders")
+          .groupBy(month(col("o_orderdate").cast("date")).cast("long").as("cal_month"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+            .cast("long").as("cents"),
+            countDistinct(col("o_orderdate").cast("date")).as("n_days"))
+        val tot = monthly.agg(sum(col("cents")).as("tot_cents"),
+          sum(col("n_days")).as("tot_days"))
+        monthly.crossJoin(broadcast(tot))
+          .select(col("cal_month"), col("cents"), col("n_days"),
+            ((col("cents").cast("double") / col("n_days"))
+              / (col("tot_cents").cast("double") / col("tot_days"))).as("seasonal_idx"))
+      },
+      Some("""WITH m AS (
+        |  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS cal_month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+        |    CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days
+        |  FROM orders GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(cents) AS BIGINT) AS tot_cents,
+        |    CAST(SUM(n_days) AS BIGINT) AS tot_days FROM m
+        |)
+        |SELECT cal_month, cents, n_days,
+        |  (CAST(cents AS DOUBLE) / n_days)
+        |    / (CAST((SELECT tot_cents FROM t) AS DOUBLE) / (SELECT tot_days FROM t)) AS seasonal_idx
+        |FROM m""".stripMargin)),
   )
 }
