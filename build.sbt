@@ -32,4 +32,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 24g default: local[32] runs 32 concurrent tasks in ONE JVM — at 8g the
   // dedup/embedding family GC-thrashed (2-3× run-to-run variance at sf0.1)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A 200-query catalog generates well over a thousand whole-stage-codegen
+  // units per bench pass. The JVM's 240 MB default JIT code cache fills,
+  // the compiler shuts off, and everything runs interpreted — the r7 bench
+  // showed exactly that shape (uniform 1.7× slowdown, 10-30× outliers, on
+  // code unchanged since r6). Give the JIT headroom and keep flushing on.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
+  // Static SQL conf (must be set before the first SparkSession): the
+  // default 100-entry codegen source→class cache thrashes long before 200
+  // queries; eviction forces recompiles in the measured run and pins churn.
+  "-Dspark.sql.codegen.cache.maxEntries=2000",
 )

@@ -15,75 +15,89 @@ object Bench {
     // round 1 defaulted to 4 and the driver measured a 3× slower catalog
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
 
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").map(_.trim).toSet)
     val names = QueryCatalog.all.map(_.name)
       .filter(n => filter.forall(_.contains(n)))
 
-    // Unmeasured steady-state warmup: run the whole catalog once on the
-    // smallest SF. Profiling showed first-run times are dominated by Janino
-    // codegen compiles + JIT (json_extract 7.1 s cold vs 0.8 s warm, tfidf
-    // 13.2 s vs 1.9 s) — costs that amortize to zero over a 100 TB run, so
-    // the measured number should be steady-state throughput. Identical
-    // schemas at both SFs mean mostly identical generated source → codegen
-    // cache hits (AQE may still switch join strategies between SFs; that
-    // residual compile is paid in the measured run).
-    spark.range(1000000).selectExpr("sum(id)").collect()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     // canonical-path compare so a trailing slash / symlink can't alias the
     // warmup dir onto the measured dataset (would warm the page cache too)
     def canon(p: String) = new java.io.File(p).getCanonicalPath
     val warmed = sys.env.get("SPARK_GRAFT_SKIP_WARM").isEmpty &&
       new java.io.File(warmDir).exists && canon(warmDir) != canon(sfDir)
-    if (warmed) {
-      names.foreach { name =>
-        // NonFatal only: an OOM during warmup must propagate, not leave a
-        // corrupted JVM producing bogus timings
-        try SparkEntry.queries(name)(spark, warmDir).write.mode("overwrite").format("noop").save()
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] warmup $name failed (ignored): ${e.getMessage}")
-        }
-        spark.catalog.clearCache()
-      }
-      System.err.println(s"[bench] warmup over $warmDir done")
-    }
 
     // Min of N runs per query (default 2): the r3 driver tail showed 9.9 s
     // for a query that measures 1.2 s clean — box contention / GC artifacts,
     // not plan problems. Min-of-N is the standard steady-state estimator
     // under one-sided noise; N is a knob for targeted profiling.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      System.err.println(s"[bench] running $name ...")
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+
+    // Session recycling (r7 verdict): a single SparkSession that warms and
+    // measures all 200 queries accumulates litter — broadcast blocks,
+    // streaming state-store providers, listener backlog, codegen-cache
+    // evictions — and the r7 run showed a uniform 1.7× slowdown on code
+    // unchanged since r6 (json_extract 0.29 s → 9.84 s in-session, 0.53 s
+    // isolated). Chunking bounds the blast radius: each chunk of queries
+    // gets a fresh SparkSession, a per-chunk steady-state warmup on the
+    // small SF (codegen compiles + JIT amortize to zero over a 100 TB run,
+    // so measured numbers should be steady-state throughput; identical
+    // schemas at both SFs mean mostly identical generated source → JVM-wide
+    // codegen cache hits that survive session recycling), then the measured
+    // runs. Session startup/teardown is never charged to a query.
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "25").toInt.max(1)
+    val results = names.grouped(chunkSize).toSeq.flatMap { chunk =>
+      val spark = newSession()
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      if (warmed) {
+        chunk.foreach { name =>
+          // NonFatal only: an OOM during warmup must propagate, not leave a
+          // corrupted JVM producing bogus timings
+          try SparkEntry.queries(name)(spark, warmDir).write.mode("overwrite").format("noop").save()
           catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+            System.err.println(s"[bench] warmup $name failed (ignored): ${e.getMessage}")
           }
-        // timing stops at save; cache teardown is not charged to the query
-        val dt = (System.nanoTime() - t0) / 1e9
-        // caches accumulated by an operator (persisted sketch tables) must
-        // not subsidize or starve the next run/query
-        spark.catalog.clearCache()
-        (dt, ok)
+          spark.catalog.clearCache()
+        }
+        System.err.println(s"[bench] chunk warmup over $warmDir done (${chunk.size} queries)")
       }
-      val samples = times.map(_._1)
-      val dt = samples.min
-      val ok = times.forall(_._2)
-      System.err.println(f"[bench] $name: $dt%.2f s (min of $runs, max ${samples.max}%.2f)")
-      (name, dt, samples, ok)
+      val chunkResults = chunk.map { name =>
+        val fn = SparkEntry.queries(name)
+        System.err.println(s"[bench] running $name ...")
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+            }
+          // timing stops at save; cache teardown is not charged to the query
+          val dt = (System.nanoTime() - t0) / 1e9
+          // caches accumulated by an operator (persisted sketch tables) must
+          // not subsidize or starve the next run/query
+          spark.catalog.clearCache()
+          (dt, ok)
+        }
+        val samples = times.map(_._1)
+        val dt = samples.min
+        val ok = times.forall(_._2)
+        System.err.println(f"[bench] $name: $dt%.2f s (min of $runs, max ${samples.max}%.2f)")
+        (name, dt, samples, ok)
+      }
+      spark.stop()
+      chunkResults
     }
     // 4-decimal times: full double repr made the stdout line ~3× longer and
     // the r5/r6 driver capture truncated it mid-line → "parsed": null. 0.1 ms
@@ -113,6 +127,5 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line(withSamples = true) + "\n").getBytes("UTF-8"))
     println(line(withSamples = false))
-    spark.stop()
   }
 }

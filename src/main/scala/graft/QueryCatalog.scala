@@ -2584,7 +2584,7 @@ object QueryCatalog {
         |SELECT p_brand,
         |  COALESCE(MAX(CASE WHEN p_type = 'PROMO' THEN cnt END), 0) AS n_promo,
         |  COALESCE(MAX(CASE WHEN p_type = 'ECONOMY' THEN cnt END), 0) AS n_economy,
-        |  SUM(cnt) AS n_total,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_total,
         |  COUNT(*) AS n_types,
         |  COUNT(CASE WHEN cnt < 10 THEN 1 END) AS n_small_types
         |FROM t GROUP BY 1""".stripMargin)),
@@ -2710,7 +2710,7 @@ object QueryCatalog {
         |    ('0x' || substr(md5('cms' || j || ':' || token), 1, 15))::BIGINT % 32 AS bucket
         |  FROM cnt, (SELECT unnest([0,1,2,3]) AS j)
         |), counters AS (
-        |  SELECT j, bucket, SUM(true_count) AS c FROM placed GROUP BY 1, 2
+        |  SELECT j, bucket, CAST(SUM(true_count) AS BIGINT) AS c FROM placed GROUP BY 1, 2
         |)
         |SELECT p.token, p.true_count, MIN(c.c) AS cms_est
         |FROM placed p JOIN counters c ON p.j = c.j AND p.bucket = c.bucket

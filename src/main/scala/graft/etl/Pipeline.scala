@@ -91,5 +91,5 @@ object Pipeline {
   }
 
   private def fileName(path: String): String =
-    java.nio.file.Paths.get(path).getFileName.toString
+    new org.apache.hadoop.fs.Path(path).getName
 }

@@ -1,37 +1,89 @@
 package graft.io
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import java.net.URI
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path => HPath}
+import org.apache.spark.sql.SparkSession
 
 /** Non-relational file-lifecycle operators (SURVEY.md §2.13, D1–D7).
   *
   * The reference drives these against S3 with boto3
-  * (src/main/read/aws_read.py, download/…, upload/…, move/…, delete/…); in
-  * this engine they are expressed against a generic filesystem path — the
-  * same calls work over local fs in the sandbox and over an object-store
-  * mount/HDFS-compatible FS on a cluster. Driver-side control flow only;
-  * no Spark jobs.
+  * (src/main/read/aws_read.py:5-23, download/aws_file_download.py:6-25,
+  * upload/upload_to_s3.py:6-24, move/move_files.py:26-62); here they are
+  * expressed against the Hadoop [[FileSystem]] API, so the SAME calls take
+  * a bare local path, a `file:///` URI, an `hdfs://` URI, or an `s3a://`
+  * URI — the scheme picks the FileSystem implementation, and credentials /
+  * endpoints come from the active Spark session's Hadoop configuration
+  * (where `spark.hadoop.fs.s3a.*` settings land on a real cluster).
+  * Driver-side control flow only; no Spark jobs.
+  *
+  * Paths come back in the same form they went in: bare inputs yield bare
+  * outputs (so local callers round-trip cleanly), scheme-qualified inputs
+  * yield scheme-qualified outputs.
   */
 object FileLifecycle {
 
-  /** D1: list files under a prefix (recursively), skipping directories. */
-  def list(dir: String, suffix: String = ""): Seq[String] = {
-    val root = Paths.get(dir)
-    if (!Files.exists(root)) Seq.empty
-    else Files.walk(root).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(_.toString)
-      .filter(_.endsWith(suffix))
-      .toSeq.sorted
+  /** Hadoop conf: the active session's (carries `spark.hadoop.*` overrides
+    * like s3a credentials) when one exists, else library defaults.
+    */
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  /** FileSystem for a path, with local-FS checksum shadow files disabled —
+    * LocalFileSystem is a ChecksumFileSystem and would otherwise drop a
+    * `.foo.crc` sibling next to every copy, polluting `list`.
+    */
+  private def fsFor(p: HPath, conf: Configuration): FileSystem = {
+    val fs = p.getFileSystem(conf)
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
+    fs
   }
 
-  /** D2/D3: copy a set of files into a destination directory. */
+  /** Render an output path in the same form as the caller's input: strip the
+    * scheme for bare inputs, keep it for qualified ones.
+    */
+  private def render(p: HPath, likeInput: String): String =
+    if (new URI(likeInput).getScheme == null) p.toUri.getPath else p.toString
+
+  /** D1: list files under a prefix (recursively), skipping directories and
+    * dot-prefixed bookkeeping files (e.g. checksum shadows).
+    */
+  def list(dir: String, suffix: String = ""): Seq[String] = {
+    val conf = hadoopConf
+    val root = new HPath(dir)
+    val fs = fsFor(root, conf)
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val it = fs.listFiles(root, /* recursive = */ true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith(".") && name.endsWith(suffix))
+          buf += render(st.getPath, dir)
+      }
+      buf.result().sorted
+    }
+  }
+
+  /** D2/D3: copy a set of files into a destination directory (cross-FS ok —
+    * e.g. s3a → local download, local → s3a upload).
+    */
   def copyTo(files: Seq[String], destDir: String): Seq[String] = {
-    Files.createDirectories(Paths.get(destDir))
+    val conf = hadoopConf
+    val destRoot = new HPath(destDir)
+    val destFs = fsFor(destRoot, conf)
+    destFs.mkdirs(destRoot)
     files.map { f =>
-      val dest = Paths.get(destDir, Paths.get(f).getFileName.toString)
-      Files.copy(Paths.get(f), dest, StandardCopyOption.REPLACE_EXISTING)
-      dest.toString
+      val src = new HPath(f)
+      val dest = new HPath(destRoot, src.getName)
+      FileUtil.copy(fsFor(src, conf), src, destFs, dest,
+        /* deleteSource = */ false, /* overwrite = */ true, conf)
+      render(dest, destDir)
     }
   }
 
@@ -41,25 +93,40 @@ object FileLifecycle {
   def copyVersioned(files: Seq[String], destDir: String, version: String): Seq[String] =
     copyTo(files, s"$destDir/$version")
 
-  /** D4/D7: move files into a directory (quarantine / archive). */
+  /** D4/D7: move files into a directory (quarantine / archive). Same-FS
+    * moves are a metadata rename; cross-FS falls back to copy+delete.
+    */
   def moveTo(files: Seq[String], destDir: String): Seq[String] = {
-    Files.createDirectories(Paths.get(destDir))
+    val conf = hadoopConf
+    val destRoot = new HPath(destDir)
+    val destFs = fsFor(destRoot, conf)
+    destFs.mkdirs(destRoot)
     files.map { f =>
-      val dest = Paths.get(destDir, Paths.get(f).getFileName.toString)
-      Files.move(Paths.get(f), dest, StandardCopyOption.REPLACE_EXISTING)
-      dest.toString
+      val src = new HPath(f)
+      val srcFs = fsFor(src, conf)
+      val dest = new HPath(destRoot, src.getName)
+      if (destFs.exists(dest)) destFs.delete(dest, false) // REPLACE_EXISTING
+      val renamed = srcFs.getUri == destFs.getUri && srcFs.rename(src, dest)
+      if (!renamed)
+        FileUtil.copy(srcFs, src, destFs, dest,
+          /* deleteSource = */ true, /* overwrite = */ true, conf)
+      render(dest, destDir)
     }
   }
 
   /** D5/D6: delete files; deleteDir removes a tree. */
-  def delete(files: Seq[String]): Unit =
-    files.foreach(f => Files.deleteIfExists(Paths.get(f)))
+  def delete(files: Seq[String]): Unit = {
+    val conf = hadoopConf
+    files.foreach { f =>
+      val p = new HPath(f)
+      fsFor(p, conf).delete(p, false)
+    }
+  }
 
   def deleteDir(dir: String): Unit = {
-    val root = Paths.get(dir)
-    if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-    }
+    val conf = hadoopConf
+    val p = new HPath(dir)
+    val fs = fsFor(p, conf)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 }

@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
 class Staging(spark: SparkSession, ledgerPath: String) {
   import Staging._
 
+  // collision disambiguator: nextSeq is a read-modify-write, so two
+  // concurrent writers can mint the SAME seq (ADVICE r7). Appends are still
+  // safe (append-only ledger), and latest-wins stays deterministic because
+  // the writer nonce breaks (updatedAt, seq) ties totally — no two rows from
+  // different writers ever compare equal on the full ordering key.
+  private val writerId = java.util.UUID.randomUUID().toString
+
   private def ledger: DataFrame = {
     // only a missing ledger means "no prior runs"; any other failure
     // (corruption, permissions, schema drift) must propagate — treating it
@@ -38,13 +45,13 @@ class Staging(spark: SparkSession, ledgerPath: String) {
   /** Stage files ACTIVE before processing (reference main.py:196-219). */
   def markActive(batchId: String, files: Seq[String], now: Timestamp): Unit = {
     val s = nextSeq()
-    append(files.map(f => StagingRow(batchId, f, Active, now, s)))
+    append(files.map(f => StagingRow(batchId, f, Active, now, s, writerId)))
   }
 
   /** Flip to INACTIVE after success (reference main.py:428-448). */
   def markInactive(batchId: String, files: Seq[String], now: Timestamp): Unit = {
     val s = nextSeq()
-    append(files.map(f => StagingRow(batchId, f, Inactive, now, s)))
+    append(files.map(f => StagingRow(batchId, f, Inactive, now, s, writerId)))
   }
 
   /** Pre-flight: files whose most recent status is still ACTIVE — evidence of
@@ -60,11 +67,19 @@ object Staging {
   /** `seq` is a per-append monotonic ordinal: wall clocks can be coarse or
     * caller-supplied, so latest-wins ordering is (updatedAt, seq) — a fresh
     * ACTIVE generation beats an older INACTIVE row even at the exact same
-    * timestamp. `status` desc remains only as a final tie-break WITHIN one
-    * append generation (activation + completion recorded in one instant).
+    * timestamp. `writer` is a per-Staging-instance nonce: nextSeq is a
+    * read-modify-write, so two CONCURRENT writers can mint the same seq;
+    * the nonce makes the ordering key total, so latest-wins stays
+    * deterministic under interleaving (each writer's own A→I flow is
+    * correctly ordered by seq because its INACTIVE mint reads its own
+    * ACTIVE append). `status` desc remains only as a final tie-break WITHIN
+    * one append generation (activation + completion recorded in one
+    * instant). Ledgers written before the nonce existed read back with a
+    * null writer — ordered after nonced rows at the same (updatedAt, seq),
+    * which can only matter for ties that were already ambiguous.
     */
   case class StagingRow(batchId: String, fileName: String, status: String,
-      updatedAt: Timestamp, seq: Long)
+      updatedAt: Timestamp, seq: Long, writer: String = "")
 
   private[meta] def nextSeq(ledger: DataFrame): Long =
     ledger.agg(coalesce(max(col("seq")), lit(0L))).collect()(0).getLong(0) + 1L
@@ -72,7 +87,8 @@ object Staging {
   private[meta] def activeFiles(ledger: DataFrame): Seq[String] = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fileName"))
-      .orderBy(col("updatedAt").desc, col("seq").desc, col("status").desc)
+      .orderBy(col("updatedAt").desc, col("seq").desc,
+        col("writer").desc_nulls_last, col("status").desc)
     ledger
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("status") === Active)
@@ -90,6 +106,9 @@ class JdbcStaging(spark: SparkSession, url: String, table: String,
     props: java.util.Properties) {
   import Staging._
 
+  // same concurrent-writer disambiguator as the parquet ledger
+  private val writerId = java.util.UUID.randomUUID().toString
+
   private def ledger: DataFrame =
     try graft.io.Sources.jdbc(spark, url, table, props)
     catch {
@@ -105,12 +124,12 @@ class JdbcStaging(spark: SparkSession, url: String, table: String,
 
   def markActive(batchId: String, files: Seq[String], now: Timestamp): Unit = {
     val s = nextSeq()
-    append(files.map(f => StagingRow(batchId, f, Active, now, s)))
+    append(files.map(f => StagingRow(batchId, f, Active, now, s, writerId)))
   }
 
   def markInactive(batchId: String, files: Seq[String], now: Timestamp): Unit = {
     val s = nextSeq()
-    append(files.map(f => StagingRow(batchId, f, Inactive, now, s)))
+    append(files.map(f => StagingRow(batchId, f, Inactive, now, s, writerId)))
   }
 
   def activeFiles(): Seq[String] = Staging.activeFiles(ledger)

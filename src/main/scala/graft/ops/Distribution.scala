@@ -97,6 +97,15 @@ object Distribution {
       .agg(count(lit(1)).as("__bc"))
       .withColumn("__boff", coalesce(sum(col("__bc")).over(wb), lit(0L)))
       .select(col("g"), col("__b"), col("__boff"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Broadcast is only safe while |groups|×buckets stays driver-sized; a
+    // high-cardinality group column (per-customer, say) would blow the
+    // driver with no warning (ADVICE r7). The offsets frame is persisted, so
+    // this count reuses the aggregation the join needs anyway; past the cap
+    // we fall back to a shuffle join — slower, never fatal.
+    val offsetsRows = boffsets.count()
+    val offsetsSide =
+      if (offsetsRows <= 1000000L) broadcast(boffsets) else boffsets
     // in-bucket rank: the window partitions by (group, bucket), so a heavy
     // group fans out over `buckets` tasks instead of one
     val wr = Window.partitionBy(col("g"), col("__b"))
@@ -104,7 +113,7 @@ object Distribution {
     // explicit broadcast: the offsets frame sits behind a window, so the
     // planner has no stats and would fall back to a sort-merge join (one
     // extra full sort of the fact side, measured 3x the whole operator)
-    bucketed.join(broadcast(boffsets), Seq("g", "__b"))
+    bucketed.join(offsetsSide, Seq("g", "__b"))
       .withColumn("rank", col("__boff") + row_number().over(wr))
       .drop("__b", "__boff")
   }

@@ -106,7 +106,18 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // (degree, id) packed into one orderable long; ids are < 2^32 here
+    // packing precondition as a cheap runtime guard (ADVICE r7): ids must
+    // fit in [0, 2^32) and degrees in [0, 2^31) or deg*2^32+id silently
+    // corrupts the orientation. One 1-row agg over the persisted deg frame.
+    val lim = deg.agg(min(col("node")).as("mn"), max(col("node")).as("mx"),
+      max(col("deg")).as("md")).head()
+    require(lim.isNullAt(0) ||
+      (lim.getLong(0) >= 0L && lim.getLong(1) < 4294967296L &&
+        lim.getLong(2) < Int.MaxValue.toLong),
+      s"triangleStats packs (degree,id) into one long: node ids must be in " +
+        s"[0, 2^32) and degrees < 2^31; got id range [${lim.get(0)}, " +
+        s"${lim.get(1)}], max degree ${lim.get(2)}")
+    // (degree, id) packed into one orderable long
     val keyed = e
       .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("ddeg")), "dst")

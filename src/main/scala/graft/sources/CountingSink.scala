@@ -9,7 +9,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,7 +50,14 @@ private[sources] class CountingTable(schema0: StructType, run: String)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    // SupportsTruncate backs the advertised TRUNCATE capability (ADVICE r7:
+    // without it, mode("overwrite") passed the capability check and then
+    // died in the planner). Truncating a tally = forgetting the run tag.
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = {
+        CountingSink.committed.remove(run)
+        this
+      }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new CountingBatchWrite(run)
       }

@@ -84,12 +84,16 @@ private[sources] class GeneratedScanBuilder(rows: Long, parts: Int, batchRows: L
            EqualTo("id", _: Long) => true
       case _ => false
     }
+    // saturating +1: v = Long.MaxValue (e.g. an always-true id <= MAX) would
+    // wrap negative, silently emptying the scan — and since the filter is
+    // reported fully pushed, Spark would never re-check it (ADVICE r7)
+    def incSat(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     supported.foreach {
-      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThan("id", v: Long) => lo = math.max(lo, incSat(v))
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
       case LessThan("id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
-      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, incSat(v))
+      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, incSat(v))
       case _ => ()
     }
     pushed = supported

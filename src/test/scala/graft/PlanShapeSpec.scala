@@ -61,8 +61,11 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("bloom_join")
     // the three bit tests run map-side BEFORE the join
     assert(p.contains("shiftright"), p.take(3000))
-    assert(p.indexOf("shiftright") < p.indexOf("BroadcastHashJoin")
-      || p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // plans print parents first, so "the probe filter runs before rows reach
+    // the join" = the shiftright Filter sits BELOW the join in the tree =
+    // it appears AFTER the join node in the printed string
+    assert(p.indexOf("shiftright") > p.indexOf("BroadcastHashJoin"), p.take(3000))
     assert(p.contains("xxhash64"), p.take(3000))
   }
 

@@ -87,6 +87,38 @@ class PipelineSpec extends SparkSpec {
     assert(new graft.meta.Staging(spark, layout.ledgerPath).activeFiles().isEmpty)
   }
 
+  test("file:// scheme-qualified layout runs through the Hadoop FS path") {
+    val root = Files.createTempDirectory("graft-pipeline-uri").toString
+    Seq("inbox", "error", "archive", "out").foreach(d => Files.createDirectories(Paths.get(root, d)))
+    // every dir scheme-qualified: FileLifecycle must resolve them through the
+    // Hadoop FileSystem API (same code path an s3a:// or hdfs:// URI takes)
+    val layout = Pipeline.Layout(s"file://$root/inbox", s"file://$root/error",
+      s"file://$root/archive", s"file://$root/out", s"file://$root/ledger")
+    write(s"$root/inbox", "sales_ok.csv", Seq(
+      "customer_id,store_id,product_name,sales_date,sales_person_id,price,quantity,total_cost",
+      "1,121,quaker oats,2023-03-03,1,212.0,2,424.0",
+      "2,122,sugar,2023-03-04,4,50.0,1,50.0"))
+    write(s"$root/inbox", "sales_bad.csv", Seq(
+      "customer_id,product_name,sales_date,sales_person_id,price,quantity,total_cost",
+      "9,besan,2023-03-06,2,52.0,1,52.0"))
+
+    val report = Pipeline.run(spark, layout, batchId = "b-uri",
+      now = Timestamp.valueOf("2026-08-12 00:00:00"),
+      customerDim, storeDim, teamDim)
+
+    assert(report.factRows === 2)
+    assert(report.quarantinedFiles.size === 1)
+    // outputs land under the qualified URI and are readable back
+    assert(spark.read.parquet(s"${layout.outputDir}/customers_data_mart").count() === 2)
+    // lifecycle listings resolve through Hadoop FS and keep the caller's form
+    assert(graft.io.FileLifecycle.list(layout.inboxDir, ".csv").isEmpty)
+    val archived = graft.io.FileLifecycle.list(layout.archiveDir, ".csv")
+    assert(archived.size === 1)
+    assert(archived.forall(_.startsWith("file:")))
+    assert(graft.io.FileLifecycle.list(layout.errorDir, ".csv").size === 1)
+    assert(new graft.meta.Staging(spark, layout.ledgerPath).activeFiles().isEmpty)
+  }
+
   test("pre-flight blocks a re-run while files are still ACTIVE") {
     val layout = mkLayout()
     write(layout.inboxDir, "sales_ok.csv", Seq(

@@ -38,6 +38,53 @@ class StagingSpec extends SparkSpec {
     assert(st.activeFiles().isEmpty)
   }
 
+  test("two interleaved writers: colliding seqs stay deterministic and both flows resolve") {
+    val ledger = Files.createTempDirectory("graft-staging").toString + "/ledger"
+    // two independent Staging instances over the SAME ledger — the shape of
+    // two concurrent batch drivers. nextSeq is read-modify-write, so the
+    // interleaving below makes both writers mint identical seqs at identical
+    // timestamps; the writer nonce must keep latest-wins deterministic.
+    val w1 = new Staging(spark, ledger)
+    val w2 = new Staging(spark, ledger)
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+
+    // both read an empty ledger conceptually "at once": each markActive
+    // mints seq=1 for its own file set
+    w1.markActive("b1", Seq("f1.csv"), t0)
+    w2.markActive("b2", Seq("f2.csv"), t0)
+    assert(w1.activeFiles() === Seq("f1.csv", "f2.csv"))
+
+    // interleaved completion at the same coarse timestamp
+    w1.markInactive("b1", Seq("f1.csv"), t0)
+    assert(w2.activeFiles() === Seq("f2.csv"))
+    w2.markInactive("b2", Seq("f2.csv"), t0)
+    assert(w1.activeFiles().isEmpty)
+    assert(w2.activeFiles().isEmpty)
+
+    // a third writer re-activates at the same instant: its fresh ACTIVE
+    // generation must win over both finished flows
+    val w3 = new Staging(spark, ledger)
+    w3.markActive("b3", Seq("f1.csv"), t0)
+    assert(w1.activeFiles() === Seq("f1.csv"))
+  }
+
+  test("a true (updatedAt, seq) collision across writers resolves by nonce, deterministically") {
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    // hand-built worst case: two writers minted the SAME seq at the SAME
+    // timestamp for the SAME file with conflicting statuses — without the
+    // nonce the winner would depend on partition scan order
+    val df = spark.createDataFrame(Seq(
+      Staging.StagingRow("b1", "f.csv", Staging.Active, t0, 1L, "aaaa-writer"),
+      Staging.StagingRow("b2", "f.csv", Staging.Inactive, t0, 1L, "zzzz-writer")))
+    // writer desc_nulls_last → "zzzz-writer" wins → file is INACTIVE
+    assert(Staging.activeFiles(df).isEmpty)
+    // and the mirror-image ledger flips the outcome the same way every time
+    val df2 = spark.createDataFrame(Seq(
+      Staging.StagingRow("b1", "f.csv", Staging.Inactive, t0, 1L, "aaaa-writer"),
+      Staging.StagingRow("b2", "f.csv", Staging.Active, t0, 1L, "zzzz-writer")))
+    assert(Staging.activeFiles(df2) === Seq("f.csv"))
+  }
+
   test("same-timestamp re-activation wins over a prior INACTIVE (seq ordinal)") {
     val ledger = Files.createTempDirectory("graft-staging").toString + "/ledger"
     val st = new Staging(spark, ledger)
