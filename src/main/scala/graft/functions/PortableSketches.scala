@@ -120,17 +120,39 @@ object PortableSketches {
     val len = bytes.length
     if (len < k) return empty
     val hashes = gramHashes(bytes, k, len - k + 1)
+    // dedup hashes before the numHashes-wide permutation loop: repeated
+    // grams (~30% of a text corpus) contribute nothing to a min, and
+    // dedup on the HASH is exactly semantics-preserving — equal h maps to
+    // equal h_j for every permutation, so the mins are unchanged even if
+    // two distinct grams collide in hash60. Open-addressing probe, power-
+    // of-two table ≥ 2n; 0 needs a flag because it doubles as the empty
+    // sentinel.
+    val cap = java.lang.Integer.highestOneBit(math.max(4, hashes.length * 2 - 1)) << 1
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    var seenZero = false
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
     while (i < hashes.length) {
       val h = hashes(i)
-      var j = 0
-      while (j < numHashes) {
-        var hj = mulMod61(mixA(j), h) + mixB(j) // < 2^62, fold once
-        if (hj >= P61) hj -= P61
-        if (hj < mins(j)) mins(j) = hj
-        j += 1
+      var fresh = true
+      if (h == 0L) { fresh = !seenZero; seenZero = true }
+      else {
+        // finalizer-style mix so clustered 60-bit values spread over slots
+        var slot = (h ^ (h >>> 33)).toInt & mask
+        while (table(slot) != 0L && table(slot) != h) slot = (slot + 1) & mask
+        fresh = table(slot) == 0L
+        table(slot) = h
+      }
+      if (fresh) {
+        var j = 0
+        while (j < numHashes) {
+          var hj = mulMod61(mixA(j), h) + mixB(j) // < 2^62, fold once
+          if (hj >= P61) hj -= P61
+          if (hj < mins(j)) mins(j) = hj
+          j += 1
+        }
       }
       i += 1
     }
