@@ -955,16 +955,19 @@ object QueryCatalogR7 {
         |FROM v GROUP BY 1""".stripMargin)),
 
     // The custom MICRO-BATCH source under the oracle gate: the stream is
-    // driven through ~5 rate-limited batches to completion and the final
+    // driven through ~3 rate-limited batches to completion and the final
     // complete-mode aggregate must equal DuckDB's replay of the generator
     // — stream/batch parity for a custom connector, same contract the
-    // events_hourly_stream twin pins for the file source
+    // events_hourly_stream twin pins for the file source. 3 batches (not
+    // more) because the contract is "multi-batch with rate-limit cuts",
+    // and every extra complete-mode batch re-emits full state (~0.7 s of
+    // pure trigger overhead on the local harness).
     CatalogEntry("dsv2_stream_agg",
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val sink = "dsv2_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
         val q = s.readStream.format("graft-gen")
-          .option("rows", "20000").option("parts", "4").option("batchRows", "4096")
+          .option("rows", "20000").option("parts", "4").option("batchRows", "8192")
           .load()
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("cnt"),
