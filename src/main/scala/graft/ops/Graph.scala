@@ -171,9 +171,14 @@ object Graph {
     val sym = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
       .persist(level)
+    // broadcast the alive set, NOT the edges — the pageRank vector pattern
+    // (lesson 22: a frame behind an aggregate has no planner stats, so
+    // these joins default to sort-merge and re-sort the persisted edge
+    // list every peel). |alive| ≤ |nodes|, the same driver-size class as
+    // the rank vector; the edge side never re-shuffles.
     def degAmong(alive: DataFrame): DataFrame = sym
-      .join(alive.select(col("node").as("src")), "src")
-      .join(alive.select(col("node").as("dst")), "dst")
+      .join(broadcast(alive.select(col("node").as("src"))), "src")
+      .join(broadcast(alive.select(col("node").as("dst"))), "dst")
       .groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var alive = sym.select(col("src").as("node")).distinct().persist(level)
     var aliveCount = alive.count()
