@@ -42,6 +42,31 @@ class GeneratedSourceSpec extends SparkSpec {
     assert(scan.readSchema().fieldNames.toSeq === Seq("bucket"))
   }
 
+  test("boundary-value pushed filters saturate instead of wrapping (id <= Long.MaxValue)") {
+    // v+1 on Long.MaxValue used to wrap negative and empty the scan — and
+    // because the filter reports as fully pushed, Spark would never
+    // re-check it, silently losing every row (ADVICE r7)
+    val le = read(rows = 1000L).filter(col("id") <= Long.MaxValue)
+    assert(le.count() === 1000L)
+    val gt = read(rows = 1000L).filter(col("id") > Long.MaxValue)
+    assert(gt.count() === 0L)
+    val eq = read(rows = 1000L).filter(col("id") === Long.MaxValue)
+    assert(eq.count() === 0L)
+  }
+
+  test("overwrite mode truncates a prior tally (advertised TRUNCATE is real)") {
+    val tag = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    read(rows = 3000L, parts = 4)
+      .write.format("graft-count").option("run", tag).mode("append").save()
+    assert(CountingSink.committed.get(tag)._1 === 3000L)
+    // overwrite = truncate-then-write: the tally restarts, not accumulates
+    read(rows = 2000L, parts = 4)
+      .write.format("graft-count").option("run", tag).mode("overwrite").save()
+    val (rows, tasks) = CountingSink.committed.get(tag)
+    assert(rows === 2000L)
+    assert(tasks === 4)
+  }
+
   test("unsupported predicates stay residual and still filter correctly") {
     // bucket isn't pushable: the source keeps the full interval, Spark
     // re-evaluates the predicate above the scan
