@@ -82,8 +82,12 @@ object Distribution {
     // monotone bucket function, so the global range serves all groups and
     // the fact side never joins a stats frame (a per-group-extrema
     // broadcast probe on every row measured ~2x the whole operator)
-    val ex = projected.agg(min(col("v")).as("mn"), max(col("v")).as("mx")).head()
+    // approx group cardinality rides the SAME 1-row aggregate (zero extra
+    // jobs) — it gates the offsets-frame broadcast below (ADVICE r7)
+    val ex = projected.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+      approx_count_distinct(col("g")).as("ng")).head()
     val (mn, mx) = (ex.getAs[Any]("mn"), ex.getAs[Any]("mx"))
+    val approxGroups = ex.getAs[Long]("ng")
     val bucketExpr =
       if (mn == mx) lit(0L)
       else least(floor((col("v") - lit(mn)) / (lit(mx) - lit(mn)) * buckets),
@@ -97,15 +101,16 @@ object Distribution {
       .agg(count(lit(1)).as("__bc"))
       .withColumn("__boff", coalesce(sum(col("__bc")).over(wb), lit(0L)))
       .select(col("g"), col("__b"), col("__boff"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Broadcast is only safe while |groups|×buckets stays driver-sized; a
     // high-cardinality group column (per-customer, say) would blow the
-    // driver with no warning (ADVICE r7). The offsets frame is persisted, so
-    // this count reuses the aggregation the join needs anyway; past the cap
-    // we fall back to a shuffle join — slower, never fatal.
-    val offsetsRows = boffsets.count()
+    // driver with no warning (ADVICE r7). The gate uses the approx group
+    // count from the extrema fetch (~5% HLL error, irrelevant against a
+    // 16× safety margin on the cap); past it, a shuffle join — slower,
+    // never fatal. No persist/count pass: the operator stays
+    // single-consumption and leaks no cache handle (CacheContractSpec
+    // discipline).
     val offsetsSide =
-      if (offsetsRows <= 1000000L) broadcast(boffsets) else boffsets
+      if (approxGroups * buckets <= 1000000L) broadcast(boffsets) else boffsets
     // in-bucket rank: the window partitions by (group, bucket), so a heavy
     // group fans out over `buckets` tasks instead of one
     val wr = Window.partitionBy(col("g"), col("__b"))
