@@ -332,25 +332,21 @@ object QueryCatalogR7 {
         |GROUP BY 1""".stripMargin)),
 
     // Winsorize (clip at exact p05/p95 order statistics) per event type.
-    // The in-group ranks come from Distribution.groupedRanks — ONE
-    // range-partitioned distributed sort, never a per-group window task.
-    // Cut indices are integer-ceil cross-multiplications; no percentile
-    // interpolation anywhere, so both engines pick identical bound rows.
+    // The two cuts come from Distribution.groupedSelect — bucket counts
+    // shuffle, only the cut-holding buckets rank; the fact is never
+    // globally ordered. Cut indices are integer-ceil cross-
+    // multiplications; no percentile interpolation anywhere, so both
+    // engines pick identical bound rows.
     CatalogEntry("winsorize_clip",
       (s, d) => {
         val ev = QueryCatalog.eventsRaw(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
-        val ranked = ops.Distribution.groupedRanks(
-          ev, "event_type", col("value"), Seq(col("event_id")))
-        val cuts = ev.groupBy(col("event_type").as("g"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("k_lo", expr("(5 * n + 99) div 100"))
-          .withColumn("k_hi", expr("(95 * n + 99) div 100"))
-        val bounds = ranked.join(broadcast(cuts), "g")
-          .filter(col("rank") === col("k_lo") || col("rank") === col("k_hi"))
-          .groupBy(col("g"))
-          .agg(min(when(col("rank") === col("k_lo"), col("v"))).as("lo"),
-            min(when(col("rank") === col("k_hi"), col("v"))).as("hi"))
+        val sel = ops.Distribution.groupedSelect(
+          ev, "event_type", col("value"), Seq(col("event_id")),
+          array(expr("(5 * n + 99) div 100"), expr("(95 * n + 99) div 100")))
+        val bounds = sel.groupBy(col("g"))
+          .agg(min(when(col("rank") === expr("(5 * n + 99) div 100"), col("v"))).as("lo"),
+            min(when(col("rank") === expr("(95 * n + 99) div 100"), col("v"))).as("hi"))
         ev.join(broadcast(bounds), ev("event_type") === bounds("g"))
           .select(col("event_id"), col("event_type"), col("value"),
             when(col("value") < col("lo"), col("lo"))
@@ -1085,27 +1081,22 @@ object QueryCatalogR7 {
         |FROM m""".stripMargin)),
 
     // Exact per-group percentile profile WITHOUT percentile()'s
-    // buffer-every-value aggregation: order-statistic selection by integer
-    // index over groupedRanks (the winsorize machinery, three cuts)
+    // buffer-every-value aggregation: three order-statistic selections on
+    // Distribution.groupedSelect — bucket counts shuffle, only the
+    // cut-holding buckets rank, integer-ceil cut indices
     CatalogEntry("exact_percentile_profile",
       (s, d) => {
         val ev = QueryCatalog.eventsRaw(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
-        val ranked = ops.Distribution.groupedRanks(
-          ev, "event_type", col("value"), Seq(col("event_id")))
-        val cuts = ev.groupBy(col("event_type").as("g"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("k50", expr("(50 * n + 99) div 100"))
-          .withColumn("k90", expr("(90 * n + 99) div 100"))
-          .withColumn("k99", expr("(99 * n + 99) div 100"))
-        ranked.join(broadcast(cuts), "g")
-          .filter(col("rank") === col("k50") || col("rank") === col("k90")
-            || col("rank") === col("k99"))
+        ops.Distribution.groupedSelect(
+            ev, "event_type", col("value"), Seq(col("event_id")),
+            array(expr("(50 * n + 99) div 100"), expr("(90 * n + 99) div 100"),
+              expr("(99 * n + 99) div 100")))
           .groupBy(col("g").as("event_type"))
           .agg(max(col("n")).as("n"),
-            min(when(col("rank") === col("k50"), col("v"))).as("p50"),
-            min(when(col("rank") === col("k90"), col("v"))).as("p90"),
-            min(when(col("rank") === col("k99"), col("v"))).as("p99"))
+            min(when(col("rank") === expr("(50 * n + 99) div 100"), col("v"))).as("p50"),
+            min(when(col("rank") === expr("(90 * n + 99) div 100"), col("v"))).as("p90"),
+            min(when(col("rank") === expr("(99 * n + 99) div 100"), col("v"))).as("p99"))
       },
       Some("""WITH r AS (
         |  SELECT event_type, value,
@@ -1379,24 +1370,21 @@ object QueryCatalogR7 {
 
     // Median absolute deviation per event type — the robust dispersion
     // behind outlier fences that survive heavy tails. TWO order-statistic
-    // passes on the distributed rank machinery: median = value at rank
-    // ceil(n/2), MAD = median of |v − med|. Discrete selection only (no
-    // averaging of middle pairs), so both engines pick identical rows.
+    // SELECTIONS (median = value at rank ceil(n/2), MAD = median of
+    // |v − med|) on Distribution.groupedSelect: only bucket counts shuffle
+    // and only the median-holding buckets get ranked — never the full
+    // fact. Discrete selection only (no averaging of middle pairs), so
+    // both engines pick identical rows.
     CatalogEntry("mad_robust",
       (s, d) => {
         val ev = QueryCatalog.eventsRaw(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
-        def medianOf(df: DataFrame, valCol: String): DataFrame = {
-          val ranked = ops.Distribution.groupedRanks(
+        def medianOf(df: DataFrame, valCol: String): DataFrame =
+          ops.Distribution.groupedSelect(
             df.select(col("event_type"), col(valCol), col("event_id")),
-            "event_type", col(valCol), Seq(col("event_id")))
-          val cuts = df.groupBy(col("event_type").as("g"))
-            .agg(count(lit(1)).as("n"))
-            .withColumn("k", expr("(n + 1) div 2"))
-          ranked.join(broadcast(cuts), "g")
-            .filter(col("rank") === col("k"))
+            "event_type", col(valCol), Seq(col("event_id")),
+            array(expr("(n + 1) div 2")))
             .select(col("g").as("event_type"), col("v").as("med"))
-        }
         val med = medianOf(ev, "value")
         val dev = ev.join(broadcast(med), "event_type")
           .withColumn("adev", abs(col("value") - col("med")))

@@ -123,6 +123,79 @@ object Distribution {
       .drop("__b", "__boff")
   }
 
+  /** Exact order-statistic SELECTION per group — the rows at given target
+    * ranks under the (value, ties) total order — WITHOUT ranking the whole
+    * frame. Three map-only scans of the fact: global extrema, per-(group,
+    * bucket) counts (only counts shuffle), then a rank window over ONLY the
+    * buckets that contain a target rank (~n/buckets rows per target). Where
+    * `groupedRanks` shuffles every fact row into a window, this shuffles a
+    * count frame plus a 1/buckets sliver — the shape that survives 100 TB
+    * when all you need is a median or a pair of percentile cuts.
+    *
+    * `ranksOf` is an array<long> expression over the per-group row count,
+    * exposed to it as column `n` — e.g. `array(expr("(n + 1) div 2"))` for
+    * the discrete median, or two ceil-cross-multiplied percentile cuts.
+    * Target ranks outside [1, n] simply select nothing. Duplicate ranks
+    * (cuts that collide on tiny groups) are deduplicated; the caller matches
+    * output `rank` back against its own cut expressions.
+    *
+    * Correctness vs a global rank: the bucket function is monotone in v and
+    * equal values land in the same bucket, so the global (v, ties) rank of a
+    * row equals the bucket's cumulative offset plus its in-bucket (v, ties)
+    * rank — the same argument `groupedRanks` rests on. When a bucket holds
+    * several targets its rows are replicated per target by the join; the
+    * rank window therefore partitions by (g, bucket, rank) so each target
+    * ranks its own copy.
+    *
+    * Requires (group, value, ties) to be a TOTAL order and `valueCol`
+    * numeric. Degenerate mn == mx collapses each group to one bucket (the
+    * window then ranks whole groups — correct, just unfanned; with a
+    * constant v that group's rows are all ties anyway). Returns
+    * (g, n, rank, v). Broadcast of the tiny targets/count frames is gated on
+    * the same HLL group count as `groupedRanks` — a high-cardinality group
+    * column falls back to shuffle joins rather than flooding the driver.
+    */
+  def groupedSelect(df: DataFrame, groupCol: String, valueCol: Column,
+      orderCols: Seq[Column], ranksOf: Column, buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val projected = df.select((col(groupCol).as("g") +: valueCol.as("v") +:
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }): _*)
+    val ex = projected.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+      approx_count_distinct(col("g")).as("ng")).head()
+    val (mn, mx) = (ex.getAs[Any]("mn"), ex.getAs[Any]("mx"))
+    val approxGroups = ex.getAs[Long]("ng")
+    val bucketExpr =
+      if (mn == mx) lit(0L)
+      else least(floor((col("v") - lit(mn)) / (lit(mx) - lit(mn)) * buckets),
+        lit(buckets - 1).cast("long"))
+    val bucketed = projected.withColumn("__b", bucketExpr)
+    // per-(group, bucket) counts: the ONLY full-width shuffle is of this
+    // count frame (|groups|×buckets rows max), never the fact itself
+    val wg = Window.partitionBy(col("g"))
+    val wb = wg.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
+    val targets = bucketed.groupBy(col("g"), col("__b"))
+      .agg(count(lit(1)).as("__bc"))
+      .withColumn("__off", coalesce(sum(col("__bc")).over(wb), lit(0L)))
+      .withColumn("n", sum(col("__bc")).over(wg))
+      .withColumn("rank", explode(ranksOf))
+      .filter(col("rank") > col("__off") && col("rank") <= col("__off") + col("__bc"))
+      .select(col("g"), col("__b"), col("__off"), col("n"), col("rank"))
+      // colliding cuts (k_lo == k_hi on a tiny group) explode to identical
+      // rows; dedup or the per-target window would rank doubled copies
+      .distinct()
+    val targetsSide =
+      if (approxGroups <= 1000000L) broadcast(targets) else targets
+    // inner join prunes the fact to hit buckets map-side AND replicates a
+    // bucket once per target it contains; the window partitions by
+    // (g, __b, rank) so each target ranks its own replica independently
+    val wr = Window.partitionBy(col("g"), col("__b"), col("rank"))
+      .orderBy(col("v") +: orderCols.indices.map(i => col(s"t$i")): _*)
+    bucketed.join(targetsSide, Seq("g", "__b"))
+      .withColumn("__r", row_number().over(wr))
+      .filter(col("__r") === col("rank") - col("__off"))
+      .select(col("g"), col("n"), col("rank"), col("v"))
+  }
+
   /** Largest-remainder (Hamilton) apportionment of `seats` integer seats
     * proportional to a per-key integer weight. Returns
     * (key, weight, base_seats, extra, seats).

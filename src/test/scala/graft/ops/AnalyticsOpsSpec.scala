@@ -95,6 +95,50 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("groupedSelect picks the same rows as a full rank + filter") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 uneven groups, duplicate values, 500 rows — enough to spread over
+    // many buckets; ids make (g, v, id) a total order
+    val rows = (1 to 500).map { i =>
+      val g = if (i % 7 == 0) "big" else if (i % 3 == 0) "mid" else "sml"
+      (g, (i * 37 % 83).toDouble, i.toLong)
+    }
+    val df = rows.toDF("grp", "v", "id")
+    val ks = array(expr("(n + 1) div 2"), expr("(9 * n + 9) div 10"))
+    val got = Distribution.groupedSelect(df, "grp", col("v"), Seq(col("id")), ks)
+      .select(col("g"), col("rank"), col("v"))
+    val want = df.withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .filter(col("rank") === expr("(n + 1) div 2")
+        || col("rank") === expr("(9 * n + 9) div 10"))
+      .select(col("grp").as("g"), col("rank"), col("v"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // n rides along correctly
+    val ns = Distribution.groupedSelect(df, "grp", col("v"), Seq(col("id")), ks)
+      .select("g", "n").distinct().as[(String, Long)].collect().toMap
+    assert(ns === rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap)
+  }
+
+  test("groupedSelect: colliding cuts and constant values stay exact") {
+    // single-row group: both cuts collapse to rank 1 -> ONE output row
+    val tiny = Seq(("solo", 9.0, 1L), ("pair", 1.0, 2L), ("pair", 2.0, 3L))
+      .toDF("grp", "v", "id")
+    val ks = array(expr("(n + 1) div 2"), lit(1L))
+    val gotTiny = Distribution.groupedSelect(tiny, "grp", col("v"), Seq(col("id")), ks)
+      .select("g", "rank", "v").as[(String, Long, Double)].collect().sorted
+    assert(gotTiny.toSeq === Seq(("pair", 1L, 1.0), ("solo", 1L, 9.0)))
+    // constant v (mn == mx): degenerate single bucket, ties broken by id
+    val const = Seq(("c", 4.0, 1L), ("c", 4.0, 2L), ("c", 4.0, 3L)).toDF("grp", "v", "id")
+    val gotConst = Distribution.groupedSelect(
+        const, "grp", col("v"), Seq(col("id")), array(expr("n")))
+      .select("g", "rank", "v").as[(String, Long, Double)].collect()
+    assert(gotConst.toSeq === Seq(("c", 3L, 4.0)))
+    // out-of-range rank selects nothing
+    assert(Distribution.groupedSelect(
+      const, "grp", col("v"), Seq(col("id")), array(expr("n + 5"))).isEmpty)
+  }
+
   test("paretoFrontier: dominated rows drop, equal points both survive") {
     val df = Seq(
       (1L, 1.0, 10), // frontier (cheapest)
