@@ -12,6 +12,9 @@ import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional comma-separated query names (argv[3]): check only those — pairs
+# with SPARK_GRAFT_VERIFY_FILTER for fast targeted loops
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 for p in glob.glob(f"{SF_DIR}/*.parquet"):
@@ -21,6 +24,8 @@ for p in glob.glob(f"{SF_DIR}/*.parquet"):
 oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if ONLY is not None and name not in ONLY:
+        continue
     try:
         want = con.execute(sql).df()
         got = duckdb.connect().execute(
@@ -48,5 +53,6 @@ for name, sql in sorted(oracle.items()):
     except AssertionError as e:
         print(f"FAIL {name}: values differ: {str(e)[:500]}")
         fails += 1
-print(f"\n{len(oracle) - fails}/{len(oracle)} oracle-checked queries pass")
+checked = len(oracle) if ONLY is None else len(ONLY & set(oracle))
+print(f"\n{checked - fails}/{checked} oracle-checked queries pass")
 sys.exit(1 if fails else 0)

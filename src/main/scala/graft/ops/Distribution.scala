@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Distribution analytics: exact equi-depth bucketing and largest-remainder
   * quota allocation — the two workhorses behind dataset sharding and
@@ -10,37 +9,41 @@ import org.apache.spark.sql.types.LongType
   */
 object Distribution {
 
-  /** Exact equi-depth buckets: global rank → `floor(rank·n/N)+1`, then one
-    * aggregate per bucket (count, min, max). `orderCols` must be a TOTAL
-    * order or the ranks (and thus boundary-bucket membership) are
+  /** Exact equi-depth buckets: bucket of the 0-based global rank is
+    * `rank0·n div N + 1`, reported as (bucket, cnt, min_v, max_v).
+    * `orderCols` must be a TOTAL order or boundary-bucket membership is
     * nondeterministic.
     *
-    * Scale shape: the global rank comes from `orderBy` (a range-partitioned
-    * distributed sort — every partition holds a contiguous rank slice) plus
-    * `zipWithIndex` (one extra count job for partition offsets). No
-    * single-partition window — `ntile()` over a global ORDER BY collapses
-    * the whole table into one task; this shape keeps all 3 jobs (count,
-    * offsets, aggregate) fully parallel. Bucket arithmetic is pure integer,
-    * so every engine places every row identically.
+    * Scale shape: every bucket's stats are functions of its two BOUNDARY
+    * order statistics — `min_v` = value at rank `ceil((b−1)·N/n)+1`,
+    * `max_v` at rank `ceil(b·N/n)`, and `cnt` is pure integer arithmetic in
+    * (b, N). So the whole result is ~2n `groupedSelect` selections: bucket
+    * counts shuffle, only boundary-holding value buckets get ranked, and
+    * the fact is NEVER globally sorted (the previous shape — distributed
+    * sort + zipWithIndex — paid a range exchange, an external Row codec,
+    * and a second sort execution). Bucket arithmetic is floor/ceil-dual
+    * integer, so every engine places every row identically; empty buckets
+    * (N < n) drop out because their boundary ranks fall outside [1, N].
     */
   def equiDepthBuckets(df: DataFrame, valueCol: Column, orderCols: Seq[Column],
       n: Int = 10): DataFrame = {
     require(n >= 2, s"n=$n buckets must be at least 2")
-    val spark = df.sparkSession
-    // total order: value first, caller tie-breakers after
-    val totalSorted = df.select((valueCol.as("v") +: orderCols.zipWithIndex
-      .map { case (c, i) => c.as(s"t$i") }): _*)
-      .orderBy(col("v") +: orderCols.indices.map(i => col(s"t$i")): _*)
-    val total = totalSorted.count()
-    val schema = totalSorted.schema.add("rank0", LongType)
-    val ranked = spark.createDataFrame(
-      totalSorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
-    ranked
-      // `div` (floor division on longs) — `/` would promote to double
-      .withColumn("bucket", expr(s"rank0 * $n div $total + 1"))
+    // boundary ranks of every bucket, deduped (single-row buckets collide);
+    // `n` inside the expr is groupedSelect's per-group row count N
+    val ks = expr(s"""array_distinct(flatten(transform(
+      sequence(CAST(1 AS BIGINT), CAST($n AS BIGINT)),
+      b -> array(((b - 1) * n + ${n - 1}) div $n + 1, (b * n + ${n - 1}) div $n))))""")
+    groupedSelect(df.withColumn("__one", lit("all")),
+        "__one", valueCol, orderCols, ks, buckets = 1024)
+      // a selected rank's bucket is a pure function of (rank, N): the two
+      // boundary rows of bucket b are exactly its min and max values
+      .withColumn("bucket", expr(s"(rank - 1) * $n div n + 1"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("cnt"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .agg(max(col("n")).as("__N"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .select(col("bucket"),
+        expr(s"(bucket * __N + ${n - 1}) div $n - ((bucket - 1) * __N + ${n - 1}) div $n")
+          .as("cnt"),
+        col("min_v"), col("max_v"))
   }
 
   /** Exact per-group ranks WITHOUT a one-task-per-group window:
