@@ -89,4 +89,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
+
+  test("mad_robust selects medians without range-sorting or sort-merge-joining the fact") {
+    // groupedSelect shape: bucket-count targets broadcast back onto the
+    // fact; the only windows partition by (g, bucket, rank) — hash
+    // exchanges throughout, never a global range sort of the fact
+    val p = planOf("mad_robust")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.toLowerCase.contains("rangepartitioning"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("equidepth_deciles derives buckets from boundary selections, no global sort") {
+    // the pre-round-8 shape paid orderBy (range exchange) + zipWithIndex;
+    // the boundary-statistic shape must plan with hash exchanges only
+    val p = planOf("equidepth_deciles")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.toLowerCase.contains("rangepartitioning"), p.take(3000))
+  }
 }
