@@ -35,6 +35,7 @@ object StressRanks {
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
     }
 
+    val medianKs = array(expr("(n + 1) div 2"))
     for (round <- 1 to 2) {
       println(s"--- round $round (n=$n groups=$groups)")
       time("groupedRanks (distributed)") {
@@ -46,6 +47,18 @@ object StressRanks {
             Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
           .filter(col("rank") === 1).count()
       }
+      // medians via SELECTION (counts shuffle, 1/1024 of rows ranked) vs
+      // ranking everything and keeping one row per group
+      time("median via groupedSelect") {
+        Distribution.groupedSelect(df, "g", col("v"), Seq(col("id")), medianKs)
+          .count()
+      }
+      time("median via window row_number") {
+        df.withColumn("rank", row_number().over(
+              Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+          .filter(col("rank") === expr("(n + 1) div 2")).count()
+      }
     }
     // value check on a verifiable slice: rank-1 rows must be the per-group
     // minima under (v, id) in both forms
@@ -55,6 +68,15 @@ object StressRanks {
         Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
       .filter(col("rank") === 1).select(col("g"), col("v"), col("id"))
     require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "result mismatch")
+    val selMed = Distribution.groupedSelect(df, "g", col("v"), Seq(col("id")), medianKs)
+      .select(col("g"), col("rank"), col("v"))
+    val winMed = df.withColumn("rank", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v"), col("id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("rank") === expr("(n + 1) div 2"))
+      .select(col("g"), col("rank"), col("v"))
+    require(selMed.exceptAll(winMed).isEmpty && winMed.exceptAll(selMed).isEmpty,
+      "median mismatch")
     println("results identical")
     spark.stop()
   }
