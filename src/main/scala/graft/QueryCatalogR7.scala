@@ -829,18 +829,21 @@ object QueryCatalogR7 {
 
     // Gini coefficient of customer spend — G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
     // over ascending-sorted integer cents. Σ(i·xᵢ) stays exact in longs
-    // (≤ ~1.4e15 at sf0.1); the rank window runs over the AGGREGATED
-    // per-customer frame, not the facts
+    // (≤ ~1.4e15 at sf0.1); it consumes EVERY rank, so the ranks come from
+    // the DISTRIBUTED bucket-rank machinery under a constant group (the
+    // auc_rank pattern) — an unpartitioned row_number window would drag
+    // the whole per-customer frame into ONE task (billions of rows at
+    // 100 TB)
     CatalogEntry("gini_coefficient",
       (s, d) => {
-        val w = Window.orderBy(col("cents"), col("o_custkey"))
-        T(s, d, "orders")
+        val spend = T(s, d, "orders")
           .groupBy(col("o_custkey"))
           .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
             .cast("long").as("cents"))
-          .withColumn("i", row_number().over(w).cast("long"))
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_x"),
-            sum(col("i") * col("cents")).as("sum_ix"))
+          .withColumn("one", lit("all"))
+        ops.Distribution.groupedRanks(spend, "one", col("cents"), Seq(col("o_custkey")))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_x"),
+            sum(col("rank") * col("v")).as("sum_ix"))
           .select(col("n"), col("sum_x"),
             ((col("sum_ix") * 2).cast("double")
               / (col("n").cast("double") * col("sum_x"))
@@ -1245,24 +1248,26 @@ object QueryCatalogR7 {
 
     // Lorenz curve by customer-spend decile (the curve behind the
     // gini_coefficient scalar): cumulative integer cents over equi-depth
-    // deciles, shares as single divisions. Decile placement reuses the
-    // floor(rank·10/n) arithmetic; cumulative sums run over the 10-row
-    // decile frame.
+    // deciles, shares as single divisions. Every row needs its decile, so
+    // ranks come from the DISTRIBUTED bucket-rank machinery (constant
+    // group), n from a 1-row broadcast instead of a driver count();
+    // cumulative sums run over the 10-row decile frame.
     CatalogEntry("lorenz_deciles",
       (s, d) => {
-        val wr = Window.orderBy(col("cents"), col("o_custkey"))
         val wc = Window.orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val spend = T(s, d, "orders")
           .groupBy(col("o_custkey"))
           .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
             .cast("long").as("cents"))
-        val n = spend.count()
-        val deciles = spend
-          .withColumn("rank0", row_number().over(wr).cast("long") - 1)
-          .withColumn("decile", expr(s"rank0 * 10 div $n + 1"))
+        val nTot = spend.agg(count(lit(1)).as("n"))
+        val deciles = ops.Distribution.groupedRanks(
+            spend.withColumn("one", lit("all")), "one", col("cents"),
+            Seq(col("o_custkey")))
+          .crossJoin(broadcast(nTot))
+          .withColumn("decile", expr("(rank - 1) * 10 div n + 1"))
           .groupBy(col("decile"))
-          .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("decile_cents"))
+          .agg(count(lit(1)).as("n_customers"), sum(col("v")).as("decile_cents"))
         val tot = deciles.agg(sum(col("decile_cents")).as("total_cents"))
         deciles
           .withColumn("cum_cents", sum(col("decile_cents")).over(wc))
