@@ -1931,22 +1931,27 @@ object QueryCatalog {
     // Reproducible corpus shuffle + sharding: global permutation ordered by
     // a seeded hash (no rand() — same order on any engine/cluster/run),
     // then round-robin shard assignment with per-shard accounting. The md5
-    // sort key makes the permutation oracle-replayable. NOTE the global
-    // row_number window collapses to ONE partition — fine for this gate; at
-    // 100 TB compute positions with a range-partitioned sort + per-partition
-    // offsets (sortWithinPartitions + cumulative partition counts), or skip
-    // positions entirely and shard by hash bucket (dataset_split).
+    // sort key makes the permutation oracle-replayable. Positions come
+    // from the DISTRIBUTED bucket-rank machinery under a constant group:
+    // ordering by (numeric 15-hex-char prefix, full key) equals ordering
+    // by the full key (fixed-length lowercase hex ⇒ lexicographic =
+    // numeric), so the bucket function fans the corpus out instead of the
+    // old single-task row_number window.
     CatalogEntry("shuffle_shards",
       (s, d) => {
-        val w = Window.orderBy(col("shuffle_key"))
-        docs(s, d)
+        val keyed = docs(s, d)
           .select(col("doc_id"), col("n_chars"),
             md5(concat(lit("seed42:"), col("doc_id").cast("string"))).as("shuffle_key"))
-          .withColumn("pos", row_number().over(w))
+          .withColumn("key_num", conv(substring(col("shuffle_key"), 1, 15), 16, 10)
+            .cast("long"))
+          .withColumn("one", lit("all"))
+        ops.Distribution.groupedRanks(keyed, "one", col("key_num"),
+            Seq(col("shuffle_key"), col("n_chars")))
+          .withColumn("pos", col("rank").cast("int"))
           .withColumn("shard", (col("pos") - 1) % 8)
           .groupBy(col("shard"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_chars").cast("long")).as("total_chars"),
+            sum(col("t1").cast("long")).as("total_chars"),
             min(col("pos")).as("first_pos"))
       },
       Some("""WITH s AS (

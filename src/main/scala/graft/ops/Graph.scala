@@ -203,9 +203,10 @@ object Graph {
   /** Link prediction by common-neighbour count: top-`topK` NON-adjacent
     * pairs sharing ≥ `minCommon` neighbours, scored by neighbourhood
     * Jaccard `common / (deg_u + deg_v − common)`. Same wedge-expansion
-    * shuffle shape as [[triangleStats]]; the candidate set after the
-    * `minCommon` cut is small, so the rank window is cheap. Counts are
-    * exact integers; the Jaccard is a single division.
+    * shuffle shape as [[triangleStats]]; the top-k cut is an
+    * orderBy+limit (TakeOrderedAndProject — per-partition heaps), so only
+    * the ≤topK winners ever see a window. Counts are exact integers; the
+    * Jaccard is a single division.
     */
   def commonNeighborScores(edges: DataFrame, minCommon: Int = 2, topK: Int = 20,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
@@ -225,8 +226,12 @@ object Graph {
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
       .withColumn("jaccard", col("common").cast("double")
         / (col("du") + col("dv") - col("common")))
+      // top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+      // k-heaps, no global sort), THEN the rank window over only ≤topK
+      // rows — windowing the full candidate frame would single-task it
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(topK)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
       .select(col("rank"), col("u"), col("v"), col("common"), col("jaccard"))
     Dedup.materializeAndRelease(scored, e)
   }

@@ -475,9 +475,13 @@ object TextAnalysis {
         (col("c_ab").cast("double") * col("__n_uni")) /
           (col("c_a").cast("double") * col("c_b")))
     val w = Window.orderBy(col("lift").desc, col("w1"), col("w2"))
+    // top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps)
+    // BEFORE the rank window — windowing the full scored-bigram frame
+    // would drag vocab²-scale candidates into one task
     val result = scored
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
       .select(col("rank"), col("w1"), col("w2"), col("c_ab"), col("lift"))
     Dedup.materializeAndRelease(result, uni)
   }
