@@ -110,9 +110,10 @@ object QueryCatalogR7 {
         |  COUNT(*) AS active_days
         |FROM occ GROUP BY 1""".stripMargin)),
 
-    // Exact equi-depth deciles of extended price: distributed sort +
-    // zipWithIndex rank (NOT a single-partition ntile window), integer
-    // bucket arithmetic shared verbatim with the oracle
+    // Exact equi-depth deciles of extended price: each decile's stats are
+    // its two boundary order statistics, fetched via groupedSelect (NOT a
+    // single-partition ntile window, NOT a global sort); integer bucket
+    // arithmetic shared verbatim with the oracle
     CatalogEntry("equidepth_deciles",
       (s, d) => ops.Distribution.equiDepthBuckets(
         T(s, d, "lineitem"), col("l_extendedprice"),
