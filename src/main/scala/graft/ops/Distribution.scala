@@ -186,8 +186,12 @@ object Distribution {
       // colliding cuts (k_lo == k_hi on a tiny group) explode to identical
       // rows; dedup or the per-target window would rank doubled copies
       .distinct()
+    // targets is |groups| × |cuts| rows; explicit broadcast() bypasses the
+    // auto threshold, so gate conservatively — ~100k groups × a handful of
+    // cuts stays tens of MB; past that, a shuffle join (slower, never
+    // driver-fatal)
     val targetsSide =
-      if (approxGroups <= 1000000L) broadcast(targets) else targets
+      if (approxGroups <= 100000L) broadcast(targets) else targets
     // inner join prunes the fact to hit buckets map-side AND replicates a
     // bucket once per target it contains; the window partitions by
     // (g, __b, rank) so each target ranks its own replica independently
