@@ -100,6 +100,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("link_prediction and collocation_pmi cut top-k with per-partition heaps") {
+    // orderBy+limit before the rank window: TakeOrderedAndProject must
+    // appear, so only ≤topK rows ever reach a window
+    for (q <- Seq("link_prediction", "collocation_pmi")) {
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: ${p.take(3000)}")
+    }
+  }
+
   test("equidepth_deciles derives buckets from boundary selections, no global sort") {
     // the pre-round-8 shape paid orderBy (range exchange) + zipWithIndex;
     // the boundary-statistic shape must plan with hash exchanges only
