@@ -73,13 +73,21 @@ object Distribution {
     * break by `orderCols` inside it); if that is your data, salt the
     * bucket by a tie column. Requires (group, value, ties) to be a TOTAL
     * order; `valueCol` must be numeric (the bucket does literal arithmetic
-    * on it). Returns (g, v, ties..., rank).
+    * on it). Rows with a NULL group or value are EXCLUDED (their bucket is
+    * null and the offsets join drops null keys) — unlike a row_number
+    * window, which would rank nulls first; filter or coalesce upstream if
+    * nulls matter (contract pinned in AnalyticsOpsSpec). Returns
+    * (g, v, ties..., rank).
     */
   def groupedRanks(df: DataFrame, groupCol: String, valueCol: Column,
       orderCols: Seq[Column], buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // explicit null exclusion: the offsets join would drop null-bucket rows
+    // anyway on the normal path, but the mn == mx degenerate branch would
+    // not — filter up front so the contract is uniform
     val projected = df.select((col(groupCol).as("g") +: valueCol.as("v") +:
       orderCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }): _*)
+      .filter(col("g").isNotNull && col("v").isNotNull)
     // GLOBAL extrema as driver scalars (1-row fetch, the pageRank-base
     // pattern): order-preservation within every group only needs a
     // monotone bucket function, so the global range serves all groups and
@@ -151,7 +159,9 @@ object Distribution {
     * ranks its own copy.
     *
     * Requires (group, value, ties) to be a TOTAL order and `valueCol`
-    * numeric. Degenerate mn == mx collapses each group to one bucket (the
+    * numeric. Rows with a NULL group or value are EXCLUDED (`n` counts
+    * only surviving rows) — the groupedRanks contract. Degenerate
+    * mn == mx collapses each group to one bucket (the
     * window then ranks whole groups — correct, just unfanned; with a
     * constant v that group's rows are all ties anyway). Returns
     * (g, n, rank, v). Broadcast of the tiny targets/count frames is gated on
@@ -161,8 +171,10 @@ object Distribution {
   def groupedSelect(df: DataFrame, groupCol: String, valueCol: Column,
       orderCols: Seq[Column], ranksOf: Column, buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same null-exclusion contract as groupedRanks (see its scaladoc)
     val projected = df.select((col(groupCol).as("g") +: valueCol.as("v") +:
       orderCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }): _*)
+      .filter(col("g").isNotNull && col("v").isNotNull)
     val ex = projected.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
       approx_count_distinct(col("g")).as("ng")).head()
     val (mn, mx) = (ex.getAs[Any]("mn"), ex.getAs[Any]("mx"))

@@ -139,6 +139,27 @@ class AnalyticsOpsSpec extends SparkSpec {
       const, "grp", col("v"), Seq(col("id")), array(expr("n + 5"))).isEmpty)
   }
 
+  test("rank machinery excludes null groups and values uniformly") {
+    // contract: null group/value rows drop BEFORE bucketing — including the
+    // mn == mx degenerate branch, where the naive bucket would keep them
+    val df = Seq((Some("a"), Some(1.0), 1L), (Some("a"), None, 2L),
+      (None, Some(2.0), 3L), (Some("a"), Some(3.0), 4L))
+      .toDF("grp", "v", "id")
+    val ranked = Distribution.groupedRanks(df, "grp", col("v"), Seq(col("id")))
+      .select("t0").as[Long].collect().sorted
+    assert(ranked.toSeq === Seq(1L, 4L))
+    val sel = Distribution.groupedSelect(df, "grp", col("v"), Seq(col("id")),
+      array(expr("n")))
+      .select("g", "n", "v").as[(String, Long, Double)].collect()
+    assert(sel.toSeq === Seq(("a", 2L, 3.0)))
+    // degenerate constant-v group with a null row: still excluded
+    val const = Seq((Some("c"), Some(5.0), 1L), (Some("c"), None, 2L),
+      (Some("c"), Some(5.0), 3L)).toDF("grp", "v", "id")
+    val cr = Distribution.groupedSelect(const, "grp", col("v"), Seq(col("id")),
+      array(expr("n"))).select("n", "v").as[(Long, Double)].collect()
+    assert(cr.toSeq === Seq((2L, 5.0)))
+  }
+
   test("paretoFrontier: dominated rows drop, equal points both survive") {
     val df = Seq(
       (1L, 1.0, 10), // frontier (cheapest)
