@@ -139,6 +139,23 @@ class AnalyticsOpsSpec extends SparkSpec {
       const, "grp", col("v"), Seq(col("id")), array(expr("n + 5"))).isEmpty)
   }
 
+  test("high-cardinality groups take the shuffle-join fallback and stay exact") {
+    // 2000 groups × 1024 buckets > the 1M groupedRanks broadcast cap and
+    // 200k groups > the 100k groupedSelect cap — both gates must flip to
+    // the shuffle join without changing results
+    val many = spark.range(0, 100000)
+      .selectExpr("CAST(id % 2000 AS STRING) AS grp", "id * 37 % 101 AS v", "id")
+    val r = Distribution.groupedRanks(many, "grp", col("v"), Seq(col("id")))
+    assert(r.count() === 100000L)
+    assert(r.groupBy("g").agg(max("rank").as("m")).filter(col("m") =!= 50L).isEmpty)
+    val wide = spark.range(0, 200000)
+      .selectExpr("CAST(id AS STRING) AS grp", "id % 97 AS v", "id")
+    val sel = Distribution.groupedSelect(wide, "grp", col("v"), Seq(col("id")),
+      array(expr("(n + 1) div 2")))
+    assert(sel.count() === 200000L)
+    assert(sel.filter(col("rank") =!= 1L || col("n") =!= 1L).isEmpty)
+  }
+
   test("rank machinery excludes null groups and values uniformly") {
     // contract: null group/value rows drop BEFORE bucketing — including the
     // mn == mx degenerate branch, where the naive bucket would keep them
