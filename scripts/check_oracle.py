@@ -22,6 +22,11 @@ for p in glob.glob(f"{SF_DIR}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+if ONLY is not None:
+    unknown = ONLY - set(oracle)
+    if unknown:  # a typo'd filter must not report green on zero checks
+        print(f"FAIL: unknown query name(s) in filter: {sorted(unknown)}")
+        sys.exit(2)
 fails = 0
 for name, sql in sorted(oracle.items()):
     if ONLY is not None and name not in ONLY:
@@ -55,4 +60,4 @@ for name, sql in sorted(oracle.items()):
         fails += 1
 checked = len(oracle) if ONLY is None else len(ONLY & set(oracle))
 print(f"\n{checked - fails}/{checked} oracle-checked queries pass")
-sys.exit(1 if fails else 0)
+sys.exit(1 if fails or checked == 0 else 0)

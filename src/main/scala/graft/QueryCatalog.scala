@@ -1945,9 +1945,11 @@ object QueryCatalog {
           .withColumn("key_num", conv(substring(col("shuffle_key"), 1, 15), 16, 10)
             .cast("long"))
           .withColumn("one", lit("all"))
+        // pos stays LONG: an int cast would wrap past 2^31 documents —
+        // the exact scale this distributed form exists for
         ops.Distribution.groupedRanks(keyed, "one", col("key_num"),
             Seq(col("shuffle_key"), col("n_chars")))
-          .withColumn("pos", col("rank").cast("int"))
+          .withColumn("pos", col("rank"))
           .withColumn("shard", (col("pos") - 1) % 8)
           .groupBy(col("shard"))
           .agg(count(lit(1)).as("n_docs"),

@@ -34,7 +34,7 @@ object Distribution {
       sequence(CAST(1 AS BIGINT), CAST($n AS BIGINT)),
       b -> array(((b - 1) * n + ${n - 1}) div $n + 1, (b * n + ${n - 1}) div $n))))""")
     groupedSelect(df.withColumn("__one", lit("all")),
-        "__one", valueCol, orderCols, ks, buckets = 1024)
+        "__one", valueCol, orderCols, ks, buckets = 1024, maxCuts = 2 * n)
       // a selected rank's bucket is a pure function of (rank, N): the two
       // boundary rows of bucket b are exactly its min and max values
       .withColumn("bucket", expr(s"(rank - 1) * $n div n + 1"))
@@ -119,7 +119,11 @@ object Distribution {
     // 16× safety margin on the cap); past it, a shuffle join — slower,
     // never fatal. No persist/count pass: the operator stays
     // single-consumption and leaks no cache handle (CacheContractSpec
-    // discipline).
+    // discipline). The product is a WORST-CASE bound (it assumes every
+    // bucket non-empty) — a mid-cardinality caller (thousands of groups)
+    // that wants the broadcast back should pass a smaller `buckets`
+    // (fan-out only needs ~cores per heavy group), which shrinks the
+    // bound linearly.
     val offsetsSide =
       if (approxGroups * buckets <= 1000000L) broadcast(boffsets) else boffsets
     // in-bucket rank: the window partitions by (group, bucket), so a heavy
@@ -164,12 +168,16 @@ object Distribution {
     * mn == mx collapses each group to one bucket (the
     * window then ranks whole groups — correct, just unfanned; with a
     * constant v that group's rows are all ties anyway). Returns
-    * (g, n, rank, v). Broadcast of the tiny targets/count frames is gated on
-    * the same HLL group count as `groupedRanks` — a high-cardinality group
-    * column falls back to shuffle joins rather than flooding the driver.
+    * (g, n, rank, v). The targets broadcast is gated on HLL-group-count ×
+    * `maxCuts` (the caller's declared upper bound on ranks per group —
+    * equiDepthBuckets passes 2n, the percentile callers a literal arity);
+    * a high-cardinality group column falls back to a shuffle join rather
+    * than flooding the driver.
     */
   def groupedSelect(df: DataFrame, groupCol: String, valueCol: Column,
-      orderCols: Seq[Column], ranksOf: Column, buckets: Int = 1024): DataFrame = {
+      orderCols: Seq[Column], ranksOf: Column, buckets: Int = 1024,
+      maxCuts: Int = 8): DataFrame = {
+    require(maxCuts >= 1, s"maxCuts=$maxCuts must be positive")
     import org.apache.spark.sql.expressions.Window
     // same null-exclusion contract as groupedRanks (see its scaladoc)
     val projected = df.select((col(groupCol).as("g") +: valueCol.as("v") +:
@@ -198,12 +206,13 @@ object Distribution {
       // colliding cuts (k_lo == k_hi on a tiny group) explode to identical
       // rows; dedup or the per-target window would rank doubled copies
       .distinct()
-    // targets is |groups| × |cuts| rows; explicit broadcast() bypasses the
-    // auto threshold, so gate conservatively — ~100k groups × a handful of
-    // cuts stays tens of MB; past that, a shuffle join (slower, never
-    // driver-fatal)
+    // targets is |groups| × |cuts| rows and explicit broadcast() bypasses
+    // the auto threshold, so the gate must bound BOTH factors: the caller
+    // declares its cut multiplicity via `maxCuts` (a gate hint only —
+    // understating it risks a fat broadcast, never wrong results). Past
+    // the cap, a shuffle join — slower, never driver-fatal.
     val targetsSide =
-      if (approxGroups <= 100000L) broadcast(targets) else targets
+      if (approxGroups * maxCuts <= 1000000L) broadcast(targets) else targets
     // inner join prunes the fact to hit buckets map-side AND replicates a
     // bucket once per target it contains; the window partitions by
     // (g, __b, rank) so each target ranks its own replica independently
