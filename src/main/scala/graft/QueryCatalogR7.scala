@@ -121,8 +121,8 @@ object QueryCatalogR7 {
       Some("""WITH r AS (
         |  SELECT l_extendedprice AS v,
         |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1 AS rank0,
-        |    (SELECT COUNT(*) FROM lineitem) AS n
-        |  FROM lineitem
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice IS NOT NULL) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
         |)
         |SELECT CAST(rank0 * 10 // n + 1 AS BIGINT) AS bucket, COUNT(*) AS cnt,
         |  MIN(v) AS min_v, MAX(v) AS max_v
@@ -342,12 +342,15 @@ object QueryCatalogR7 {
       (s, d) => {
         val ev = QueryCatalog.eventsRaw(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
+        // each cut expression bound ONCE — the selection array and the
+        // matchers must agree or the bound silently goes null (review r8)
+        val kLo = expr("(5 * n + 99) div 100")
+        val kHi = expr("(95 * n + 99) div 100")
         val sel = ops.Distribution.groupedSelect(
-          ev, "event_type", col("value"), Seq(col("event_id")),
-          array(expr("(5 * n + 99) div 100"), expr("(95 * n + 99) div 100")))
+          ev, "event_type", col("value"), Seq(col("event_id")), array(kLo, kHi))
         val bounds = sel.groupBy(col("g"))
-          .agg(min(when(col("rank") === expr("(5 * n + 99) div 100"), col("v"))).as("lo"),
-            min(when(col("rank") === expr("(95 * n + 99) div 100"), col("v"))).as("hi"))
+          .agg(min(when(col("rank") === kLo, col("v"))).as("lo"),
+            min(when(col("rank") === kHi, col("v"))).as("hi"))
         ev.join(broadcast(bounds), ev("event_type") === bounds("g"))
           .select(col("event_id"), col("event_type"), col("value"),
             when(col("value") < col("lo"), col("lo"))
@@ -358,7 +361,7 @@ object QueryCatalogR7 {
         |  SELECT event_id, event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rank,
         |    COUNT(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), bounds AS (
         |  SELECT event_type,
         |    MIN(CASE WHEN rank = (5 * n + 99) // 100 THEN value END) AS lo,
@@ -1002,7 +1005,8 @@ object QueryCatalogR7 {
     CatalogEntry("auc_rank",
       (s, d) => {
         val base = QueryCatalog.eventsRaw(s, d)
-          .filter(col("event_type").isin("purchase", "click"))
+          .filter(col("event_type").isin("purchase", "click")
+            && col("value").isNotNull) // totals share the ranks' null contract
           .select(lit("all").as("one"), col("event_type"), col("value"), col("event_id"))
         val ranked = ops.Distribution.groupedRanks(
           base, "one", col("value"), Seq(col("event_id"), col("event_type")))
@@ -1018,7 +1022,7 @@ object QueryCatalogR7 {
       Some("""WITH f AS (
         |  SELECT event_type, value, event_id,
         |    CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS r
-        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  FROM events WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
         |), m AS (
         |  SELECT
         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -1039,7 +1043,8 @@ object QueryCatalogR7 {
     CatalogEntry("ks_test",
       (s, d) => {
         val base = QueryCatalog.eventsRaw(s, d)
-          .filter(col("event_type").isin("purchase", "click"))
+          .filter(col("event_type").isin("purchase", "click")
+            && col("value").isNotNull) // totals share the ranks' null contract
           .select(lit("all").as("one"), col("event_type"), col("value"), col("event_id"))
         val globalRank = ops.Distribution.groupedRanks(
             base, "one", col("value"), Seq(col("event_id"), col("event_type")))
@@ -1092,21 +1097,23 @@ object QueryCatalogR7 {
       (s, d) => {
         val ev = QueryCatalog.eventsRaw(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
-        ops.Distribution.groupedSelect(
-            ev, "event_type", col("value"), Seq(col("event_id")),
-            array(expr("(50 * n + 99) div 100"), expr("(90 * n + 99) div 100"),
-              expr("(99 * n + 99) div 100")))
-          .groupBy(col("g").as("event_type"))
+        // cut expressions bound once (selection + matcher share the tree)
+        val cuts = Seq("p50" -> expr("(50 * n + 99) div 100"),
+          "p90" -> expr("(90 * n + 99) div 100"),
+          "p99" -> expr("(99 * n + 99) div 100"))
+        val sel = ops.Distribution.groupedSelect(
+          ev, "event_type", col("value"), Seq(col("event_id")),
+          array(cuts.map(_._2): _*))
+        sel.groupBy(col("g").as("event_type"))
           .agg(max(col("n")).as("n"),
-            min(when(col("rank") === expr("(50 * n + 99) div 100"), col("v"))).as("p50"),
-            min(when(col("rank") === expr("(90 * n + 99) div 100"), col("v"))).as("p90"),
-            min(when(col("rank") === expr("(99 * n + 99) div 100"), col("v"))).as("p99"))
+            cuts.map { case (name, k) =>
+              min(when(col("rank") === k, col("v"))).as(name) }: _*)
       },
       Some("""WITH r AS (
         |  SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rank,
         |    COUNT(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |)
         |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
         |  MIN(CASE WHEN rank = (50 * n + 99) // 100 THEN value END) AS p50,
@@ -1139,6 +1146,7 @@ object QueryCatalogR7 {
       (s, d) => {
         val ev = QueryCatalog.eventsRaw(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
+          .filter(col("value").isNotNull) // sizes share the ranks' null contract
         val grouped = ops.Distribution.groupedRanks(
             ev, "event_type", col("value"), Seq(col("event_id")))
           .select(col("g").as("event_type"), col("v").as("value"),
@@ -1163,11 +1171,11 @@ object QueryCatalogR7 {
         |      ORDER BY value, event_id) AS BIGINT) AS rg,
         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS ng,
         |    CAST(COUNT(*) OVER () AS BIGINT) AS nn
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), pooled AS (
         |  SELECT CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS idx,
         |    value AS pooled_v
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |)
         |SELECT r.event_id, r.event_type, r.value, p.pooled_v AS normalized
         |FROM ranked r JOIN pooled p
@@ -1363,7 +1371,7 @@ object QueryCatalogR7 {
         |    COUNT(*) AS n,
         |    SUM(CAST(value AS DECIMAL(18,2))) AS s,
         |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sq
-        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  FROM events WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
         |  GROUP BY 1
         |), a AS (SELECT n AS n1, s AS s1, sq AS sq1 FROM st WHERE cls = 1
         |), b AS (SELECT n AS n2, s AS s2, sq AS sq2 FROM st WHERE cls = 2)
@@ -1403,12 +1411,13 @@ object QueryCatalogR7 {
         |  SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
         |    COUNT(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), med AS (
         |  SELECT event_type, value AS med FROM r1 WHERE rk = (n + 1) // 2
         |), dev AS (
         |  SELECT e.event_type, e.event_id, abs(e.value - m.med) AS adev, m.med
         |  FROM events e JOIN med m USING (event_type)
+        |  WHERE e.value IS NOT NULL
         |), r2 AS (
         |  SELECT event_type, adev, med,
         |    row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rk,

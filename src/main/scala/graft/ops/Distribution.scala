@@ -24,6 +24,9 @@ object Distribution {
     * and a second sort execution). Bucket arithmetic is floor/ceil-dual
     * integer, so every engine places every row identically; empty buckets
     * (N < n) drop out because their boundary ranks fall outside [1, N].
+    * Rows with a NULL value are EXCLUDED from N and every bucket — the
+    * groupedSelect contract (the old sort-based shape ranked nulls first);
+    * filter or coalesce upstream if nulls matter.
     */
   def equiDepthBuckets(df: DataFrame, valueCol: Column, orderCols: Seq[Column],
       n: Int = 10): DataFrame = {
@@ -69,63 +72,43 @@ object Distribution {
     * 4-5x slower than this shape on StressRanks. Value-bucket determinism
     * has neither problem: the bucket is a pure function of the row.
     *
-    * Skew caveat: a single massively-repeated v lands one hot bucket (ties
+    * Skew caveats: a single massively-repeated v lands one hot bucket (ties
     * break by `orderCols` inside it); if that is your data, salt the
-    * bucket by a tie column. Requires (group, value, ties) to be a TOTAL
-    * order; `valueCol` must be numeric (the bucket does literal arithmetic
-    * on it). Rows with a NULL group or value are EXCLUDED (their bucket is
-    * null and the offsets join drops null keys) — unlike a row_number
-    * window, which would rank nulls first; filter or coalesce upstream if
-    * nulls matter (contract pinned in AnalyticsOpsSpec). Returns
-    * (g, v, ties..., rank).
+    * bucket by a tie column. RANGE skew (heavy-tailed values) is handled by
+    * the blended linear+log bucket position — see [[valueBuckets]]; the
+    * per-group fan-out also adapts down when groups are many, since
+    * parallelism then comes from the groups themselves. Requires (group,
+    * value, ties) to be a TOTAL order; `valueCol` must be numeric (the
+    * bucket does literal arithmetic on it). Rows with a NULL group or value
+    * are EXCLUDED — unlike a row_number window, which would rank nulls
+    * first; filter or coalesce upstream if nulls matter (contract pinned in
+    * AnalyticsOpsSpec, and mirrored in the catalog oracles as
+    * `value IS NOT NULL`). Returns (g, v, ties..., rank).
     */
   def groupedRanks(df: DataFrame, groupCol: String, valueCol: Column,
-      orderCols: Seq[Column], buckets: Int = 1024): DataFrame = {
+      orderCols: Seq[Column], buckets: Int = 1024,
+      broadcastRowCap: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // explicit null exclusion: the offsets join would drop null-bucket rows
-    // anyway on the normal path, but the mn == mx degenerate branch would
-    // not — filter up front so the contract is uniform
-    val projected = df.select((col(groupCol).as("g") +: valueCol.as("v") +:
-      orderCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }): _*)
-      .filter(col("g").isNotNull && col("v").isNotNull)
-    // GLOBAL extrema as driver scalars (1-row fetch, the pageRank-base
-    // pattern): order-preservation within every group only needs a
-    // monotone bucket function, so the global range serves all groups and
-    // the fact side never joins a stats frame (a per-group-extrema
-    // broadcast probe on every row measured ~2x the whole operator)
-    // approx group cardinality rides the SAME 1-row aggregate (zero extra
-    // jobs) — it gates the offsets-frame broadcast below (ADVICE r7)
-    val ex = projected.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
-      approx_count_distinct(col("g")).as("ng")).head()
-    val (mn, mx) = (ex.getAs[Any]("mn"), ex.getAs[Any]("mx"))
-    val approxGroups = ex.getAs[Long]("ng")
-    val bucketExpr =
-      if (mn == mx) lit(0L)
-      else least(floor((col("v") - lit(mn)) / (lit(mx) - lit(mn)) * buckets),
-        lit(buckets - 1).cast("long"))
-    val bucketed = projected.withColumn("__b", bucketExpr)
+    val (bucketed, approxGroups, _) =
+      valueBuckets(df, groupCol, valueCol, orderCols, buckets, broadcastRowCap)
     // bucket start offsets within each group: cumulative counts over the
-    // (group x bucket) frame - at most |groups|*buckets rows
+    // (group x bucket) frame — ≤ approxGroups × bEff ≈ broadcastRowCap rows
     val wb = Window.partitionBy(col("g")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val boffsets = bucketed.groupBy(col("g"), col("__b"))
       .agg(count(lit(1)).as("__bc"))
       .withColumn("__boff", coalesce(sum(col("__bc")).over(wb), lit(0L)))
       .select(col("g"), col("__b"), col("__boff"))
-    // Broadcast is only safe while |groups|×buckets stays driver-sized; a
+    // Broadcast is only safe while the offsets frame stays driver-sized; a
     // high-cardinality group column (per-customer, say) would blow the
-    // driver with no warning (ADVICE r7). The gate uses the approx group
-    // count from the extrema fetch (~5% HLL error, irrelevant against a
-    // 16× safety margin on the cap); past it, a shuffle join — slower,
-    // never fatal. No persist/count pass: the operator stays
-    // single-consumption and leaks no cache handle (CacheContractSpec
-    // discipline). The product is a WORST-CASE bound (it assumes every
-    // bucket non-empty) — a mid-cardinality caller (thousands of groups)
-    // that wants the broadcast back should pass a smaller `buckets`
-    // (fan-out only needs ~cores per heavy group), which shrinks the
-    // bound linearly.
+    // driver with no warning (ADVICE r7). valueBuckets already shrank bEff
+    // so |groups|×bEff ≲ broadcastRowCap; only past cap-many GROUPS (where
+    // the offsets frame is inherently |groups| rows) does this fall back
+    // to a shuffle join — slower, never fatal. No persist/count pass: the
+    // operator stays single-consumption and leaks no cache handle
+    // (CacheContractSpec discipline).
     val offsetsSide =
-      if (approxGroups * buckets <= 1000000L) broadcast(boffsets) else boffsets
+      if (approxGroups <= broadcastRowCap) broadcast(boffsets) else boffsets
     // in-bucket rank: the window partitions by (group, bucket), so a heavy
     // group fans out over `buckets` tasks instead of one
     val wr = Window.partitionBy(col("g"), col("__b"))
@@ -176,24 +159,13 @@ object Distribution {
     */
   def groupedSelect(df: DataFrame, groupCol: String, valueCol: Column,
       orderCols: Seq[Column], ranksOf: Column, buckets: Int = 1024,
-      maxCuts: Int = 8): DataFrame = {
+      maxCuts: Int = 8, broadcastRowCap: Long = 1000000L): DataFrame = {
     require(maxCuts >= 1, s"maxCuts=$maxCuts must be positive")
     import org.apache.spark.sql.expressions.Window
-    // same null-exclusion contract as groupedRanks (see its scaladoc)
-    val projected = df.select((col(groupCol).as("g") +: valueCol.as("v") +:
-      orderCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }): _*)
-      .filter(col("g").isNotNull && col("v").isNotNull)
-    val ex = projected.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
-      approx_count_distinct(col("g")).as("ng")).head()
-    val (mn, mx) = (ex.getAs[Any]("mn"), ex.getAs[Any]("mx"))
-    val approxGroups = ex.getAs[Long]("ng")
-    val bucketExpr =
-      if (mn == mx) lit(0L)
-      else least(floor((col("v") - lit(mn)) / (lit(mx) - lit(mn)) * buckets),
-        lit(buckets - 1).cast("long"))
-    val bucketed = projected.withColumn("__b", bucketExpr)
+    val (bucketed, approxGroups, _) =
+      valueBuckets(df, groupCol, valueCol, orderCols, buckets, broadcastRowCap)
     // per-(group, bucket) counts: the ONLY full-width shuffle is of this
-    // count frame (|groups|×buckets rows max), never the fact itself
+    // count frame (≈ broadcastRowCap rows max), never the fact itself
     val wg = Window.partitionBy(col("g"))
     val wb = wg.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
     val targets = bucketed.groupBy(col("g"), col("__b"))
@@ -212,7 +184,7 @@ object Distribution {
     // understating it risks a fat broadcast, never wrong results). Past
     // the cap, a shuffle join — slower, never driver-fatal.
     val targetsSide =
-      if (approxGroups * maxCuts <= 1000000L) broadcast(targets) else targets
+      if (approxGroups * maxCuts <= broadcastRowCap) broadcast(targets) else targets
     // inner join prunes the fact to hit buckets map-side AND replicates a
     // bucket once per target it contains; the window partitions by
     // (g, __b, rank) so each target ranks its own replica independently
@@ -222,6 +194,59 @@ object Distribution {
       .withColumn("__r", row_number().over(wr))
       .filter(col("__r") === col("rank") - col("__off"))
       .select(col("g"), col("n"), col("rank"), col("v"))
+  }
+
+  /** Shared prelude of groupedRanks/groupedSelect — the two operators MUST
+    * bucket identically (their correctness argument is the same monotone
+    * function), so the logic lives once. Projects/renames to (g, v, t0...),
+    * excludes null groups/values (the uniform contract both scaladocs pin),
+    * fetches global extrema + HLL group count in ONE 1-row job, and buckets
+    * by a BLENDED monotone position:
+    *
+    *   pos = (linear_range_fraction + ln1p_fraction) / 2
+    *
+    * Pure linear range splits die on heavy tails — one whale value 10^6×
+    * the median pins essentially every row into bucket 0, recreating the
+    * single-task window this machinery exists to avoid; pure log splits
+    * skew the other way on uniform data (ratio-sliced buckets crowd the top
+    * end ~13×). The average bounds the worst bucket at ~2× either pure
+    * scheme, and correctness only needs monotone + equal-values-same-bucket
+    * — both preserved under any monotone double rounding.
+    *
+    * Effective bucket count adapts to group cardinality: with many groups,
+    * parallelism comes from the groups themselves, so per-group fan-out
+    * shrinks as `min(buckets, broadcastRowCap / approxGroups)` and the
+    * offsets/count frames stay broadcast-sized without the caller knowing
+    * its cardinality (review r8 — the fixed worst-case product gate dropped
+    * the broadcast for mid-cardinality callers).
+    */
+  private def valueBuckets(df: DataFrame, groupCol: String, valueCol: Column,
+      orderCols: Seq[Column], buckets: Int, broadcastRowCap: Long)
+      : (DataFrame, Long, Int) = {
+    require(buckets >= 1, s"buckets=$buckets must be positive")
+    require(broadcastRowCap >= 1, s"broadcastRowCap=$broadcastRowCap must be positive")
+    val projected = df.select((col(groupCol).as("g") +: valueCol.as("v") +:
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }): _*)
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val ex = projected.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+      approx_count_distinct(col("g")).as("ng")).head()
+    val approxGroups = math.max(1L, ex.getAs[Long]("ng"))
+    val bEff = math.max(1L, math.min(buckets.toLong, broadcastRowCap / approxGroups)).toInt
+    // numeric contract: min/max of a numeric column come back as Number
+    // (Long/Int/Double/java BigDecimal...); doubles only steer bucket
+    // PLACEMENT, never values, so the cast is loss-tolerant
+    val (mn, mx) = (ex.getAs[Any]("mn"), ex.getAs[Any]("mx"))
+    val (lo, hi) = (
+      Option(mn).map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0),
+      Option(mx).map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0))
+    val bucketExpr =
+      if (!(hi > lo) || bEff == 1) lit(0L) // empty input, constant v, or unfanned
+      else {
+        val x = col("v").cast("double") - lit(lo)
+        val pos = (x / lit(hi - lo) + log1p(x) / lit(math.log1p(hi - lo))) / 2
+        least(floor(pos * bEff), lit(bEff - 1).cast("long"))
+      }
+    (projected.withColumn("__b", bucketExpr), approxGroups, bEff)
   }
 
   /** Largest-remainder (Hamilton) apportionment of `seats` integer seats

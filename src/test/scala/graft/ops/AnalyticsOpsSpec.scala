@@ -139,10 +139,10 @@ class AnalyticsOpsSpec extends SparkSpec {
       const, "grp", col("v"), Seq(col("id")), array(expr("n + 5"))).isEmpty)
   }
 
-  test("high-cardinality groups take the shuffle-join fallback and stay exact") {
-    // 2000 groups × 1024 buckets > the 1M groupedRanks broadcast cap and
-    // 200k groups > the 100k groupedSelect cap — both gates must flip to
-    // the shuffle join without changing results
+  test("high-cardinality groups shrink fan-out adaptively and stay exact") {
+    // 2000 groups: bEff adapts to 1M/2000 = 500 and the offsets frame
+    // stays broadcast-sized; 200k single-row groups: bEff = 5. Results
+    // must be identical either way.
     val many = spark.range(0, 100000)
       .selectExpr("CAST(id % 2000 AS STRING) AS grp", "id * 37 % 101 AS v", "id")
     val r = Distribution.groupedRanks(many, "grp", col("v"), Seq(col("id")))
@@ -154,6 +154,24 @@ class AnalyticsOpsSpec extends SparkSpec {
       array(expr("(n + 1) div 2")))
     assert(sel.count() === 200000L)
     assert(sel.filter(col("rank") =!= 1L || col("n") =!= 1L).isEmpty)
+  }
+
+  test("a tiny broadcastRowCap forces the shuffle-join fallback, same results") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", 3.0, 1L), ("a", 1.0, 2L), ("b", 2.0, 3L), ("b", 5.0, 4L),
+      ("c", 0.5, 5L)).toDF("grp", "v", "id")
+    // cap 1 < |groups|: both operators must take the non-broadcast join
+    val got = Distribution.groupedRanks(df, "grp", col("v"), Seq(col("id")),
+        broadcastRowCap = 1L)
+      .select(col("g"), col("t0").as("id"), col("rank"))
+    val want = df.withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))))
+      .select(col("grp").as("g"), col("id"), col("rank").cast("long").as("rank"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val sel = Distribution.groupedSelect(df, "grp", col("v"), Seq(col("id")),
+        array(expr("(n + 1) div 2")), broadcastRowCap = 1L)
+      .select("g", "rank", "v").as[(String, Long, Double)].collect().sorted
+    assert(sel.toSeq === Seq(("a", 1L, 1.0), ("b", 1L, 2.0), ("c", 1L, 0.5)))
   }
 
   test("rank machinery excludes null groups and values uniformly") {
