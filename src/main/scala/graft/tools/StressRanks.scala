@@ -16,6 +16,10 @@ object StressRanks {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(20000000L)
     val groups = args.lift(1).map(_.toLong).getOrElse(5L)
+    // "heavy" adds 1-per-mille whale values 10^6x the base range — the
+    // distribution that collapses a pure linear value-range bucket split
+    // into one hot bucket (the blended linear+log position handles it)
+    val heavy = args.lift(2).contains("heavy")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -23,9 +27,11 @@ object StressRanks {
     spark.sparkContext.setLogLevel("WARN")
 
     // bijective scramble -> total order per group, both forms must agree
+    val base = pmod(col("id") * 2654435761L, lit(n))
+    val v = if (heavy) base + when(col("id") % 1000 === 0, lit(n) * 1000000L)
+      .otherwise(0L) else base
     val df = spark.range(n)
-      .select((col("id") % groups).cast("string").as("g"),
-        pmod(col("id") * 2654435761L, lit(n)).as("v"), col("id"))
+      .select((col("id") % groups).cast("string").as("g"), v.as("v"), col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df.count()
 
