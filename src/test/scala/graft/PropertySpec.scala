@@ -133,6 +133,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("∀ data: groupedSelect ≡ full rank + filter (ties, negatives, whales, random cuts)") {
+    // the generator deliberately produces duplicate values (ties broken by
+    // id), negative values, and occasional 10^9-scale whales — the shapes
+    // the blended bucket position and the (g, bucket, rank) replica window
+    // must survive
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b", "c")
+      base <- Gen.choose(-500L, 500L)
+      whale <- Gen.frequency(19 -> Gen.const(0L), 1 -> Gen.const(1000000000L))
+    } yield (g, (base + whale).toDouble)
+    val tableGen = Gen.listOfN(80, rowGen)
+    val cutGen = Gen.oneOf(
+      "(n + 1) div 2", "(5 * n + 99) div 100", "(95 * n + 99) div 100", "n", "1")
+    (1 to 5).foreach { i =>
+      val rows = tableGen.apply(Gen.Parameters.default, Seed(100L + i)).get
+        .zipWithIndex.map { case ((g, v), id) => (g, v, id.toLong) }
+      val cuts = Gen.listOfN(2, cutGen)
+        .apply(Gen.Parameters.default, Seed(200L + i)).get
+      val df = rows.toDF("grp", "v", "id")
+      val ks = array(cuts.map(expr): _*)
+      val got = ops.Distribution.groupedSelect(df, "grp", $"v", Seq($"id"), ks)
+        .select($"g", $"rank", $"v")
+      val want = df.withColumn("rank", row_number().over(
+          Window.partitionBy($"grp").orderBy($"v", $"id")).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"grp")))
+        .filter(cuts.map(c => $"rank" === expr(c)).reduce(_ || _))
+        .select($"grp".as("g"), $"rank", $"v").distinct()
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"seed ${100 + i}, cuts $cuts")
+    }
+  }
+
   test("∀ weights: Hamilton allocation sums to seats and stays within 1 of quota") {
     val weightsGen = Gen.listOfN(8, Gen.choose(1L, 1000000L))
     (1 to 5).foreach { i =>
