@@ -1,7 +1,5 @@
 package graft.io
 
-import java.net.URI
-
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, FileUtil, Path => HPath}
 import org.apache.spark.sql.SparkSession
@@ -44,10 +42,12 @@ object FileLifecycle {
   }
 
   /** Render an output path in the same form as the caller's input: strip the
-    * scheme for bare inputs, keep it for qualified ones.
+    * scheme for bare inputs, keep it for qualified ones. The scheme probe
+    * goes through [[HPath]], not raw [[URI]] — `new URI("my dir/f")` throws
+    * on the space where Hadoop's Path escapes it.
     */
   private def render(p: HPath, likeInput: String): String =
-    if (new URI(likeInput).getScheme == null) p.toUri.getPath else p.toString
+    if (new HPath(likeInput).toUri.getScheme == null) p.toUri.getPath else p.toString
 
   /** D1: list files under a prefix (recursively), skipping directories and
     * dot-prefixed bookkeeping files (e.g. checksum shadows).
