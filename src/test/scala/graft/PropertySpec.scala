@@ -162,6 +162,15 @@ class PropertySpec extends SparkSpec {
         .select($"grp".as("g"), $"rank", $"v").distinct()
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
         s"seed ${100 + i}, cuts $cuts")
+      // groupedRanks shares the blended bucket prelude — same data must
+      // reproduce the full window ranking too
+      val gotRanks = ops.Distribution.groupedRanks(df, "grp", $"v", Seq($"id"))
+        .select($"g", $"t0".as("id"), $"rank")
+      val wantRanks = df.withColumn("rank", row_number().over(
+          Window.partitionBy($"grp").orderBy($"v", $"id")).cast("long"))
+        .select($"grp".as("g"), $"id", $"rank")
+      assert(gotRanks.exceptAll(wantRanks).isEmpty
+        && wantRanks.exceptAll(gotRanks).isEmpty, s"ranks: seed ${100 + i}")
     }
   }
 
