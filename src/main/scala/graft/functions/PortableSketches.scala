@@ -127,7 +127,15 @@ object PortableSketches {
     // two distinct grams collide in hash60. Open-addressing probe, power-
     // of-two table ≥ 2n; 0 needs a flag because it doubles as the empty
     // sentinel.
-    val cap = java.lang.Integer.highestOneBit(math.max(4, hashes.length * 2 - 1)) << 1
+    // dedup is an OPTIMIZATION only — for absurdly large single documents
+    // (> 2^24 grams ≈ 16 MB of text) the power-of-two table would first
+    // balloon past useful memory and eventually overflow Int (negative
+    // array size at ~2^29 grams; review r8). Process those without dedup
+    // instead of crashing: same mins either way.
+    val useDedup = hashes.length <= (1 << 24)
+    val cap =
+      if (useDedup) java.lang.Integer.highestOneBit(math.max(4, hashes.length * 2 - 1)) << 1
+      else 1
     val mask = cap - 1
     val table = new Array[Long](cap)
     var seenZero = false
@@ -137,7 +145,8 @@ object PortableSketches {
     while (i < hashes.length) {
       val h = hashes(i)
       var fresh = true
-      if (h == 0L) { fresh = !seenZero; seenZero = true }
+      if (!useDedup) { /* fresh stays true: every gram feeds the mins */ }
+      else if (h == 0L) { fresh = !seenZero; seenZero = true }
       else {
         // finalizer-style mix so clustered 60-bit values spread over slots
         var slot = (h ^ (h >>> 33)).toInt & mask

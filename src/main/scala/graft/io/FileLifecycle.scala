@@ -30,16 +30,19 @@ object FileLifecycle {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  /** FileSystem for a path, with local-FS checksum shadow files disabled —
-    * LocalFileSystem is a ChecksumFileSystem and would otherwise drop a
-    * `.foo.crc` sibling next to every copy, polluting `list`.
+  /** FileSystem for a path. Checksum wrappers (LocalFileSystem) are
+    * UNWRAPPED to their raw fs so copies don't drop `.foo.crc` shadow
+    * siblings — mutating the JVM-cached shared instance with
+    * `setWriteChecksum(false)` instead would silently disable CRC
+    * integrity for every other user of that FileSystem in the process
+    * (Spark committers included; review r8). Non-checksum schemes (s3a,
+    * hdfs) pass through untouched.
     */
-  private def fsFor(p: HPath, conf: Configuration): FileSystem = {
-    val fs = p.getFileSystem(conf)
-    fs.setWriteChecksum(false)
-    fs.setVerifyChecksum(false)
-    fs
-  }
+  private def fsFor(p: HPath, conf: Configuration): FileSystem =
+    p.getFileSystem(conf) match {
+      case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
+      case fs => fs
+    }
 
   /** Render an output path in the same form as the caller's input: strip the
     * scheme for bare inputs, keep it for qualified ones. The scheme probe
@@ -50,7 +53,10 @@ object FileLifecycle {
     if (new HPath(likeInput).toUri.getScheme == null) p.toUri.getPath else p.toString
 
   /** D1: list files under a prefix (recursively), skipping directories and
-    * dot-prefixed bookkeeping files (e.g. checksum shadows).
+    * checksum shadow files. Only `.crc` bookkeeping is filtered — a blanket
+    * dot-prefix skip would make legitimate hidden DATA files silently
+    * invisible to the pipeline (neither processed nor quarantined;
+    * review r8), which the reference's S3 listing would have returned.
     */
   def list(dir: String, suffix: String = ""): Seq[String] = {
     val conf = hadoopConf
@@ -63,7 +69,7 @@ object FileLifecycle {
       while (it.hasNext) {
         val st = it.next()
         val name = st.getPath.getName
-        if (st.isFile && !name.startsWith(".") && name.endsWith(suffix))
+        if (st.isFile && !name.endsWith(".crc") && name.endsWith(suffix))
           buf += render(st.getPath, dir)
       }
       buf.result().sorted

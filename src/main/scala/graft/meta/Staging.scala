@@ -109,13 +109,22 @@ class JdbcStaging(spark: SparkSession, url: String, table: String,
   // same concurrent-writer disambiguator as the parquet ledger
   private val writerId = java.util.UUID.randomUUID().toString
 
-  private def ledger: DataFrame =
-    try graft.io.Sources.jdbc(spark, url, table, props)
-    catch {
-      // first run: the table doesn't exist yet → empty ledger
-      case e: Exception if Option(e.getMessage).exists(_.contains("does not exist")) =>
-        spark.createDataFrame(Seq.empty[StagingRow])
-    }
+  private def ledger: DataFrame = {
+    val df =
+      try graft.io.Sources.jdbc(spark, url, table, props)
+      catch {
+        // first run: the table doesn't exist yet → empty ledger
+        case e: Exception if Option(e.getMessage).exists(_.contains("does not exist")) =>
+          spark.createDataFrame(Seq.empty[StagingRow])
+      }
+    // a JDBC ledger reads with the TABLE's schema (unlike the parquet path's
+    // explicit one): pre-nonce tables lack the writer column, which would
+    // make activeFiles' ordering fail to resolve (review r8) — surface it
+    // as null; the doc'd null-writer ordering then applies. Appending to
+    // such a table still needs a one-time ALTER TABLE ... ADD COLUMN writer.
+    if (df.columns.contains("writer")) df
+    else df.withColumn("writer", lit(null).cast("string"))
+  }
 
   private def append(rows: Seq[StagingRow]): Unit =
     graft.io.Sinks.jdbcAppend(spark.createDataFrame(rows), url, table, props)

@@ -176,16 +176,25 @@ object Graph {
     // these joins default to sort-merge and re-sort the persisted edge
     // list every peel). |alive| ≤ |nodes|, the same driver-size class as
     // the rank vector; the edge side never re-shuffles.
-    def degAmong(alive: DataFrame): DataFrame = sym
-      .join(broadcast(alive.select(col("node").as("src"))), "src")
-      .join(broadcast(alive.select(col("node").as("dst"))), "dst")
-      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // gated on the alive-set size the loop already counts: the FIRST peel's
+    // alive set is the full vertex set, and an unguarded broadcast of
+    // hundreds of millions of nodes is the same driver-OOM class the
+    // Distribution gates exist for (review r8); past the cap the joins
+    // fall back to shuffles — slower, never fatal
+    def degAmong(alive: DataFrame, nAlive: Long): DataFrame = {
+      def side(c: String) = {
+        val s = alive.select(col("node").as(c))
+        if (nAlive <= 10000000L) broadcast(s) else s
+      }
+      sym.join(side("src"), "src").join(side("dst"), "dst")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    }
     var alive = sym.select(col("src").as("node")).distinct().persist(level)
     var aliveCount = alive.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = degAmong(alive).filter(col("deg") >= k)
+      val next = degAmong(alive, aliveCount).filter(col("deg") >= k)
         .select(col("src").as("node")).persist(level)
       val c = next.count()
       converged = c == aliveCount
@@ -196,7 +205,8 @@ object Graph {
     }
     if (!converged)
       System.err.println(s"[graft] WARN kCore: not converged after maxIter=$maxIter peels")
-    val out = degAmong(alive).select(col("src").as("node"), col("deg").as("core_deg"))
+    val out = degAmong(alive, aliveCount)
+      .select(col("src").as("node"), col("deg").as("core_deg"))
     Dedup.materializeAndRelease(out, sym, alive)
   }
 

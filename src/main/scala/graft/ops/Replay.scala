@@ -39,8 +39,10 @@ object Replay {
   /** Replayable MinHash+LSH candidate pairs — the portable twin of
     * [[Dedup.minhashCandidates]] (same banding, caps, and est-Jaccard
     * arithmetic; [[PortableSketches.portableMinhashSig]] kernel). Band
-    * keys are the comma-joined signature slice — a string both engines
-    * render identically — instead of xxhash64 of the slice.
+    * keys are the raw signature-slice ARRAY (lesson 28: keys only need to
+    * GROUP identically to the oracle's, and the array is injective with
+    * zero conversion cost — the oracle renders its comma-joined string
+    * from the same longs) instead of xxhash64 of the slice.
     */
   def minhashCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16,
       shingleLen: Int = 5, maxBucket: Int = 100, minEstJaccard: Double = 0.0,

@@ -52,12 +52,13 @@ private[sources] class CountingTable(schema0: StructType, run: String)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     // SupportsTruncate backs the advertised TRUNCATE capability (ADVICE r7:
     // without it, mode("overwrite") passed the capability check and then
-    // died in the planner). Truncating a tally = forgetting the run tag.
+    // died in the planner). Truncation is DEFERRED to commit: the tally
+    // put in CountingBatchWrite.commit is the atomic truncate-and-write,
+    // so an aborted overwrite leaves the prior tally visible — an eager
+    // remove here would destroy it at write-PLANNING time and break the
+    // sink's "aborted writes leave no trace" contract (review r8).
     new WriteBuilder with SupportsTruncate {
-      override def truncate(): WriteBuilder = {
-        CountingSink.committed.remove(run)
-        this
-      }
+      override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new CountingBatchWrite(run)
       }

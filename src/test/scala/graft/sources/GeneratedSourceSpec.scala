@@ -67,6 +67,21 @@ class GeneratedSourceSpec extends SparkSpec {
     assert(tasks === 4)
   }
 
+  test("a failed overwrite leaves the prior committed tally intact (2PC)") {
+    val tag = "f_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    read(rows = 3000L, parts = 4)
+      .write.format("graft-count").option("run", tag).mode("append").save()
+    assert(CountingSink.committed.get(tag)._1 === 3000L)
+    // truncation must happen at COMMIT, not at write planning: a job that
+    // fails mid-write aborts, and the previous tally stays visible
+    intercept[Exception] {
+      read(rows = 100L, parts = 2)
+        .withColumn("boom", expr("raise_error('mid-write failure')"))
+        .write.format("graft-count").option("run", tag).mode("overwrite").save()
+    }
+    assert(CountingSink.committed.get(tag)._1 === 3000L)
+  }
+
   test("unsupported predicates stay residual and still filter correctly") {
     // bucket isn't pushable: the source keeps the full interval, Spark
     // re-evaluates the predicate above the scan
