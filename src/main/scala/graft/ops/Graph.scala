@@ -25,60 +25,88 @@ object Graph {
 
   /** Fixed-iteration PageRank over an undirected edge list. Returns
     * (node, rank) with rank on the integer scale: init scale/N, update
-    * teleport (15%·scale/N) + damped (85%) contribution sum. The returned
-    * frame is the operator's one persisted handle (Dedup cache contract).
+    * teleport (15%·scale/N) + damped (85%) contribution sum.
+    *
+    * Shape (r8 verdict item 2): the adjacency is PRE-GROUPED to one row
+    * per node — (src, outdeg, array&lt;dst&gt;) — in a single aggregation, so
+    * the cached frame is |nodes| rows (not |edges|), the degree join of
+    * the previous shape disappears, and each iteration is one shallow job:
+    * cached-adj scan → broadcast-hash join against the rank vector →
+    * explode → partial-agg map-side → one shuffle of partial sums. The
+    * rank vector (|nodes| rows — already driver-bounded, it was shipped
+    * whole in every broadcast of the previous shape) is COLLECTED between
+    * iterations and re-joined as a local relation: that removes the
+    * per-iteration persist+count job and the re-planned broadcast-exchange
+    * subtree, which dominated the r8 profile. Past `maxVectorNodes` the
+    * loop falls back to shuffle joins with per-iteration persist
+    * checkpointing — slower, never driver-fatal (the Distribution gate
+    * discipline).
+    *
+    * 100 TB caveat: collect_list packs a celebrity node's neighbours into
+    * one row. Contributions are additive, so an ultra-hub can be salted
+    * into (src, salt) sub-rows sharing the true outdeg before grouping —
+    * not needed at any tested scale, documented for the cluster port.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, scale: Long = 1000000000000L): DataFrame = {
+      iterations: Int = 5, scale: Long = 1000000000000L,
+      maxVectorNodes: Long = 10000000L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
-    // the undirected edge list is consumed twice (degree count, adjacency
-    // build) and the caller's edge expression usually embeds a distinct —
-    // cache it, or every consumer repays that shuffle (measured: the
-    // edge-distinct ran 3x and dominated the whole computation). Prefer
-    // INTEGER node ids in `edges`: shuffling/distincting longs is several
-    // times cheaper than strings — render display labels from the final
-    // (tiny) rank vector, not on the edge list.
-    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val adj = und.join(broadcast(deg), "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // base rank scale/N as a driver scalar: one 1-row fetch against the
-    // cached deg (the IVF static-init pattern — index-vector metadata, not
-    // data). The alternative (a 1-row broadcast frame) re-plans a
-    // broadcast-exchange subtree into every iteration level — measured as
-    // pure per-job overhead on the local harness.
-    val base: Long = scale / deg.count()
-    val teleport: Long = (15L * base) / 100L
-
+    val spark = edges.sparkSession
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var ranks = deg.select(col("src").as("node"), lit(base).as("rank"))
-    for (_ <- 1 to iterations) {
-      // broadcast the rank vector (|nodes| rows), NOT the adjacency: the
-      // cached adj partitions never re-shuffle — each iteration is one
-      // broadcast-hash join + one aggregate shuffle on dst. Each vector is
-      // MATERIALIZED per iteration (it is |nodes|-sized, tiny relative to
-      // the edges), keeping every plan level shallow — the batch analogue
-      // of lineage checkpointing in any iterative Spark job.
-      val next = adj.join(broadcast(ranks), col("src") === col("node"))
-        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+    // the caller's edge expression usually embeds a distinct — cache the
+    // directed list ONCE so the union's two branches read the cache instead
+    // of re-running that shuffle per branch (the r8 shape persisted the
+    // union, which still computed the distinct twice into the cache).
+    // Prefer INTEGER node ids in `edges`: shuffling/distincting longs is
+    // several times cheaper than strings — render display labels from the
+    // final (tiny) rank vector, not on the edge list.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist(level)
+    val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"), collect_list(col("dst")).as("dsts"))
+      .persist(level)
+    val n = adj.count() // one action: fills e and adj
+    e.unpersist()
+    val base: Long = scale / n
+    val teleport: Long = (15L * base) / 100L
+    val update = adj // shared iteration body for both loop variants
+    def step(ranks: DataFrame, bcast: Boolean) = {
+      val side = if (bcast) broadcast(ranks) else ranks
+      update.join(side, col("src") === col("node"))
+        .select(explode(col("dsts")).as("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("s"))
         .select(col("dst").as("node"),
           expr(s"CAST($teleport + (85 * s) div 100 AS BIGINT)").as("rank"))
-        .persist(level)
-      next.count()
-      ranks.unpersist() // no-op on the never-persisted init vector
-      ranks = next
     }
-    // the final vector is the one leaked handle (Dedup cache contract);
-    // internal caches are released here
-    adj.unpersist()
-    deg.unpersist()
-    und.unpersist()
-    ranks
+    val init = adj.select(col("src").as("node"), lit(base).as("rank"))
+    if (n <= maxVectorNodes) {
+      val rankSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", adj.schema("src").dataType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      def local(rows: Array[org.apache.spark.sql.Row]) = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), rankSchema)
+      var ranks = init
+      for (_ <- 1 to iterations)
+        ranks = local(step(ranks, bcast = true).collect())
+      adj.unpersist()
+      ranks // a local relation — nothing left persisted
+    } else {
+      // rank vector past driver budget: shuffle joins, each iteration
+      // materialized via persist+count (lineage checkpointing)
+      var ranks = init
+      var prev: Option[DataFrame] = None
+      for (_ <- 1 to iterations) {
+        val next = step(ranks, bcast = false).persist(level)
+        next.count()
+        prev.foreach(_.unpersist())
+        prev = Some(next)
+        ranks = next
+      }
+      adj.unpersist()
+      ranks // the one leaked handle (Dedup cache contract)
+    }
   }
 
   /** Whole-graph triangle statistics over an undirected simple graph given

@@ -58,10 +58,18 @@ class CacheContractSpec extends SparkSpec {
     assert(released === 0)
   }
 
-  test("Graph.pageRank leaks exactly one handle; unpersist clears all") {
+  test("Graph.pageRank (vector path) leaks nothing; result is a local relation") {
     val edges = Seq((2L, 3L), (2L, 5L), (4L, 3L), (6L, 7L)).toDF("src", "dst")
     val (held, released) = deltaAround(Graph.pageRank(edges, "src", "dst", iterations = 3))
-    assert(held === 1) // the final rank vector — und/deg/adj/intermediates released
+    assert(held === 0) // collected rank vector — adj/edge caches all released
+    assert(released === 0)
+  }
+
+  test("Graph.pageRank (shuffle fallback) leaks exactly one handle") {
+    val edges = Seq((2L, 3L), (2L, 5L), (4L, 3L), (6L, 7L)).toDF("src", "dst")
+    val (held, released) = deltaAround(
+      Graph.pageRank(edges, "src", "dst", iterations = 3, maxVectorNodes = 1L))
+    assert(held === 1) // the final rank vector — adj/intermediates released
     assert(released === 0)
   }
 
