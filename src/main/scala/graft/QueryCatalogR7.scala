@@ -1383,30 +1383,19 @@ object QueryCatalogR7 {
         |FROM a, b""".stripMargin)),
 
     // Median absolute deviation per event type — the robust dispersion
-    // behind outlier fences that survive heavy tails. TWO order-statistic
-    // SELECTIONS (median = value at rank ceil(n/2), MAD = median of
-    // |v − med|) on Distribution.groupedSelect: only bucket counts shuffle
-    // and only the median-holding buckets get ranked — never the full
-    // fact. Discrete selection only (no averaging of middle pairs), so
-    // both engines pick identical rows.
+    // behind outlier fences that survive heavy tails. The FUSED
+    // Distribution.groupedMedianMad (r8 verdict item 3): one extrema probe,
+    // one median selection (collected, |event_type| rows), one deviation
+    // selection with bounds derived from the first probe — only bucket
+    // counts shuffle and only median-holding buckets get ranked, never the
+    // full fact, and no subplan executes twice. Discrete selection only
+    // (no averaging of middle pairs), so both engines pick identical rows.
     CatalogEntry("mad_robust",
-      (s, d) => {
-        val ev = QueryCatalog.eventsRaw(s, d)
-          .select(col("event_id"), col("event_type"), col("value"))
-        def medianOf(df: DataFrame, valCol: String): DataFrame =
-          ops.Distribution.groupedSelect(
-            df.select(col("event_type"), col(valCol), col("event_id")),
-            "event_type", col(valCol), Seq(col("event_id")),
-            array(expr("(n + 1) div 2")))
-            .select(col("g").as("event_type"), col("v").as("med"))
-        val med = medianOf(ev, "value")
-        val dev = ev.join(broadcast(med), "event_type")
-          .withColumn("adev", abs(col("value") - col("med")))
-        medianOf(dev, "adev")
-          .withColumnRenamed("med", "mad")
-          .join(broadcast(med), "event_type")
-          .select(col("event_type"), col("med").as("median"), col("mad"))
-      },
+      (s, d) => ops.Distribution.groupedMedianMad(
+        QueryCatalog.eventsRaw(s, d)
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", col("value"), Seq(col("event_id")))
+        .select(col("g").as("event_type"), col("median"), col("mad")),
       Some("""WITH r1 AS (
         |  SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,

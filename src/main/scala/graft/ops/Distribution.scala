@@ -89,8 +89,8 @@ object Distribution {
       orderCols: Seq[Column], buckets: Int = 1024,
       broadcastRowCap: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (bucketed, approxGroups, _) =
-      valueBuckets(df, groupCol, valueCol, orderCols, buckets, broadcastRowCap)
+    val vb = valueBuckets(df, groupCol, valueCol, orderCols, buckets, broadcastRowCap)
+    val (bucketed, approxGroups) = (vb.bucketed, vb.approxGroups)
     // bucket start offsets within each group: cumulative counts over the
     // (group x bucket) frame — ≤ approxGroups × bEff ≈ broadcastRowCap rows
     val wb = Window.partitionBy(col("g")).orderBy(col("__b"))
@@ -160,10 +160,18 @@ object Distribution {
   def groupedSelect(df: DataFrame, groupCol: String, valueCol: Column,
       orderCols: Seq[Column], ranksOf: Column, buckets: Int = 1024,
       maxCuts: Int = 8, broadcastRowCap: Long = 1000000L): DataFrame = {
+    val b = valueBuckets(df, groupCol, valueCol, orderCols, buckets, broadcastRowCap)
+    selectAtRanks(b.bucketed, orderCols.size, ranksOf, b.approxGroups, maxCuts,
+      broadcastRowCap)
+  }
+
+  /** Selection body of [[groupedSelect]] over an already-bucketed frame
+    * (g, v, t0..., __b) — split out so [[groupedMedianMad]] can run a second
+    * selection on re-derived buckets without re-probing the fact's extrema. */
+  private def selectAtRanks(bucketed: DataFrame, tieCount: Int, ranksOf: Column,
+      approxGroups: Long, maxCuts: Int, broadcastRowCap: Long): DataFrame = {
     require(maxCuts >= 1, s"maxCuts=$maxCuts must be positive")
     import org.apache.spark.sql.expressions.Window
-    val (bucketed, approxGroups, _) =
-      valueBuckets(df, groupCol, valueCol, orderCols, buckets, broadcastRowCap)
     // per-(group, bucket) counts: the ONLY full-width shuffle is of this
     // count frame (≈ broadcastRowCap rows max), never the fact itself
     val wg = Window.partitionBy(col("g"))
@@ -189,11 +197,107 @@ object Distribution {
     // bucket once per target it contains; the window partitions by
     // (g, __b, rank) so each target ranks its own replica independently
     val wr = Window.partitionBy(col("g"), col("__b"), col("rank"))
-      .orderBy(col("v") +: orderCols.indices.map(i => col(s"t$i")): _*)
+      .orderBy(col("v") +: (0 until tieCount).map(i => col(s"t$i")): _*)
     bucketed.join(targetsSide, Seq("g", "__b"))
       .withColumn("__r", row_number().over(wr))
       .filter(col("__r") === col("rank") - col("__off"))
       .select(col("g"), col("n"), col("rank"), col("v"))
+  }
+
+  /** Fused per-group median + median-absolute-deviation — the mad_robust
+    * shape — in ONE pass structure instead of two sequential
+    * [[groupedSelect]]s (r8 verdict item 3). Returns (g, median, mad) under
+    * the discrete-selection contract: median = value at rank `(n+1) div 2`
+    * of (v, ties), mad = value at the same rank of (|v − median|, ties).
+    *
+    * What the fusion removes vs two groupedSelect calls composed by a join:
+    * the unpersisted median subplan used to re-execute THREE times (the
+    * deviation join, the second pass's extrema probe, and the final output
+    * join); and the second pass paid its own 1-row extrema job over the
+    * derived deviation frame. Here the median selection runs exactly once —
+    * its result (one row per group) is COLLECTED and re-joined as a local
+    * relation, the IVF static-init pattern — and the deviation pass's bucket
+    * bounds are DERIVED from pass 1's extrema (lo = 0, hi = max over groups
+    * of max(med − mn, mx − med), an over-approximation that only widens
+    * buckets, never misplaces a row: bucket placement only needs monotone).
+    * Net: one extrema job, one median selection, one deviation selection —
+    * no fact subplan executes twice.
+    *
+    * The collect is gated on the HLL group count (≤ `maxLocalGroups` rows,
+    * the groupedRanks gate discipline); past the cap it falls back to a
+    * two-pass broadcast-join shape with the median frame persisted,
+    * materialized once, and released before return — slower, never
+    * driver-fatal, and neither path leaks a cache handle (CacheContractSpec
+    * discipline).
+    *
+    * Same contract as groupedSelect: (group, value, ties) must be a TOTAL
+    * order, `valueCol` numeric, NULL group/value rows excluded from n.
+    */
+  def groupedMedianMad(df: DataFrame, groupCol: String, valueCol: Column,
+      orderCols: Seq[Column], buckets: Int = 1024,
+      broadcastRowCap: Long = 1000000L, maxLocalGroups: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    val medianRank = array(expr("(n + 1) div 2"))
+    val b = valueBuckets(df, groupCol, valueCol, orderCols, buckets, broadcastRowCap)
+    val med = selectAtRanks(b.bucketed, orderCols.size, medianRank,
+      b.approxGroups, maxCuts = 1, broadcastRowCap)
+      .select(col("g"), col("v").as("med"))
+    if (b.approxGroups <= maxLocalGroups) {
+      val medRows = med.collect()
+      val medSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g", b.bucketed.schema("g").dataType),
+        org.apache.spark.sql.types.StructField("med", b.bucketed.schema("v").dataType)))
+      val medLocal = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(medRows: _*)), medSchema)
+      // deviation bucket bounds WITHOUT a second extrema probe: dev ≥ 0,
+      // and every group's deviations sit below max(med − global_mn,
+      // global_mx − med) — an over-approximation vs the true per-group
+      // range, which only widens buckets (placement needs monotone, not
+      // tight). Pass 1's extrema and the collected meds are both on the
+      // driver already, so this is pure arithmetic, no job.
+      val hiDev =
+        if (medRows.isEmpty) 0.0
+        else medRows.iterator.map { r =>
+          val m = r.getAs[Any]("med").asInstanceOf[Number].doubleValue
+          math.max(m - b.lo, b.hi - m)
+        }.max
+      val devBucketed = b.bucketed.drop("__b").join(broadcast(medLocal), "g")
+        .withColumn("__adev", abs(col("v") - col("med")))
+        .select((col("g") +: col("__adev").as("v") +:
+          orderCols.indices.map(i => col(s"t$i"))): _*)
+        .withColumn("__b", bucketExprFor(0.0, hiDev, b.bEff))
+      selectAtRanks(devBucketed, orderCols.size, medianRank,
+        b.approxGroups, maxCuts = 1, broadcastRowCap)
+        .select(col("g"), col("v").as("mad"))
+        .join(broadcast(medLocal), "g")
+        .select(col("g"), col("med").as("median"), col("mad"))
+    } else {
+      // group cardinality past driver budget: two-pass broadcast-join shape,
+      // median frame materialized ONCE via persist so its subplan cannot
+      // re-execute per consumer, released before return (no leaked handle)
+      val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val medP = med.persist(level)
+      medP.count()
+      val dev = b.bucketed.drop("__b").join(medP, "g")
+        .withColumn("__adev", abs(col("v") - col("med")))
+        .select((col("g") +: col("__adev").as("v") +:
+          orderCols.indices.map(i => col(s"t$i"))): _*)
+      val out = selectAtRanks(
+        valueBuckets(dev, "g", col("v"),
+          orderCols.indices.map(i => col(s"t$i")), buckets,
+          broadcastRowCap).bucketed,
+        orderCols.size, medianRank, b.approxGroups, maxCuts = 1, broadcastRowCap)
+        .select(col("g"), col("v").as("mad"))
+        .join(medP, "g")
+        .select(col("g"), col("med").as("median"), col("mad"))
+      // materialize the (|groups|-row) result so the internal median cache
+      // can be released here; the returned frame is the operator's one
+      // persisted handle (the Dedup cache contract — caller unpersists)
+      val outP = out.persist(level)
+      outP.count()
+      medP.unpersist()
+      outP
+    }
   }
 
   /** Shared prelude of groupedRanks/groupedSelect — the two operators MUST
@@ -220,9 +324,26 @@ object Distribution {
     * its cardinality (review r8 — the fixed worst-case product gate dropped
     * the broadcast for mid-cardinality callers).
     */
+  /** Bucketed fact plus the driver-side facts of the probe job: HLL group
+    * count, effective bucket fan-out, and the global value extrema (as
+    * placement doubles) — exposed so [[groupedMedianMad]] can derive its
+    * deviation-pass bounds without a second probe. */
+  private final case class Bucketed(bucketed: DataFrame, approxGroups: Long,
+    bEff: Int, lo: Double, hi: Double)
+
+  /** The blended linear+log bucket position over [lo, hi] at fan-out bEff —
+    * monotone in v with equal values sharing a bucket, the only properties
+    * the rank/selection correctness arguments use. */
+  private def bucketExprFor(lo: Double, hi: Double, bEff: Int): Column =
+    if (!(hi > lo) || bEff == 1) lit(0L) // empty input, constant v, or unfanned
+    else {
+      val x = col("v").cast("double") - lit(lo)
+      val pos = (x / lit(hi - lo) + log1p(x) / lit(math.log1p(hi - lo))) / 2
+      least(floor(pos * bEff), lit(bEff - 1).cast("long"))
+    }
+
   private def valueBuckets(df: DataFrame, groupCol: String, valueCol: Column,
-      orderCols: Seq[Column], buckets: Int, broadcastRowCap: Long)
-      : (DataFrame, Long, Int) = {
+      orderCols: Seq[Column], buckets: Int, broadcastRowCap: Long): Bucketed = {
     require(buckets >= 1, s"buckets=$buckets must be positive")
     require(broadcastRowCap >= 1, s"broadcastRowCap=$broadcastRowCap must be positive")
     val projected = df.select((col(groupCol).as("g") +: valueCol.as("v") +:
@@ -239,14 +360,8 @@ object Distribution {
     val (lo, hi) = (
       Option(mn).map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0),
       Option(mx).map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0))
-    val bucketExpr =
-      if (!(hi > lo) || bEff == 1) lit(0L) // empty input, constant v, or unfanned
-      else {
-        val x = col("v").cast("double") - lit(lo)
-        val pos = (x / lit(hi - lo) + log1p(x) / lit(math.log1p(hi - lo))) / 2
-        least(floor(pos * bEff), lit(bEff - 1).cast("long"))
-      }
-    (projected.withColumn("__b", bucketExpr), approxGroups, bEff)
+    Bucketed(projected.withColumn("__b", bucketExprFor(lo, hi, bEff)),
+      approxGroups, bEff, lo, hi)
   }
 
   /** Largest-remainder (Hamilton) apportionment of `seats` integer seats

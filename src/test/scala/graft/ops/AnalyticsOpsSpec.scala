@@ -139,6 +139,42 @@ class AnalyticsOpsSpec extends SparkSpec {
       const, "grp", col("v"), Seq(col("id")), array(expr("n + 5"))).isEmpty)
   }
 
+  test("groupedMedianMad matches two window selections, both paths") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1 to 500).map { i =>
+      val g = if (i % 7 == 0) "big" else if (i % 3 == 0) "mid" else "sml"
+      (g, (i * 37 % 83).toDouble, i.toLong)
+    }
+    val df = rows.toDF("grp", "v", "id")
+    def windowMedian(in: org.apache.spark.sql.DataFrame, vc: String, out: String) = in
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col(vc), col("id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .filter(col("rank") === expr("(n + 1) div 2"))
+      .select(col("grp"), col(vc).as(out))
+    val med = windowMedian(df, "v", "med")
+    val want = windowMedian(
+        df.join(med, "grp").withColumn("adev", abs(col("v") - col("med"))).drop("med"),
+        "adev", "mad")
+      .join(med, "grp")
+      .select(col("grp").as("g"), col("med").as("median"), col("mad"))
+    // cache-handle accounting as a DELTA from the suite's current registry
+    // (earlier tests may hold handles of their own — CacheContractSpec idiom)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val fused = Distribution.groupedMedianMad(df, "grp", col("v"), Seq(col("id")))
+    assert(fused.exceptAll(want).isEmpty && want.exceptAll(fused).isEmpty)
+    // the fused path leaks no cache handle
+    assert(spark.sparkContext.getPersistentRDDs.size === base)
+    // maxLocalGroups = 0 forces the persist-and-broadcast fallback path; its
+    // result is the one persisted handle (Dedup cache contract)
+    val fallback = Distribution.groupedMedianMad(df, "grp", col("v"),
+      Seq(col("id")), maxLocalGroups = 0L)
+    assert(fallback.exceptAll(want).isEmpty && want.exceptAll(fallback).isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.size === base + 1)
+    fallback.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.size === base)
+  }
+
   test("high-cardinality groups shrink fan-out adaptively and stay exact") {
     // 2000 groups: bEff adapts to 1M/2000 = 500 and the offsets frame
     // stays broadcast-sized; 200k single-row groups: bEff = 5. Results
