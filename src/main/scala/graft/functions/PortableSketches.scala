@@ -93,6 +93,16 @@ object PortableSketches {
   def portableWinnowedFingerprint(norm: Column, k: Int, w: Int): Column =
     bridge.column(PortableWinnowedFingerprint(bridge.expression(norm), k, w))
 
+  /** Replayable distinct byte-k-gram hash SET: sorted distinct hash60 of
+    * every k-gram — the md5 twin of [[TextSketches.charShingleHashes]],
+    * pairing with [[TextSketches.sortedIntersectCount]] for exact-Jaccard
+    * verification the oracle can recompute (`list_distinct([hash60(
+    * substr(norm, i, k)) ...])` in DuckDB). Empty for docs shorter than k
+    * bytes.
+    */
+  def portableGramHashes(norm: Column, k: Int): Column =
+    bridge.column(PortableGramHashes(bridge.expression(norm), k))
+
   private val empty = new GenericArrayData(Array.emptyLongArray)
 
   /** Per-gram md5 → top-60-bits loop shared by the kernels. One
@@ -127,12 +137,14 @@ object PortableSketches {
     // two distinct grams collide in hash60. Open-addressing probe, power-
     // of-two table ≥ 2n; 0 needs a flag because it doubles as the empty
     // sentinel.
-    // dedup is an OPTIMIZATION only — for absurdly large single documents
-    // (> 2^24 grams ≈ 16 MB of text) the power-of-two table would first
-    // balloon past useful memory and eventually overflow Int (negative
-    // array size at ~2^29 grams; review r8). Process those without dedup
-    // instead of crashing: same mins either way.
-    val useDedup = hashes.length <= (1 << 24)
+    // dedup is an OPTIMIZATION only — for large single documents the
+    // power-of-two table would first balloon past useful memory (a near-
+    // 2^24-gram doc allocates a 2^25-entry = 256 MB transient array per
+    // task; ADVICE r8) and eventually overflow Int (negative array size at
+    // ~2^29 grams; review r8). 2^20 grams ≈ 1 MB of text keeps the table
+    // ≤ 2^21 entries = 16 MB per task; beyond that, process without dedup
+    // instead of allocating: same mins either way.
+    val useDedup = hashes.length <= (1 << 20)
     val cap =
       if (useDedup) java.lang.Integer.highestOneBit(math.max(4, hashes.length * 2 - 1)) << 1
       else 1
@@ -195,6 +207,22 @@ object PortableSketches {
     }
     new GenericArrayData(if (out == nWindows) mins else java.util.Arrays.copyOf(mins, out))
   }
+
+  def computePortableGramHashes(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val n = len - k + 1
+    if (n <= 0) return empty
+    val hashes = gramHashes(bytes, k, n)
+    java.util.Arrays.sort(hashes)
+    var out = 0
+    var i = 0
+    while (i < n) {
+      if (out == 0 || hashes(i) != hashes(out - 1)) { hashes(out) = hashes(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (out == n) hashes else java.util.Arrays.copyOf(hashes, out))
+  }
 }
 
 /** `array<long>` replayable MinHash signature — see [[PortableSketches]]. */
@@ -209,6 +237,22 @@ case class PortableMinHashSig(child: Expression, k: Int, numHashes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.PortableSketches$$.MODULE$$.computePortableMinHash($c, $k, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** `array<long>` replayable distinct gram-hash set — see [[PortableSketches]]. */
+case class PortableGramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "portable_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    PortableSketches.computePortableGramHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PortableSketches$$.MODULE$$.computePortableGramHashes($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }

@@ -78,6 +78,76 @@ object Replay {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** Replayable two-stage verified near-dup pairs: LSH candidates from the
+    * portable minhash banding of [[minhashCandidates]], then an exact
+    * Jaccard verify on the portable distinct gram-hash sets — every stage
+    * (signature, banding, bucket cap, integer signature-match floor, gram
+    * intersection, threshold) recomputable in DuckDB, so the oracle equals
+    * this output at ANY corpus scale by construction.
+    *
+    * Contrast with [[Dedup.verifiedNearDupPairs]] (the xxhash64 scale
+    * path): that operator's brute-force oracle only matches when LSH
+    * recall is total over the corpus's true pairs — a probabilistic
+    * property (catch rate 1-(1-J^{k/bands})^bands ≈ 0.14 at J = 0.31 for
+    * 16×4, ≈ 0.999 at J = 0.8) that tiny corpora violate (ROUNDLOG r8:
+    * sf0.001 has 5 true pairs in the recall gap). Here the oracle replays
+    * the CANDIDATE set too, so the gate pins the machinery determin-
+    * istically and the recall contract is documented, not silently
+    * assumed.
+    *
+    * The candidate floor is an INTEGER count of matching signature slots
+    * (≥ minMatches of k), not a double est-Jaccard compare: both engines
+    * count equal longs, so no float literal can straddle them.
+    *
+    * Caching contract as in [[Dedup.verifiedNearDupPairs]]: the returned
+    * frame is the one persisted handle; the internal sketch cache is
+    * released before return.
+    */
+  def verifiedNearDupPairs(docs: DataFrame, threshold: Double = 0.3,
+      k: Int = 64, bands: Int = 16, shingleLen: Int = 5, maxBucket: Int = 100,
+      minMatches: Int = 10, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rowsPerBand = k / bands
+    // ONE text scan builds both portable sketches; read three times below
+    // (banding + both pair ends) — persist, don't rescan
+    val sketches = docs
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        PortableSketches.portableMinhashSig(col("norm"), shingleLen, k).as("sig"),
+        PortableSketches.portableGramHashes(col("norm"), shingleLen).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sketches.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(
+          lit(b).as("band_idx"),
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("band_key"))): _*))
+        .as("band"))
+      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_key"))
+    val cands = Dedup.bucketPairs(banded, Seq("band_idx", "band_key"), "doc_id", Seq("sig"), maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+        >= minMatches)
+      .select(col("doc_a"), col("doc_b"))
+    val grams = (side: String) => sketches
+      .select(col("doc_id").as(side), col("grams").as(s"grams_$side"))
+    val verified = cands
+      .join(grams("doc_a"), "doc_a")
+      .join(grams("doc_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextSketches.sortedIntersectCount(
+          col("grams_doc_a"), col("grams_doc_b")).as("shared"),
+        size(col("grams_doc_a")).as("na"), size(col("grams_doc_b")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    Dedup.materializeAndRelease(verified, sketches)
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** Replayable 60-bit SimHash (md5-based token hashes; otherwise the

@@ -130,4 +130,60 @@ class ReplaySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(cands.toSeq === Seq((1L, 2L, 1.0)))
   }
+
+  test("portable gram-hash set equals a substring + hash60 recompute") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet").limit(50)
+    val k = 5
+    val kernel = docs
+      .withColumn("norm", Shingles.normalize(col("text")))
+      .select(col("doc_id"), PortableSketches.portableGramHashes(col("norm"), k).as("ghs"))
+      .filter(size(col("ghs")) > 0)
+    val explodeForm = docs
+      .withColumn("norm", Shingles.normalize(col("text")))
+      .withColumn("n", length(col("norm")) - lit(k - 1))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("norm"),
+        explode(sequence(lit(1), col("n"))).as("i"))
+      .select(col("doc_id"), Replay.hash60(col("norm").substr(col("i"), lit(k))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("ghs"))
+    val km = kernel.as[(Long, Seq[Long])].collect().toMap
+    val em = explodeForm.as[(Long, Seq[Long])].collect().toMap
+    assert(km.keySet === em.keySet && km.keySet.nonEmpty)
+    km.foreach { case (id, g) => assert(g === em(id), s"doc $id") }
+  }
+
+  test("replay verified pairs: exact dup at jaccard 1.0, unrelated filtered, no cache leak") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "the completely different document body with other words instead")
+    ).toDF("doc_id", "text")
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val pairs = Replay.verifiedNearDupPairs(docs, threshold = 0.31)
+    assert(pairs.as[(Long, Long, Double)].collect().toSeq === Seq((1L, 2L, 1.0)))
+    // internal sketch cache released; the result is the one persisted handle
+    assert(spark.sparkContext.getPersistentRDDs.size === base + 1)
+    pairs.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.size === base)
+  }
+
+  test("replay verified pairs equal the xxhash64 scale path on high-J pairs") {
+    // in the high-recall zone (J = 1 here: catch probability 1 for any
+    // banding) the portable gate operator and the xxhash64 production
+    // operator must produce the same verified pair set — Jaccard on
+    // distinct gram-HASH sets is hash-family-independent barring
+    // collisions, and both use the same banding/caps/threshold
+    val docs = (1 to 40).map { i =>
+      if (i % 2 == 0) (i.toLong, s"shared prefix words run ${i / 2} common tail block alpha beta gamma")
+      else (i.toLong, s"shared prefix words run ${(i + 1) / 2} common tail block alpha beta gamma")
+    }.toDF("doc_id", "text")
+    val replay = Replay.verifiedNearDupPairs(docs, threshold = 0.31)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val scale = Dedup.verifiedNearDupPairs(docs, threshold = 0.31)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(replay.nonEmpty)
+    assert(replay === scale)
+    spark.catalog.clearCache()
+  }
 }
