@@ -111,11 +111,23 @@ object FileLifecycle {
       val src = new HPath(f)
       val srcFs = fsFor(src, conf)
       val dest = new HPath(destRoot, src.getName)
-      if (destFs.exists(dest)) destFs.delete(dest, false) // REPLACE_EXISTING
+      // REPLACE_EXISTING without a destroy-first window (ADVICE r8: the
+      // delete-then-rename form lost the previously archived file if the
+      // process died between the two calls). The old dest is renamed ASIDE
+      // (metadata-only), the new file moves in, and the aside copy is
+      // dropped only after the move succeeds — a crash at any point leaves
+      // either the old or the new file recoverable under destDir, at worst
+      // plus an `.graft-replacing` leftover cleaned by the next replace of
+      // the same name.
+      val aside = new HPath(destRoot, src.getName + ".graft-replacing")
+      if (destFs.exists(aside)) destFs.delete(aside, false) // stale leftover
+      val hadOld = destFs.exists(dest)
+      if (hadOld) destFs.rename(dest, aside)
       val renamed = srcFs.getUri == destFs.getUri && srcFs.rename(src, dest)
       if (!renamed)
         FileUtil.copy(srcFs, src, destFs, dest,
           /* deleteSource = */ true, /* overwrite = */ true, conf)
+      if (hadOld) destFs.delete(aside, false)
       render(dest, destDir)
     }
   }

@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   * object stores can't do transactionally) — re-running a failed batch
   * appends a fresh ACTIVE generation instead of mutating rows, and the
   * pre-flight check is a one-partition aggregate over a tiny table.
+  *
+  * CONCURRENCY CONTRACT (ADVICE r8): concurrent writers are safe as long
+  * as their FILE SETS don't overlap — appends never corrupt (append-only),
+  * and the writer nonce keeps latest-wins deterministic under any
+  * interleaving. Two writers racing on the SAME file are out of contract:
+  * the pre-flight `activeFiles` guard is a read-then-act check with no
+  * cross-writer lock, so one writer's in-flight ACTIVE generation can be
+  * shadowed by the other's INACTIVE on the nonce tie-break and both may
+  * process the file (determinism ≠ mutual exclusion). Like the reference
+  * (whose MySQL pre-flight has the same read-then-act window,
+  * main.py:56-75), single-writer-per-file scheduling is the caller's
+  * responsibility — partition the ingest prefix per writer, or serialize
+  * batches that share files.
   */
 class Staging(spark: SparkSession, ledgerPath: String) {
   import Staging._
@@ -120,14 +133,38 @@ class JdbcStaging(spark: SparkSession, url: String, table: String,
     // a JDBC ledger reads with the TABLE's schema (unlike the parquet path's
     // explicit one): pre-nonce tables lack the writer column, which would
     // make activeFiles' ordering fail to resolve (review r8) — surface it
-    // as null; the doc'd null-writer ordering then applies. Appending to
-    // such a table still needs a one-time ALTER TABLE ... ADD COLUMN writer.
+    // as null; the doc'd null-writer ordering then applies. Appends migrate
+    // the table first (ensureWriterColumn).
     if (df.columns.contains("writer")) df
     else df.withColumn("writer", lit(null).cast("string"))
   }
 
-  private def append(rows: Seq[StagingRow]): Unit =
+  // Legacy (pre-nonce) tables lack the writer column, so jdbcAppend would
+  // die mid-append with an opaque driver error (ADVICE r8). Detect once per
+  // instance and issue the one-time ALTER TABLE ... ADD COLUMN — additive
+  // and nullable, so existing rows read back as null writer with the
+  // documented ordering; a missing table needs nothing (the first append
+  // creates it with the full schema).
+  private var schemaEnsured = false
+  private def ensureWriterColumn(): Unit = if (!schemaEnsured) {
+    val needsAlter =
+      try !graft.io.Sources.jdbc(spark, url, table, props).columns.contains("writer")
+      catch { case _: Exception => false }
+    if (needsAlter) {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"ALTER TABLE $table ADD COLUMN writer VARCHAR(36)")
+        finally st.close()
+      } finally conn.close()
+    }
+    schemaEnsured = true
+  }
+
+  private def append(rows: Seq[StagingRow]): Unit = {
+    ensureWriterColumn()
     graft.io.Sinks.jdbcAppend(spark.createDataFrame(rows), url, table, props)
+  }
 
   private def nextSeq(): Long = Staging.nextSeq(ledger)
 

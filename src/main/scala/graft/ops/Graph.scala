@@ -209,12 +209,15 @@ object Graph {
     // hundreds of millions of nodes is the same driver-OOM class the
     // Distribution gates exist for (review r8); past the cap the joins
     // fall back to shuffles — slower, never fatal
+    // ONE broadcast-gated frame reused by both join sides (ADVICE r8: two
+    // broadcast() wrappers with per-side alias projections shipped the
+    // up-to-10M-row alive set twice per peel) — identical exchange child
+    // plans, so ReuseExchange serves the second join from the first's
+    // broadcast by construction
     def degAmong(alive: DataFrame, nAlive: Long): DataFrame = {
-      def side(c: String) = {
-        val s = alive.select(col("node").as(c))
-        if (nAlive <= 10000000L) broadcast(s) else s
-      }
-      sym.join(side("src"), "src").join(side("dst"), "dst")
+      val gate = if (nAlive <= 10000000L) broadcast(alive) else alive
+      sym.join(gate, col("src") === col("node")).drop("node")
+        .join(gate, col("dst") === col("node")).drop("node")
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
     }
     var alive = sym.select(col("src").as("node")).distinct().persist(level)

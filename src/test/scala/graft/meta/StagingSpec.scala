@@ -20,6 +20,32 @@ class StagingSpec extends SparkSpec {
     assert(st.activeFiles() === Seq("y.csv"))
   }
 
+  test("legacy JDBC table without writer column is migrated on first append") {
+    val url = "jdbc:derby:memory:graftlegacy;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    // hand-create a PRE-NONCE table: the five original columns, no writer
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st0 = conn.createStatement()
+      st0.executeUpdate(
+        """CREATE TABLE legacy_staging (
+          |  batchId VARCHAR(64), fileName VARCHAR(256), status VARCHAR(1),
+          |  updatedAt TIMESTAMP, seq BIGINT)""".stripMargin)
+      st0.executeUpdate(
+        "INSERT INTO legacy_staging VALUES ('b0', 'old.csv', 'A', '2026-01-01 00:00:00', 1)")
+      st0.close()
+    } finally conn.close()
+    val st = new JdbcStaging(spark, url, "legacy_staging", props)
+    // pre-migration read: null-writer ordering applies
+    assert(st.activeFiles() === Seq("old.csv"))
+    // append against the legacy schema must auto-ALTER, not die mid-append
+    st.markInactive("b0", Seq("old.csv"), Timestamp.valueOf("2026-01-01 01:00:00"))
+    assert(st.activeFiles().isEmpty)
+    st.markActive("b1", Seq("new.csv"), Timestamp.valueOf("2026-01-01 02:00:00"))
+    assert(st.activeFiles() === Seq("new.csv"))
+  }
+
   test("A/I lifecycle: active set reflects latest status per file") {
     val ledger = Files.createTempDirectory("graft-staging").toString + "/ledger"
     val st = new Staging(spark, ledger)
