@@ -2784,11 +2784,12 @@ object QueryCatalog {
       (s, d) => {
         // long node ids (parts even, suppliers odd): distinct/shuffle on
         // longs, display labels rendered only on the final 30 rows
+        // no pre-distinct: dedupEdges fuses the edge dedup into the
+        // adjacency collect_set, one shuffle instead of two
         val edges = T(s, d, "lineitem")
           .select((col("l_partkey") * 2).cast("long").as("src"),
             (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-          .distinct()
-        ops.Graph.pageRank(edges, "src", "dst", iterations = 5)
+        ops.Graph.pageRank(edges, "src", "dst", iterations = 5, dedupEdges = true)
           .select(expr("CASE WHEN node % 2 = 0 THEN 'p:' || CAST(node div 2 AS STRING) " +
             "ELSE 's:' || CAST(node div 2 AS STRING) END").as("node"), col("rank"))
           .orderBy(col("rank").desc, col("node")).limit(30)

@@ -49,24 +49,41 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, scale: Long = 1000000000000L,
-      maxVectorNodes: Long = 10000000L): DataFrame = {
+      maxVectorNodes: Long = 10000000L, dedupEdges: Boolean = false): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val spark = edges.sparkSession
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // the caller's edge expression usually embeds a distinct — cache the
-    // directed list ONCE so the union's two branches read the cache instead
-    // of re-running that shuffle per branch (the r8 shape persisted the
-    // union, which still computed the distinct twice into the cache).
     // Prefer INTEGER node ids in `edges`: shuffling/distincting longs is
     // several times cheaper than strings — render display labels from the
     // final (tiny) rank vector, not on the edge list.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist(level)
-    val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg"), collect_list(col("dst")).as("dsts"))
-      .persist(level)
-    val n = adj.count() // one action: fills e and adj
-    e.unpersist()
+    //
+    // dedupEdges = true FUSES the caller's edge-distinct into the adjacency
+    // grouping (collect_set instead of a pre-distinct + collect_list): the
+    // raw directed list unions straight off the scan and pays ONE shuffle
+    // total instead of distinct's shuffle followed by the groupBy's. Leave
+    // it false when multi-edge multiplicity should weight contributions.
+    val (adj, edgeCache) =
+      if (dedupEdges) {
+        val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        (e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .groupBy(col("src"))
+          .agg(collect_set(col("dst")).as("dsts"))
+          .select(col("src"), size(col("dsts")).cast("long").as("outdeg"), col("dsts"))
+          .persist(level), None)
+      } else {
+        // the caller's edge expression usually embeds a distinct — cache the
+        // directed list ONCE so the union's two branches read the cache
+        // instead of re-running that shuffle per branch (the r8 shape
+        // persisted the union, which still computed the distinct twice into
+        // the cache).
+        val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist(level)
+        (e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("outdeg"), collect_list(col("dst")).as("dsts"))
+          .persist(level), Some(e))
+      }
+    val n = adj.count() // one action: fills adj (and the edge cache, if any)
+    edgeCache.foreach(_.unpersist())
     val base: Long = scale / n
     val teleport: Long = (15L * base) / 100L
     val update = adj // shared iteration body for both loop variants
