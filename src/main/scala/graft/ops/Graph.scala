@@ -153,22 +153,32 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // packing precondition as a cheap runtime guard (ADVICE r7): ids must
     // fit in [0, 2^32) and degrees in [0, 2^31) or deg*2^32+id silently
-    // corrupts the orientation. One 1-row agg over the persisted deg frame.
+    // corrupts the orientation. One 1-row agg over the persisted deg frame —
+    // the node and wedge counts ride the same aggregate (they were a second
+    // full pass over deg before), so they become driver constants here.
     val lim = deg.agg(min(col("node")).as("mn"), max(col("node")).as("mx"),
-      max(col("deg")).as("md")).head()
+      max(col("deg")).as("md"), count(lit(1)).as("nn"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("nw")).head()
     require(lim.isNullAt(0) ||
       (lim.getLong(0) >= 0L && lim.getLong(1) < 4294967296L &&
         lim.getLong(2) < Int.MaxValue.toLong),
       s"triangleStats packs (degree,id) into one long: node ids must be in " +
         s"[0, 2^32) and degrees < 2^31; got id range [${lim.get(0)}, " +
         s"${lim.get(1)}], max degree ${lim.get(2)}")
+    val nNodes = lim.getLong(3)
+    // deg is |nodes| rows — broadcast it (gated like kCore's alive set) so
+    // the two degree joins never shuffle the edge list; the SAME un-projected
+    // frame feeds both joins, so the second is served by ReuseExchange from
+    // the first's broadcast. Past the gate: shuffle joins, never driver-fatal.
+    val degB = if (nNodes <= 10000000L) broadcast(deg) else deg
     // (degree, id) packed into one orderable long
     val keyed = e
-      .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
-      .join(deg.select(col("node").as("dst"), col("deg").as("ddeg")), "dst")
+      .join(degB, col("src") === col("node"))
       .select(col("src"), col("dst"),
-        (col("sdeg") * lit(4294967296L) + col("src")).as("skey"),
-        (col("ddeg") * lit(4294967296L) + col("dst")).as("dkey"))
+        (col("deg") * lit(4294967296L) + col("src")).as("skey"))
+      .join(degB, col("dst") === col("node"))
+      .select(col("src"), col("dst"), col("skey"),
+        (col("deg") * lit(4294967296L) + col("dst")).as("dkey"))
     val oriented = keyed.select(
       when(col("skey") < col("dkey"), col("src")).otherwise(col("dst")).as("u"),
       when(col("skey") < col("dkey"), col("dst")).otherwise(col("src")).as("v"),
@@ -180,14 +190,15 @@ object Graph {
     val triangles = wedgePairs
       .join(oriented.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
-    val edgeNodeCounts = deg.agg(
-      count(lit(1)).as("n_nodes"),
-      // undirected wedges (length-2 paths): sum over deg-choose-2
-      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
-    val edgeCount = e.agg(count(lit(1)).as("n_edges"))
-    val out = edgeNodeCounts.crossJoin(edgeCount).crossJoin(triangles)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        (col("n_triangles").cast("double") * 3.0 / col("n_wedges")).as("global_clustering"))
+    // n_nodes and n_wedges (sum over deg-choose-2) came off the guard agg;
+    // e is already cache-filled by it, so the edge count is a cached scan
+    val nEdges = e.count()
+    val nWedges: java.lang.Long = if (lim.isNullAt(4)) null else Long.box(lim.getLong(4))
+    val out = triangles
+      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+        lit(nWedges).cast("long").as("n_wedges"), col("n_triangles"),
+        (col("n_triangles").cast("double") * 3.0 / lit(nWedges).cast("long"))
+          .as("global_clustering"))
     Dedup.materializeAndRelease(out, e, deg, oriented)
   }
 
@@ -237,10 +248,17 @@ object Graph {
         .join(gate, col("dst") === col("node")).drop("node")
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
     }
-    var alive = sym.select(col("src").as("node")).distinct().persist(level)
+    // Peel 1 fused: "degree among alive" over the FULL node set is the
+    // plain degree, so the first iteration is one groupBy over sym — no
+    // distinct() to build the node set, no alive-side joins. The node
+    // count (convergence baseline) rides the same aggregate's row count.
+    val deg0 = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist(level)
+    val n = deg0.count()
+    var alive = deg0.filter(col("deg") >= k)
+      .select(col("src").as("node")).persist(level)
     var aliveCount = alive.count()
-    var converged = false
-    var iter = 0
+    var converged = aliveCount == n
+    var iter = 1
     while (!converged && iter < maxIter) {
       val next = degAmong(alive, aliveCount).filter(col("deg") >= k)
         .select(col("src").as("node")).persist(level)
@@ -253,9 +271,14 @@ object Graph {
     }
     if (!converged)
       System.err.println(s"[graft] WARN kCore: not converged after maxIter=$maxIter peels")
-    val out = degAmong(alive, aliveCount)
-      .select(col("src").as("node"), col("deg").as("core_deg"))
-    Dedup.materializeAndRelease(out, sym, alive)
+    // zero nodes peeled → the full-degree aggregate IS the answer; reuse it
+    val out =
+      if (converged && iter == 1)
+        deg0.filter(col("deg") >= k)
+          .select(col("src").as("node"), col("deg").as("core_deg"))
+      else degAmong(alive, aliveCount)
+        .select(col("src").as("node"), col("deg").as("core_deg"))
+    Dedup.materializeAndRelease(out, sym, alive, deg0)
   }
 
   /** Link prediction by common-neighbour count: top-`topK` NON-adjacent
