@@ -27,16 +27,13 @@ object QueryCatalog {
 
   private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as long (legacy conf, runtime-settable) and
-    * rebuild an NTZ timestamp at micros precision: `ts div 1000` is exact
-    * integer math (a double round-trip would lose precision at 1e18 ns).
+  /** events.parquet stores ts as TIMESTAMP(MICROS), no-tz → TIMESTAMP_NTZ
+    * on read (the r9 driver corpus; earlier corpora wrote TIMESTAMP(NANOS),
+    * which Spark's reader rejects without the nanosAsLong legacy conf and
+    * an exact integer `ts div 1000` µs rebuild — the native µs read needs
+    * neither, and lands on the same NTZ µs type the rebuild produced).
     */
-  def eventsTable(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    T(s, dir, "events")
-      .withColumn("ts", expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
-  }
+  def eventsTable(s: SparkSession, dir: String): DataFrame = T(s, dir, "events")
 
   /** Dialect-shared SQL: runs verbatim on Spark SQL and DuckDB. */
   val revenueBySegmentSql: String =
@@ -772,14 +769,15 @@ object QueryCatalog {
   private def docs(s: SparkSession, d: String): DataFrame = T(s, d, "documents")
   private def embs(s: SparkSession, d: String): DataFrame = T(s, d, "embeddings")
 
-  /** Raw events with ts as microsecond longs — µs (not ns) because DuckDB
-    * truncates parquet NANOS to micros on read, so µs is the finest exactly
-    * comparable epoch unit. `div` keeps the math in integer space.
+  /** Raw events with ts as microsecond longs — the exact epoch unit DuckDB's
+    * `epoch_us(ts)` yields, so oracle arithmetic stays in integer space.
+    * The NTZ→LTZ cast under the project-wide UTC session timezone is the
+    * identity on the epoch (every main pins UTC).
     */
-  def eventsRaw(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")).drop("ts")
-  }
+  def eventsRaw(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .withColumn("ts_us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+      .drop("ts")
 
   /** Query embedding: the vector of vec_id = 0 (driver-side 1-row lookup). */
   private def queryVec(s: SparkSession, d: String): Seq[Float] =

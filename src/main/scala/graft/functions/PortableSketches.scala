@@ -76,47 +76,69 @@ object PortableSketches {
     Array.tabulate(maxMixes)(j => hash60(s"mixa:$j")),
     Array.tabulate(maxMixes)(j => hash60(s"mixb:$j")))
 
-  /** Replayable MinHash signature: min over byte k-grams of
+  /** Replayable MinHash signature: min over character k-grams of
     * (a_j * hash60(gram) + b_j) mod (2^61 - 1), j < numHashes. Same
     * one-pass shape as [[TextSketches.minhashSig]]; empty for docs
-    * shorter than k bytes.
+    * shorter than k characters.
     */
   def portableMinhashSig(norm: Column, k: Int, numHashes: Int): Column =
     bridge.column(PortableMinHashSig(bridge.expression(norm), k, numHashes))
 
   /** Replayable winnowing fingerprint: min of each w-window of md5-60bit
-    * byte k-gram hashes, sorted distinct — the one-pass kernel twin of the
+    * character k-gram hashes, sorted distinct — the one-pass kernel twin of the
     * explode → window-min algorithm the oracle states (proven equal in
     * ReplaySpec; the explode shape cost 5.5 s vs ~1 s at sf0.1). Empty for
-    * docs with no full window (len < k + w - 1 bytes).
+    * docs with no full window (< k + w - 1 characters).
     */
   def portableWinnowedFingerprint(norm: Column, k: Int, w: Int): Column =
     bridge.column(PortableWinnowedFingerprint(bridge.expression(norm), k, w))
 
-  /** Replayable distinct byte-k-gram hash SET: sorted distinct hash60 of
+  /** Replayable distinct character-k-gram hash SET: sorted distinct hash60 of
     * every k-gram — the md5 twin of [[TextSketches.charShingleHashes]],
     * pairing with [[TextSketches.sortedIntersectCount]] for exact-Jaccard
     * verification the oracle can recompute (`list_distinct([hash60(
     * substr(norm, i, k)) ...])` in DuckDB). Empty for docs shorter than k
-    * bytes.
+    * characters.
     */
   def portableGramHashes(norm: Column, k: Int): Column =
     bridge.column(PortableGramHashes(bridge.expression(norm), k))
 
   private val empty = new GenericArrayData(Array.emptyLongArray)
 
-  /** Per-gram md5 → top-60-bits loop shared by the kernels. One
-    * MessageDigest + scratch buffer per document, digest written in place
-    * (no allocation per gram).
+  /** UTF-8 code-point start offsets plus a terminal `len`. Gram windows
+    * count CHARACTERS exactly like the oracle's `substr(norm, i, k)`
+    * (DuckDB substr/len count code points): a multi-byte character never
+    * splits across grams, and the bytes hashed for gram i are precisely
+    * the UTF-8 encoding of the k-char substring — so md5 agrees with
+    * DuckDB's `md5(substr(...))` for ANY input, not just ASCII (review
+    * r9: byte windows silently diverged on the first non-ASCII char).
+    * For ASCII this is the identity mapping, so hashes are bit-identical
+    * to the byte-window form the gate corpora already pinned.
     */
-  private def gramHashes(bytes: Array[Byte], k: Int, n: Int): Array[Long] = {
+  private def charOffsets(bytes: Array[Byte], len: Int): Array[Int] = {
+    var n = 0
+    var i = 0
+    while (i < len) { if ((bytes(i) & 0xC0) != 0x80) n += 1; i += 1 }
+    val off = new Array[Int](n + 1)
+    var j = 0
+    i = 0
+    while (i < len) { if ((bytes(i) & 0xC0) != 0x80) { off(j) = i; j += 1 }; i += 1 }
+    off(n) = len
+    off
+  }
+
+  /** Per-gram md5 → top-60-bits loop shared by the kernels; gram i spans
+    * bytes [off(i), off(i+k)). One MessageDigest + scratch buffer per
+    * document, digest written in place (no allocation per gram).
+    */
+  private def gramHashes(bytes: Array[Byte], off: Array[Int], k: Int, n: Int): Array[Long] = {
     val md = MessageDigest.getInstance("MD5")
     val scratch = new Array[Byte](16)
     val hashes = new Array[Long](n)
     var i = 0
     while (i < n) {
       md.reset()
-      md.update(bytes, i, k)
+      md.update(bytes, off(i), off(i + k) - off(i))
       md.digest(scratch, 0, 16)
       hashes(i) = be64(scratch, 0) >>> 4
       i += 1
@@ -127,9 +149,10 @@ object PortableSketches {
   def computePortableMinHash(s: UTF8String, k: Int, numHashes: Int): ArrayData = {
     require(numHashes <= maxMixes, s"numHashes $numHashes > $maxMixes")
     val bytes = s.getBytes // copy; MessageDigest needs a heap array anyway
-    val len = bytes.length
-    if (len < k) return empty
-    val hashes = gramHashes(bytes, k, len - k + 1)
+    val off = charOffsets(bytes, bytes.length)
+    val nChars = off.length - 1
+    if (nChars < k) return empty
+    val hashes = gramHashes(bytes, off, k, nChars - k + 1)
     // dedup hashes before the numHashes-wide permutation loop: repeated
     // grams (~30% of a text corpus) contribute nothing to a min, and
     // dedup on the HASH is exactly semantics-preserving — equal h maps to
@@ -182,11 +205,11 @@ object PortableSketches {
 
   def computePortableWinnow(s: UTF8String, k: Int, w: Int): ArrayData = {
     val bytes = s.getBytes
-    val len = bytes.length
-    val nGrams = len - k + 1
+    val off = charOffsets(bytes, bytes.length)
+    val nGrams = off.length - 1 - k + 1
     val nWindows = nGrams - w + 1
     if (nWindows <= 0) return empty
-    val hashes = gramHashes(bytes, k, nGrams)
+    val hashes = gramHashes(bytes, off, k, nGrams)
     // w is small (4 by default): rescanning each window beats deque
     // bookkeeping — same shape as TextSketches.computeWinnow
     val mins = new Array[Long](nWindows)
@@ -210,10 +233,10 @@ object PortableSketches {
 
   def computePortableGramHashes(s: UTF8String, k: Int): ArrayData = {
     val bytes = s.getBytes
-    val len = bytes.length
-    val n = len - k + 1
+    val off = charOffsets(bytes, bytes.length)
+    val n = off.length - 1 - k + 1
     if (n <= 0) return empty
-    val hashes = gramHashes(bytes, k, n)
+    val hashes = gramHashes(bytes, off, k, n)
     java.util.Arrays.sort(hashes)
     var out = 0
     var i = 0

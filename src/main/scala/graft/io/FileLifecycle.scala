@@ -53,10 +53,13 @@ object FileLifecycle {
     if (new HPath(likeInput).toUri.getScheme == null) p.toUri.getPath else p.toString
 
   /** D1: list files under a prefix (recursively), skipping directories and
-    * checksum shadow files. Only `.crc` bookkeeping is filtered — a blanket
-    * dot-prefix skip would make legitimate hidden DATA files silently
-    * invisible to the pipeline (neither processed nor quarantined;
-    * review r8), which the reference's S3 listing would have returned.
+    * checksum shadow files. Only `.crc` bookkeeping and moveTo's
+    * `.graft-replacing` aside files are filtered — a crash-leftover aside
+    * is a bookkeeping artifact under a wrong name, not an archive entry a
+    * consumer should re-ingest; a blanket dot-prefix skip would make
+    * legitimate hidden DATA files silently invisible to the pipeline
+    * (neither processed nor quarantined; review r8), which the reference's
+    * S3 listing would have returned.
     */
   def list(dir: String, suffix: String = ""): Seq[String] = {
     val conf = hadoopConf
@@ -69,7 +72,8 @@ object FileLifecycle {
       while (it.hasNext) {
         val st = it.next()
         val name = st.getPath.getName
-        if (st.isFile && !name.endsWith(".crc") && name.endsWith(suffix))
+        if (st.isFile && !name.endsWith(".crc") &&
+            !name.endsWith(".graft-replacing") && name.endsWith(suffix))
           buf += render(st.getPath, dir)
       }
       buf.result().sorted

@@ -135,7 +135,11 @@ class JdbcStaging(spark: SparkSession, url: String, table: String,
     // make activeFiles' ordering fail to resolve (review r8) — surface it
     // as null; the doc'd null-writer ordering then applies. Appends migrate
     // the table first (ensureWriterColumn).
-    if (df.columns.contains("writer")) df
+    // Unquoted DDL uppercases the identifier on Derby/H2/Oracle, so the
+    // migrated column reads back as WRITER — match case-insensitively or
+    // withColumn (which resolves case-insensitively) would null the real
+    // nonce values out of every read.
+    if (df.columns.exists(_.equalsIgnoreCase("writer"))) df
     else df.withColumn("writer", lit(null).cast("string"))
   }
 
@@ -147,9 +151,20 @@ class JdbcStaging(spark: SparkSession, url: String, table: String,
   // creates it with the full schema).
   private var schemaEnsured = false
   private def ensureWriterColumn(): Unit = if (!schemaEnsured) {
+    // Case-insensitive: the unquoted ALTER below stores WRITER on databases
+    // that uppercase identifiers, and re-issuing it there throws
+    // "column already exists" on every append from a fresh instance.
     val needsAlter =
-      try !graft.io.Sources.jdbc(spark, url, table, props).columns.contains("writer")
-      catch { case _: Exception => false }
+      try !graft.io.Sources.jdbc(spark, url, table, props)
+        .columns.exists(_.equalsIgnoreCase("writer"))
+      catch {
+        // only a MISSING table needs nothing (first append creates the full
+        // schema); any other probe failure is transient — rethrow without
+        // latching schemaEnsured, so the next append re-probes instead of
+        // dying mid-append against an unmigrated table forever after.
+        case e: Exception if Option(e.getMessage).exists(_.contains("does not exist")) =>
+          false
+      }
     if (needsAlter) {
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {

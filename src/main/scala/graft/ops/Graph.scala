@@ -86,10 +86,9 @@ object Graph {
     edgeCache.foreach(_.unpersist())
     val base: Long = scale / n
     val teleport: Long = (15L * base) / 100L
-    val update = adj // shared iteration body for both loop variants
     def step(ranks: DataFrame, bcast: Boolean) = {
       val side = if (bcast) broadcast(ranks) else ranks
-      update.join(side, col("src") === col("node"))
+      adj.join(side, col("src") === col("node"))
         .select(explode(col("dsts")).as("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("s"))

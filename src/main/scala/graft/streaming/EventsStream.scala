@@ -15,12 +15,12 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Raw parquet schema of events.parquet — ts is TIMESTAMP(NANOS), read as
-    * long via the nanosAsLong legacy conf (same as the batch path).
+  /** Raw parquet schema of events.parquet — ts is TIMESTAMP(MICROS), no-tz
+    * → TIMESTAMP_NTZ (the r9 driver corpus; same as the batch path).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -37,16 +37,15 @@ object EventsStream {
     * |open windows × event types|, bounded by the watermark.
     */
   def hourlyCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source requires a directory: stream the sf dir with a
     // glob pinned to the events table (explicit schema, no inference pass)
     val stream = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      // watermarks require TIMESTAMP (with-tz); session tz is UTC so the
+      // watermarks want TIMESTAMP (with-tz); session tz is UTC so the
       // wall clock matches the batch NTZ path — cast back to NTZ on output
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -76,7 +75,6 @@ object EventsStream {
   def streamEventsToJdbc(spark: SparkSession, sfDir: String,
       url: String, table: String, props: java.util.Properties,
       checkpointDir: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -101,7 +99,6 @@ object EventsStream {
     * evicted beyond it — bounded memory at any stream length.
     */
   def dedupedCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // see purchaseClickJoin: fewer state stores for the bounded local run
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -114,7 +111,7 @@ object EventsStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
     // dropDuplicatesWithinWatermark (not plain dropDuplicates): eviction by
     // watermark needs either the event-time column in the key set or this
     // operator — a bare dropDuplicates("event_id") would hold state forever
@@ -148,7 +145,6 @@ object EventsStream {
     * itself — RocksDB state backend + more shuffle partitions is the knob.
     */
   def purchaseClickJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // state-store count = shuffle partitions at query start; each store pays
     // open/commit per micro-batch on BOTH join sides (4 stores per
     // partition for a symmetric hash join). Profiling the left-join twin
@@ -169,7 +165,7 @@ object EventsStream {
       .select(
         col("event_id").as(s"${prefix}_id"),
         col("user_id").as(s"${prefix}_user"),
-        expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
+        expr("CAST(ts AS TIMESTAMP)").as(s"${prefix}_ts"))
       .withWatermark(s"${prefix}_ts", "1 hour")
     val joined = side("purchase", "purchase")
       .join(side("click", "click"),
@@ -204,7 +200,6 @@ object EventsStream {
     */
   def purchaseClickLeftJoin(spark: SparkSession, sfDir: String,
       partitions: Int = 2): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // 2 state partitions, not the harness-wide 8 (r8 verdict item 5): the
     // left join pays per-partition state-store open/commit on FOUR stores
     // per side per batch, and profiling showed 8 → 2 saves ~0.6 s at this
@@ -223,7 +218,7 @@ object EventsStream {
         .agg(
           max(when(col("event_type") === "purchase", col("ts"))).as("maxp"),
           max(when(col("event_type") === "click", col("ts"))).as("maxc"))
-        .select(expr("least(maxp, maxc) div 1000 - 5400000000").as("cutoff"))
+        .select(expr("unix_micros(CAST(least(maxp, maxc) AS TIMESTAMP)) - 5400000000").as("cutoff"))
         .head.getLong(0)
     }(scala.concurrent.ExecutionContext.global)
     try StreamingConf.withStateBackend(spark) {
@@ -235,8 +230,8 @@ object EventsStream {
         .select(
           col("event_id").as(s"${prefix}_id"),
           col("user_id").as(s"${prefix}_user"),
-          expr("ts div 1000").as(s"${prefix}_us"),
-          expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as(s"${prefix}_us"),
+          expr("CAST(ts AS TIMESTAMP)").as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", "1 hour")
       val joined = side("purchase", "purchase")
         .join(side("click", "click"),
@@ -302,7 +297,6 @@ object EventsStream {
     * Oracle: the equivalent batch join SQL.
     */
   def segmentTotals(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")

@@ -27,7 +27,6 @@ object QuickProf {
 
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     time("events raw scan noop") {
       spark.read.parquet(s"$sfDir/events.parquet").write.mode("overwrite").format("noop").save()
     }

@@ -19,7 +19,6 @@ object StreamProf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
@@ -36,7 +35,7 @@ object StreamProf {
         .agg(
           max(when(col("event_type") === "purchase", col("ts"))).as("maxp"),
           max(when(col("event_type") === "click", col("ts"))).as("maxc"))
-        .select(expr("least(maxp, maxc) div 1000 - 5400000000").as("cutoff"))
+        .select(expr("unix_micros(CAST(least(maxp, maxc) AS TIMESTAMP)) - 5400000000").as("cutoff"))
         .head
     }
 
@@ -62,8 +61,8 @@ object StreamProf {
         .select(
           col("event_id").as(s"${prefix}_id"),
           col("user_id").as(s"${prefix}_user"),
-          expr("ts div 1000").as(s"${prefix}_us"),
-          expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as(s"${prefix}_us"),
+          expr("CAST(ts AS TIMESTAMP)").as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", "1 hour")
       val joined = side("purchase", "purchase")
         .join(side("click", "click"),

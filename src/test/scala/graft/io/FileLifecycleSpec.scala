@@ -28,13 +28,17 @@ class FileLifecycleSpec extends SparkSpec {
     FileLifecycle.deleteDir(src); FileLifecycle.deleteDir(dst)
   }
 
-  test("hidden data files are listed; only .crc shadows filter out") {
+  test("hidden data files are listed; .crc shadows and replace-asides filter out") {
     val dir = tmpDir("lc_hidden")
     Files.writeString(Paths.get(dir, ".hidden_feed.csv"), "a\n1\n")
     Files.writeString(Paths.get(dir, "normal.csv"), "a\n2\n")
     Files.writeString(Paths.get(dir, ".normal.csv.crc"), "junk")
+    // a crash-leftover moveTo aside is bookkeeping, not an archive entry
+    // (review r9): a consumer re-ingesting the archive must not see it
+    Files.writeString(Paths.get(dir, "old.csv.graft-replacing"), "a\n3\n")
     val names = FileLifecycle.list(dir, ".csv").map(p => Paths.get(p).getFileName.toString)
     assert(names.sorted === Seq(".hidden_feed.csv", "normal.csv"))
+    assert(!FileLifecycle.list(dir).exists(_.endsWith(".graft-replacing")))
     FileLifecycle.deleteDir(dir)
   }
 

@@ -44,6 +44,26 @@ class StagingSpec extends SparkSpec {
     assert(st.activeFiles().isEmpty)
     st.markActive("b1", Seq("new.csv"), Timestamp.valueOf("2026-01-01 02:00:00"))
     assert(st.activeFiles() === Seq("new.csv"))
+    // a SECOND instance on the migrated table: Derby stored the unquoted
+    // column as WRITER, so the probe must match case-insensitively — a
+    // case-sensitive probe re-issues the ALTER and every append dies with
+    // "column already exists" (review r9)
+    val st2 = new JdbcStaging(spark, url, "legacy_staging", props)
+    st2.markInactive("b1", Seq("new.csv"), Timestamp.valueOf("2026-01-01 03:00:00"))
+    assert(st2.activeFiles().isEmpty)
+    // and reads must surface the uppercased column as the real nonce, not
+    // replace it with nulls: a hand-built (updatedAt, seq) collision
+    // resolves by writer desc only if the nonce survives the read
+    val conn2 = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val s2 = conn2.createStatement()
+      s2.executeUpdate("INSERT INTO legacy_staging VALUES " +
+        "('bx', 'c.csv', 'A', '2026-01-02 00:00:00', 9, 'aaaa-writer')")
+      s2.executeUpdate("INSERT INTO legacy_staging VALUES " +
+        "('by', 'c.csv', 'I', '2026-01-02 00:00:00', 9, 'zzzz-writer')")
+      s2.close()
+    } finally conn2.close()
+    assert(st2.activeFiles().isEmpty) // zzzz-writer's INACTIVE outranks
   }
 
   test("A/I lifecycle: active set reflects latest status per file") {

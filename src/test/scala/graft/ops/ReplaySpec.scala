@@ -109,6 +109,34 @@ class ReplaySpec extends SparkSpec {
     km.foreach { case (id, fp) => assert(fp === em(id), s"doc $id") }
   }
 
+  test("portable gram kernels window over characters, not bytes (non-ASCII)") {
+    // DuckDB substr/len count code points, so the kernels must too: a
+    // multi-byte char (2-byte é, 4-byte emoji) must never split a gram
+    // (review r9 — byte windows diverged from md5(substr(...)) on the
+    // first non-ASCII char). Expected values recompute via code-point
+    // slices hashed through hash60 (= DuckDB md5-hex-prefix semantics).
+    val doc = "café über déjà-vu 🚀 naïve çœur"
+    val k = 5
+    val cps = doc.codePoints().toArray
+    val grams = (0 to cps.length - k).map(i => new String(cps, i, k))
+    val expectSet = grams.map(PortableSketches.hash60).distinct.sorted
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(doc)
+    assert(PortableSketches.computePortableGramHashes(u, k).toLongArray().toSeq === expectSet)
+    val sig = PortableSketches.computePortableMinHash(u, k, 8).toLongArray()
+    val expectSig = (0 until 8).map { j =>
+      grams.map { g =>
+        val h = BigInt(PortableSketches.hash60(g))
+        ((BigInt(PortableSketches.mixA(j)) * h + BigInt(PortableSketches.mixB(j))) %
+          BigInt(PortableSketches.P61)).toLong
+      }.min
+    }
+    assert(sig.toSeq === expectSig)
+    // a doc of 4 chars / 8 bytes is below k in CHARACTERS: excluded on both
+    // engines (len(norm) >= k), where byte windowing would have included it
+    assert(PortableSketches.computePortableGramHashes(
+      org.apache.spark.unsafe.types.UTF8String.fromString("çùré"), k).numElements() === 0)
+  }
+
   test("replay simhash finds the exact-dup pair at hamming 0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

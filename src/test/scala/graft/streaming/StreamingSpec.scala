@@ -130,7 +130,6 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming dedup of doubled delivery equals single-delivery batch counts") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val got = EventsStream.dedupedCounts(spark, sf()).collect()
       .map(r => r.getAs[String]("event_type") ->
         (r.getAs[Long]("cnt"), r.getAs[Double]("total_value"))).toMap
@@ -147,7 +146,6 @@ class StreamingSpec extends SparkSpec {
   test("streaming dedup under the RocksDB state backend matches the default provider") {
     // the SPARK_GRAFT_ROCKSDB=1 harness path, forced on explicitly: the
     // state backend must be a pure performance knob — identical results
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def run(rocks: Boolean) =
       StreamingConf.withStateBackend(spark, enabled = rocks) {
         EventsStream.dedupedCounts(spark, sf()).collect()
