@@ -328,7 +328,7 @@ object Distribution {
     * count, effective bucket fan-out, and the global value extrema (as
     * placement doubles) — exposed so [[groupedMedianMad]] can derive its
     * deviation-pass bounds without a second probe. */
-  private final case class Bucketed(bucketed: DataFrame, approxGroups: Long,
+  private[ops] final case class Bucketed(bucketed: DataFrame, approxGroups: Long,
     bEff: Int, lo: Double, hi: Double)
 
   /** The blended linear+log bucket position over [lo, hi] at fan-out bEff —
@@ -342,7 +342,10 @@ object Distribution {
       least(floor(pos * bEff), lit(bEff - 1).cast("long"))
     }
 
-  private def valueBuckets(df: DataFrame, groupCol: String, valueCol: Column,
+  // package-visible so the spec can probe the bucket histogram directly
+  // (the ≤2×-either-pure-scheme balance claim above is otherwise only
+  // pinned indirectly through StressRanks timings)
+  private[ops] def valueBuckets(df: DataFrame, groupCol: String, valueCol: Column,
       orderCols: Seq[Column], buckets: Int, broadcastRowCap: Long): Bucketed = {
     require(buckets >= 1, s"buckets=$buckets must be positive")
     require(broadcastRowCap >= 1, s"broadcastRowCap=$broadcastRowCap must be positive")

@@ -231,6 +231,42 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(cr.toSeq === Seq((2L, 5.0)))
   }
 
+  test("valueBuckets: blended position keeps whales from collapsing the fan-out") {
+    import spark.implicits._
+    // heavy-tailed worst case: 50k base values in [0, 1000] plus 50 whales
+    // ~10^6× larger. A PURE linear range split pins every base row into
+    // bucket 0 (range is whale-dominated) — the single-task window shape
+    // this machinery exists to avoid; the blended linear+ln1p position must
+    // keep the base mass fanned out and every bucket bounded.
+    val rng = new scala.util.Random(11)
+    val base = Seq.fill(50000)(rng.nextDouble() * 1000.0)
+    val whales = Seq.fill(50)(1e9 + rng.nextDouble() * 1e9)
+    val df = (base ++ whales).zipWithIndex
+      .map { case (v, i) => (i.toLong, v, "all") }.toDF("id", "v", "grp")
+    val b = Distribution.valueBuckets(df, "grp", col("v"), Seq(col("id")),
+      buckets = 256, broadcastRowCap = 1000000L)
+    assert(b.bEff === 256)
+    val counts = b.bucketed.groupBy(col("__b")).count()
+      .as[(Long, Long)].collect().toMap
+    val n = counts.values.sum
+    assert(n === 50050L)
+    // pure linear = ONE bucket holding 99.9% of rows (the whales own the
+    // range). The blend degrades to ~the pure-log band mass instead: each
+    // log band spans a ×e^(ln1p(hi)/B) value ratio (~1.18 here), so the
+    // widest in-range band holds ~15% of a uniform base — bounded fan-out,
+    // not collapse. Assert the ~2×-log bound, not perfection.
+    assert(counts.values.max.toDouble / n < 0.20,
+      s"max bucket ${counts.values.max} of $n rows")
+    assert(counts.size > 30, s"only ${counts.size} non-empty buckets")
+    // the property the rank/selection correctness rests on: monotone in v
+    val byValue = b.bucketed.select(col("v"), col("__b"))
+      .as[(Double, Long)].collect().sortBy(_._1)
+    assert(byValue.sliding(2).forall {
+      case Array((_, b1), (_, b2)) => b1 <= b2
+      case _ => true
+    })
+  }
+
   test("paretoFrontier: dominated rows drop, equal points both survive") {
     val df = Seq(
       (1L, 1.0, 10), // frontier (cheapest)
