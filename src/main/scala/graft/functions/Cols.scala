@@ -16,7 +16,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
   */
 object Cols {
 
-  /** Deterministic money sum: exact decimal accumulate, double result. */
+  /** Deterministic money sum: exact decimal accumulate, double result.
+    *
+    * Range contract: a value with > 18−scale integral digits overflows the
+    * DECIMAL(18,s) cast — a loud error under ANSI mode (the Spark 4
+    * default), a silently-dropped null (and a count/sum mismatch in
+    * [[moneyAvg]]) only if a deployment turns ANSI off. Money columns at
+    * 10^16 are corrupt input; keep ANSI on rather than widening every
+    * aggregate to DECIMAL(38,·) and halving codegen throughput.
+    */
   def moneySum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 

@@ -31,13 +31,11 @@ case class JaroWinkler(left: Expression, right: Expression)
   override def prettyName: String = "jaro_winkler"
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    JaroWinkler.compute(
-      a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString)
+    JaroWinkler.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.JaroWinkler$$.MODULE$$.compute($a.toString(), $b.toString())")
+      s"graft.functions.JaroWinkler$$.MODULE$$.compute($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -45,12 +43,29 @@ case class JaroWinkler(left: Expression, right: Expression)
 
 object JaroWinkler {
 
+  /** Column-kernel entry: runs directly over the UTF8String's bytes — no
+    * UTF-16 decode in the hot loop. */
+  def compute(a: UTF8String, b: UTF8String): Double =
+    computeBytes(a.getBytes, b.getBytes)
+
+  /** Driver/test twin over Strings, via their UTF-8 encoding. */
+  def compute(s1: String, s2: String): Double =
+    computeBytes(s1.getBytes("UTF-8"), s2.getBytes("UTF-8"))
+
   /** Jaro-Winkler similarity in [0, 1]. Identical strings are 1.0 by
     * definition (short-circuit, like every reference implementation);
     * either side empty scores 0.0.
+    *
+    * Units are UTF-8 BYTES, not characters — probed to be exactly what
+    * DuckDB's jaro_winkler_similarity does ('née' vs 'nee' = 0.75, the
+    * byte-window answer; the code-point answer would be 0.8), so the
+    * cross-engine bitwise parity holds on non-ASCII too (review r9 —
+    * the prior UTF-16 code-unit loop agreed only on ASCII). A multi-byte
+    * char then scores as its byte run, which mildly over-weights
+    * non-ASCII matches — the tradeoff both engines share.
     */
-  def compute(s1: String, s2: String): Double = {
-    if (s1 == s2) return 1.0
+  private def computeBytes(s1: Array[Byte], s2: Array[Byte]): Double = {
+    if (java.util.Arrays.equals(s1, s2)) return 1.0
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -61,12 +76,12 @@ object JaroWinkler {
     var m = 0
     var i = 0
     while (i < l1) {
-      val c = s1.charAt(i)
+      val c = s1(i)
       var j = math.max(0, i - window)
       val hi = math.min(l2, i + window + 1)
       var found = false
       while (j < hi && !found) {
-        if (!matched2(j) && s2.charAt(j) == c) {
+        if (!matched2(j) && s2(j) == c) {
           matched1(i) = true
           matched2(j) = true
           m += 1
@@ -78,14 +93,14 @@ object JaroWinkler {
     }
     if (m == 0) return 0.0
 
-    // transpositions: matched chars of s1 vs matched chars of s2, in order
+    // transpositions: matched bytes of s1 vs matched bytes of s2, in order
     var t = 0
     var k = 0
     i = 0
     while (i < l1) {
       if (matched1(i)) {
         while (!matched2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -96,7 +111,7 @@ object JaroWinkler {
     if (jaro > 0.7) {
       var prefix = 0
       val maxP = math.min(4, math.min(l1, l2))
-      while (prefix < maxP && s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1
+      while (prefix < maxP && s1(prefix) == s2(prefix)) prefix += 1
       jaro + prefix * 0.1 * (1.0 - jaro)
     } else jaro
   }

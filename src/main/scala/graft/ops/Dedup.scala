@@ -229,12 +229,30 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
       driverEdgeLimit: Long = 5000000L): DataFrame = {
-    val edges = pairs
-      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+    import org.apache.spark.sql.types._
+    // ids keep their own type end-to-end (review r9: an unconditional long
+    // cast nulled string doc ids — NPE on the driver path, every doc
+    // joining component null on the distributed one). Integral ids still
+    // normalize to long so the primitive-tuple collect estimate holds;
+    // string ids get their own union-find at a quarter of the edge budget
+    // (boxed strings, not 16-byte tuples); any other type goes distributed,
+    // where min-label propagation only needs an ordering.
+    val idType = pairs.schema("doc_a").dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val edges = (if (integral)
+        pairs.select(col("doc_a").cast("long").as("src"),
+          col("doc_b").cast("long").as("dst"))
+      else pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges.count()
-    if (nEdges <= driverEdgeLimit) {
-      val out = unionFindComponents(edges)
+    val budget = if (integral) driverEdgeLimit else driverEdgeLimit / 4
+    if (nEdges <= budget && (integral || idType == StringType)) {
+      val out =
+        if (integral) unionFindComponents(edges)
+        else unionFindStringComponents(edges)
       edges.unpersist()
       return out
     }
@@ -269,6 +287,35 @@ object Dedup {
     pairs.foreach { case (a, b) =>
       val ra = find(a); val rb = find(b)
       if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val labels = pairs.iterator
+      .flatMap(p => Iterator(p._1, p._2))
+      .distinct.map(id => (id, find(id))).toArray
+    spark.createDataset(spark.sparkContext.parallelize(labels))
+      .toDF("id", "component")
+  }
+
+  /** String-id twin of [[unionFindComponents]]: same union-by-min walk with
+    * the LEXICOGRAPHIC order (matching what the distributed path's
+    * `min("component")` yields on strings, so the survivor rule is
+    * identical whichever path runs). Kept separate from the long path so
+    * that one keeps its specialized primitive-tuple memory estimate.
+    */
+  private def unionFindStringComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.as[(String, String)].collect()
+    val parent = new java.util.HashMap[String, String](pairs.length * 2)
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra.compareTo(rb) < 0) parent.put(rb, ra) else parent.put(ra, rb) }
     }
     val labels = pairs.iterator
       .flatMap(p => Iterator(p._1, p._2))
@@ -326,12 +373,20 @@ object Dedup {
     * cluster, all singleton docs kept. `pairs` comes from any of the
     * candidate generators above after verification/thresholding.
     */
-  def dedupCorpus(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val comps = connectedComponents(pairs)
-    docs
+  def dedupCorpus(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+      driverEdgeLimit: Long = 5000000L): DataFrame = {
+    val comps = connectedComponents(pairs, driverEdgeLimit = driverEdgeLimit)
+    val out = docs
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
       .filter(col("component").isNull || col("component") === col(idCol))
       .drop("component")
+    // the distributed path hands back a PERSISTED labels frame whose handle
+    // would otherwise be unreachable from here (review r9) — fold it into
+    // the explicit-handle contract; the driver path returns unpersisted
+    // labels and stays fully lazy
+    if (comps.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      materializeAndRelease(out, comps)
+    else out
   }
 
   // -------------------------------------------- n-gram Jaccard (exact)

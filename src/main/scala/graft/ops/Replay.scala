@@ -231,11 +231,13 @@ object Replay {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-    shared
+    val out = shared
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_fp", "nb"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("shared").cast("double") / least(col("na"), col("nb"))).as("overlap"))
       .filter(col("overlap") >= minOverlap)
+    // explicit-handle caching contract (review r9: fps + capped leaked)
+    Dedup.materializeAndRelease(out, fps, capped)
   }
 }

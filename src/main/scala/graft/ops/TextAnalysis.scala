@@ -11,6 +11,14 @@ object TextAnalysis {
 
   /** Per-document surface statistics + a simple quality score.
     * All metrics are built-in string functions (codegen'd, oracle-friendly).
+    *
+    * Word-count contract (shared by textStats/tokenCounts/qualityScore/
+    * repetitionRatios): a blank or whitespace-only document counts ONE
+    * empty whitespace token, because `split('', '\s+')` yields `['']` on
+    * BOTH engines — the oracle-replayable semantics, deliberately kept
+    * over a prettier 0 that would need lockstep null-guards in every
+    * ratio on both sides. Filter blank docs upstream if the +1 bias
+    * matters to a corpus-level average.
     */
   def textStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
@@ -84,12 +92,15 @@ object TextAnalysis {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-    shared
+    val out = shared
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_fp", "nb"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("shared").cast("double") / least(col("na"), col("nb"))).as("overlap"))
       .filter(col("overlap") >= minOverlap)
+    // explicit-handle caching contract (review r9: fps + capped leaked):
+    // the returned frame is the ONE persisted handle, internals released
+    Dedup.materializeAndRelease(out, fps, capped)
   }
 
   /** Token counts: whitespace tokens and a BPE-ish lexical split
@@ -131,7 +142,7 @@ object TextAnalysis {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("weight").desc, col("term"))
-    tf.join(broadcast(dfreq), "term")
+    val out = tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("weight",
         col("tf") * log((col("__n_docs") + 1.0) / (col("df") + lit(1.0))))
@@ -139,6 +150,8 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= m)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("weight"))
+    // same explicit-handle contract as bm25Scores (review r9: tf leaked)
+    Dedup.materializeAndRelease(out, tf)
   }
 
   /** Tiny per-language stopword marker sets for the heuristic language ID.
@@ -321,9 +334,18 @@ object TextAnalysis {
     * partial+final hash aggregate on (doc, term). Text never shuffles; only
     * (doc_id, term, count) rows do.
     */
-  private def termFrequencies(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs
-      .repartition(col(idCol))
+  /** (id, term, tf) aggregate. `spread = true` pre-partitions by the id so
+    * the (id, term) groupBy reuses that exchange (one shuffle of raw docs
+    * instead of one of exploded tokens) — right for HIGH-cardinality ids
+    * (doc_id). A LOW-cardinality id (a 5-value source column) must pass
+    * `spread = false`: partitioning by it would funnel the whole corpus
+    * into |ids| tasks for the normalize/tokenize kernel (review r9), while
+    * the un-partitioned groupBy shuffles only map-side-combined
+    * vocabulary-sized partials.
+    */
+  private def termFrequencies(docs: DataFrame, textCol: String, idCol: String,
+      spread: Boolean = true): DataFrame =
+    (if (spread) docs.repartition(col(idCol)) else docs)
       .withColumn("norm", Shingles.normalize(col(textCol)))
       .select(col(idCol).as("doc_id"), explode(Shingles.tokensOfNorm(col("norm"))).as("term"))
       .filter(length(col("term")) > 0)
@@ -391,7 +413,7 @@ object TextAnalysis {
   def sourceKlDivergence(docs: DataFrame, textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = termFrequencies(docs, textCol, sourceCol)
+    val tf = termFrequencies(docs, textCol, sourceCol, spread = false)
       .withColumnRenamed("doc_id", "source").withColumnRenamed("tf", "cnt")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gt = tf.groupBy(col("term")).agg(sum(col("cnt")).as("gcnt"))
@@ -504,9 +526,13 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     val top = uni.orderBy(col("freq").desc, col("w")).limit(topK)
     val w = Window.orderBy(col("freq").desc, col("w"))
-    val topFreq = top.agg(max(col("freq")).as("__top"))
+    // __top rides the SAME rank window (first row under the desc order IS
+    // the max) instead of a separate top.agg(...) — which, `top` being
+    // unpersisted, re-executed the whole corpus unigram aggregate a second
+    // time for one number (review r9). Both window functions share one
+    // Window exec over the ≤topK-row frame.
     top.withColumn("rank", row_number().over(w))
-      .crossJoin(broadcast(topFreq))
+      .withColumn("__top", first(col("freq")).over(w))
       .select(col("rank").cast("long").as("rank"), col("w").as("word"), col("freq"),
         (col("rank").cast("long") * col("freq")).as("rank_freq"),
         (col("freq").cast("double") / col("__top")).as("ratio_to_top"))

@@ -20,7 +20,13 @@ class StringSimilaritySpec extends SparkSpec {
     ("abc", "xyz", 0.0),
     ("a", "", 0.0),
     ("CRATE economy", "CRATE standard", 0.6794871794871794),
-    ("PROMO burnished", "PROMO brushed", 0.9579487179487179))
+    ("PROMO burnished", "PROMO brushed", 0.9579487179487179),
+    // non-ASCII: DuckDB's jaro_winkler_similarity works over UTF-8 BYTES
+    // (probed: 'née'/'nee' = 0.75, the byte-window answer; code points
+    // would give 0.8) — the kernel must match on these too (review r9)
+    ("née", "nee", 0.75),
+    ("café menu", "cafe menu", 0.8982407407407408),
+    ("🚀ab", "ab", 0.0))
 
   test("kernel matches the reference vectors bitwise") {
     vectors.foreach { case (a, b, want) =>

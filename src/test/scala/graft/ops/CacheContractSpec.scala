@@ -92,6 +92,34 @@ class CacheContractSpec extends SparkSpec {
     assert(released === 0)
   }
 
+  test("fingerprintOverlapPairs twins leak exactly one handle each (review r9)") {
+    val many = (1 to 6).map(i => (i.toLong,
+      s"shared boilerplate header block number ${i % 2} with trailing text $i"))
+      .toDF("doc_id", "text")
+    val (heldA, releasedA) = deltaAround(TextAnalysis.fingerprintOverlapPairs(many))
+    assert(heldA === 1 && releasedA === 0) // fps + capped released
+    val (heldB, releasedB) = deltaAround(Replay.fingerprintOverlapPairs(many))
+    assert(heldB === 1 && releasedB === 0)
+  }
+
+  test("tfidfTopTerms leaks exactly one handle; unpersist clears all (review r9)") {
+    val (held, released) = deltaAround(TextAnalysis.tfidfTopTerms(docs, m = 2))
+    assert(held === 1 && released === 0) // tf released
+  }
+
+  test("dedupCorpus distributed path folds the labels cache into one handle (review r9)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // driver path: fully lazy, nothing persisted
+    val (heldDrv, releasedDrv) = deltaAround(Dedup.dedupCorpus(corpus, pairs))
+    assert(heldDrv === 0 && releasedDrv === 0)
+    // distributed path (edge budget zero): the labels handle must fold into
+    // the returned frame instead of dangling unreachable
+    val (held, released) = deltaAround(
+      Dedup.dedupCorpus(corpus, pairs, driverEdgeLimit = 0L))
+    assert(held === 1 && released === 0)
+  }
+
   test("connectedComponents driver path leaves no cached RDDs at all") {
     spark.catalog.clearCache()
     val base = cachedRddCount

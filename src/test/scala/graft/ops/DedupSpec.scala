@@ -64,6 +64,24 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L)) // one per cluster + untouched singleton
   }
 
+  test("connected components keep STRING ids intact on both paths") {
+    // review r9: an unconditional long cast nulled non-numeric ids — NPE on
+    // the driver path, every doc joining component null on the distributed
+    // one (dedupCorpus then dropped every clustered doc)
+    val pairs = Seq(("web-2", "web-1"), ("web-3", "web-2"), ("web-9", "web-8"))
+      .toDF("doc_a", "doc_b")
+    val corpus = (1 to 9).map(i => s"web-$i").toDF("doc_id")
+    // driver union-find path: lexicographic min is the component label
+    val kept = Dedup.dedupCorpus(corpus, pairs).collect().map(_.getString(0)).toSet
+    assert(kept === Set("web-1", "web-4", "web-5", "web-6", "web-7", "web-8"))
+    // distributed path (edge budget forced to zero) agrees exactly
+    val comps = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+    val m = comps.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    comps.unpersist()
+    assert(m === Map("web-1" -> "web-1", "web-2" -> "web-1", "web-3" -> "web-1",
+      "web-8" -> "web-8", "web-9" -> "web-8"))
+  }
+
   test("union-find labels re-enter as an RDD scan, never a plan-embedded LocalRelation") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
     val comps = Dedup.connectedComponents(pairs)
