@@ -1486,9 +1486,11 @@ object QueryCatalog {
       Some("""WITH c AS (
         |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
         |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |      ORDER BY o_orderdate, o_orderkey) AS prev,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders),
-        |v AS (SELECT * FROM c WHERE prev IS NULL OR prev <> o_orderpriority)
+        |v AS (SELECT * FROM c WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority)
         |SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
         |  lead(o_orderdate) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey) AS valid_to
@@ -1646,7 +1648,7 @@ object QueryCatalog {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT) AS start_offset
         |  FROM documents)
         |SELECT source, doc_id, size, start_offset,
-        |  CAST(FLOOR(start_offset / 8192) AS BIGINT) AS bin_id
+        |  start_offset // 8192 AS bin_id
         |FROM w""".stripMargin)),
 
     // Statistical aggregates: corr/covar/stddev/var match DuckDB's sample
@@ -1803,7 +1805,7 @@ object QueryCatalog {
         |), spine AS (
         |  SELECT DISTINCT o_custkey, CAST(unnest(generate_series(
         |    DATE '1995-01-01', DATE '1995-12-01', INTERVAL 1 MONTH)) AS DATE) AS month
-        |  FROM f
+        |  FROM orders
         |)
         |SELECT spine.o_custkey, spine.month,
         |  COALESCE(n_rows, 0) AS n_rows, COALESCE(total, 0e0) AS total

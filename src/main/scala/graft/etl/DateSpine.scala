@@ -20,7 +20,13 @@ object DateSpine {
   /** Monthly activity per key over [startMonth, endMonth] (inclusive,
     * 'yyyy-MM-dd' first-of-month strings), zero-filled: (key, month, n_rows,
     * total) where total = moneySum(valueCol) or 0.0 for gap months.
-    * Facts outside the range are ignored.
+    * Facts outside the range are ignored for the AGGREGATE, but the spine
+    * carries every key seen anywhere in `facts` — a key whose activity all
+    * falls outside the range still gets its all-zero months (review r9: a
+    * spine derived from in-range facts only silently dropped such keys,
+    * truncating exactly the trend series the zero-fill exists for). Callers
+    * with a key dimension table can union its keys into `facts` to spine
+    * never-active keys too.
     */
   def monthlyFill(facts: DataFrame, keyCol: String, tsCol: String, valueCol: String,
       startMonth: String, endMonth: String): DataFrame = {
@@ -32,7 +38,7 @@ object DateSpine {
       .groupBy(col(keyCol), col("month"))
       .agg(count(lit(1)).as("n_rows"),
         graft.functions.Cols.moneySum(col(valueCol)).as("total"))
-    val spine = inRange.select(col(keyCol)).distinct()
+    val spine = facts.select(col(keyCol)).distinct()
       .select(col(keyCol), explode(expr(
         s"sequence(DATE'$startMonth', DATE'$endMonth', interval 1 month)")).as("month"))
     spine.join(monthly, Seq(keyCol, "month"), "left_outer")

@@ -22,9 +22,15 @@ object Scd2 {
   def versions(changes: DataFrame, key: String, attr: String, ts: String,
       tieBreak: String): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    // null-SAFE change compare, with row_number disambiguating "no previous
+    // row" from "previous attr was null" (review r9: the null-unsafe =!=
+    // dropped changes TO null — the attribute clearing never versioned —
+    // and a restated null minted a duplicate version via lag's ambiguity)
     val collapsed = changes
       .withColumn("__prev", lag(col(attr), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(attr))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attr)))
+      .drop("__rn")
     collapsed
       .select(col(key), col(attr), col(ts).as("valid_from"), col(tieBreak))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(

@@ -111,6 +111,16 @@ object FileLifecycle {
     val destRoot = new HPath(destDir)
     val destFs = fsFor(destRoot, conf)
     destFs.mkdirs(destRoot)
+    // destinations flatten to basenames while list() walks recursively, so
+    // two same-named inputs from different subdirs would archive-REPLACE
+    // each other inside one batch — silent data loss (review r9). Loud
+    // contract instead: one batch, distinct basenames.
+    val dup = files.map(f => new HPath(f).getName)
+      .groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    if (dup.nonEmpty)
+      throw new java.io.IOException(
+        s"moveTo: duplicate basenames would overwrite each other under " +
+          s"$destDir: ${dup.mkString(", ")}")
     files.map { f =>
       val src = new HPath(f)
       val srcFs = fsFor(src, conf)
@@ -122,15 +132,20 @@ object FileLifecycle {
       // dropped only after the move succeeds — a crash at any point leaves
       // either the old or the new file recoverable under destDir, at worst
       // plus an `.graft-replacing` leftover cleaned by the next replace of
-      // the same name.
+      // the same name. Hadoop rename signals failure by RETURNING FALSE:
+      // an unchecked aside rename would fall through to an overwriting
+      // copy and destroy the very file the dance protects (review r9).
       val aside = new HPath(destRoot, src.getName + ".graft-replacing")
       if (destFs.exists(aside)) destFs.delete(aside, false) // stale leftover
       val hadOld = destFs.exists(dest)
-      if (hadOld) destFs.rename(dest, aside)
+      if (hadOld && !destFs.rename(dest, aside))
+        throw new java.io.IOException(
+          s"moveTo: could not set aside existing $dest (rename returned false)")
       val renamed = srcFs.getUri == destFs.getUri && srcFs.rename(src, dest)
-      if (!renamed)
-        FileUtil.copy(srcFs, src, destFs, dest,
-          /* deleteSource = */ true, /* overwrite = */ true, conf)
+      if (!renamed &&
+          !FileUtil.copy(srcFs, src, destFs, dest,
+            /* deleteSource = */ true, /* overwrite = */ true, conf))
+        throw new java.io.IOException(s"moveTo: copy $src -> $dest failed")
       if (hadOld) destFs.delete(aside, false)
       render(dest, destDir)
     }

@@ -84,6 +84,10 @@ object Graph {
       }
     val n = adj.count() // one action: fills adj (and the edge cache, if any)
     edgeCache.foreach(_.unpersist())
+    if (n == 0) { // would otherwise die as a bare `/ by zero` two lines down
+      adj.unpersist()
+      throw new IllegalArgumentException("pageRank: empty edge list — no nodes to rank")
+    }
     val base: Long = scale / n
     val teleport: Long = (15L * base) / 100L
     def step(ranks: DataFrame, bcast: Boolean) = {
@@ -157,13 +161,29 @@ object Graph {
     // full pass over deg before), so they become driver constants here.
     val lim = deg.agg(min(col("node")).as("mn"), max(col("node")).as("mx"),
       max(col("deg")).as("md"), count(lit(1)).as("nn"),
-      sum(expr("(deg * (deg - 1)) div 2")).as("nw")).head()
-    require(lim.isNullAt(0) ||
+      sum(expr("(deg * (deg - 1)) div 2")).as("nw"),
+      count(col("node")).as("nonNull")).head()
+    // ids that CAST to null (strings, null ids) evade a min/max-only guard
+    // — nulls are skipped by min/max but still aggregate as one phantom
+    // node, silently corrupting every count (review r9). count(node) vs
+    // count(*) detects them for free on the same 1-row job. Guard failures
+    // release the two persisted frames before throwing (no leaked handles
+    // on the error path).
+    val nullIds = lim.getLong(3) != lim.getLong(5)
+    val packed = lim.isNullAt(0) ||
       (lim.getLong(0) >= 0L && lim.getLong(1) < 4294967296L &&
-        lim.getLong(2) < Int.MaxValue.toLong),
-      s"triangleStats packs (degree,id) into one long: node ids must be in " +
-        s"[0, 2^32) and degrees < 2^31; got id range [${lim.get(0)}, " +
-        s"${lim.get(1)}], max degree ${lim.get(2)}")
+        lim.getLong(2) < Int.MaxValue.toLong)
+    if (nullIds || !packed) {
+      e.unpersist(); deg.unpersist()
+      throw new IllegalArgumentException(
+        if (nullIds)
+          "triangleStats: some node ids are null after cast to long (null " +
+            "or non-numeric ids) — supply integral ids in [0, 2^32)"
+        else
+          s"triangleStats packs (degree,id) into one long: node ids must " +
+            s"be in [0, 2^32) and degrees < 2^31; got id range " +
+            s"[${lim.get(0)}, ${lim.get(1)}], max degree ${lim.get(2)}")
+    }
     val nNodes = lim.getLong(3)
     // deg is |nodes| rows — broadcast it (gated like kCore's alive set) so
     // the two degree joins never shuffle the edge list; the SAME un-projected
@@ -301,7 +321,12 @@ object Graph {
       .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
       .filter(col("common") >= minCommon)
-      .join(e.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"), "left_anti")
+      // adjacency check normalized to the pair orientation (u < v): an edge
+      // stored (5, 3) must still exclude pair (3, 5) — anti-joining the raw
+      // directed list leaked adjacent pairs into the "non-adjacent"
+      // predictions when inputs weren't pre-normalized (review r9)
+      .join(e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")), Seq("u", "v"), "left_anti")
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
       .withColumn("jaccard", col("common").cast("double")

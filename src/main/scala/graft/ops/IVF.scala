@@ -47,6 +47,8 @@ object IVF {
     var centroids: Seq[Seq[Float]] = embs
       .orderBy(col(idCol)).limit(c)
       .select(vecCol).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    require(centroids.nonEmpty,
+      s"IVF.train: empty embedding input (c=$c) — nothing to cluster")
     val dim = centroids.head.size
     (0 until iters).foreach { _ =>
       val means = embs

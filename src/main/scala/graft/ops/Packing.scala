@@ -34,6 +34,9 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col(groupCol), col(idCol), col(sizeCol).cast("long").as("size"))
       .withColumn("start_offset", sum(col("size")).over(w) - col("size"))
-      .withColumn("bin_id", floor(col("start_offset") / lit(capacity)).cast("long"))
+      // integer div, not floor(long / long): Spark's `/` on longs goes
+      // through DOUBLE, which loses ulps past 2^53 — a group whose stream
+      // passes ~9e15 tokens would misplace boundary docs (review r9)
+      .withColumn("bin_id", expr(s"start_offset div CAST($capacity AS BIGINT)"))
   }
 }

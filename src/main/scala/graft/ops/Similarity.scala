@@ -108,10 +108,16 @@ object Similarity {
       .limit(k)
   }
 
-  /** Driver-side twin of [[bucketFor]] for hashing the query vector. */
+  /** Driver-side twin of [[bucketFor]] for hashing the query vector.
+    * Each product rounds to FLOAT before the double accumulation — exactly
+    * what the column form's zip_with(x, y => x * y) does (review r9: a
+    * double-exact product here could flip the sign bit of a near-zero
+    * Gaussian projection vs the executors, probing a bucket the data row
+    * was never assigned to).
+    */
   def bucketOfVector(vec: Seq[Float], planes: Seq[Seq[Float]]): Long =
     planes.foldLeft(0L) { (acc, plane) =>
-      val dot = vec.zip(plane).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val dot = vec.zip(plane).map { case (x, y) => (x * y).toDouble }.sum
       acc * 2 + (if (dot >= 0) 1L else 0L)
     }
 

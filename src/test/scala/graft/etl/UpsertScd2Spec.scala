@@ -40,6 +40,31 @@ class UpsertScd2Spec extends SparkSpec {
       (2L, "bronze", 150L, -1L)))
   }
 
+  test("scd2: changes to null version, restated nulls collapse (null-safe compare)") {
+    // review r9: the null-unsafe =!= dropped the attribute CLEARING (change
+    // to null never versioned) and minted a duplicate version for a
+    // restated null (lag's "no previous" and "previous was null" collide)
+    val changes = Seq(
+      (1L, Some("gold"), 100L, 1L),
+      (1L, None, 200L, 2L),          // cleared -> must be a new version
+      (1L, None, 300L, 3L),          // restated null -> collapsed
+      (1L, Some("silver"), 400L, 4L),
+      (2L, None, 50L, 5L),           // first version IS null -> kept
+      (2L, None, 60L, 6L)            // restated -> collapsed
+    ).toDF("k", "tier", "ts", "seq")
+    val got = Scd2.versions(changes, "k", "tier", "ts", "seq")
+      .orderBy("k", "valid_from")
+      .select("k", "tier", "valid_from", "valid_to")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "<null>" else r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, "gold", 100L, 200L),
+      (1L, "<null>", 200L, 400L),
+      (1L, "silver", 400L, -1L),
+      (2L, "<null>", 50L, -1L)))
+  }
+
   test("funnel: depth counts stages only in first-occurrence order") {
     val events = Seq(
       // user 1: full ordered funnel

@@ -42,6 +42,25 @@ class FileLifecycleSpec extends SparkSpec {
     FileLifecycle.deleteDir(dir)
   }
 
+  test("moveTo rejects duplicate basenames instead of silently replacing") {
+    // review r9: list() walks recursively, so a/data.csv and b/data.csv can
+    // enter one batch — flattening both onto archive/data.csv would have
+    // the second move archive-replace (destroy) the first
+    val src = tmpDir("lc_dup")
+    val dst = tmpDir("lc_dup_out")
+    Files.createDirectories(Paths.get(src, "a"))
+    Files.createDirectories(Paths.get(src, "b"))
+    Files.writeString(Paths.get(src, "a", "data.csv"), "a\n1\n")
+    Files.writeString(Paths.get(src, "b", "data.csv"), "a\n2\n")
+    val e = intercept[java.io.IOException](
+      FileLifecycle.moveTo(Seq(s"$src/a/data.csv", s"$src/b/data.csv"), dst))
+    assert(e.getMessage.contains("duplicate basenames"))
+    // neither file moved — the batch failed atomically before any rename
+    assert(Files.exists(Paths.get(src, "a", "data.csv")))
+    assert(Files.exists(Paths.get(src, "b", "data.csv")))
+    FileLifecycle.deleteDir(src); FileLifecycle.deleteDir(dst)
+  }
+
   test("bare inputs yield bare outputs; file:// inputs stay qualified") {
     val src = tmpDir("lc_kind")
     val dst = tmpDir("lc_kind_out")

@@ -32,6 +32,41 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_wedges") === 4) // each vertex degree 2 -> 4x1
   }
 
+  test("triangleStats rejects ids that cast to null instead of corrupting counts") {
+    // review r9: null ids evaded the min/max packing guard (min/max skip
+    // nulls) and aggregated as a phantom node. Malformed STRINGS throw at
+    // the cast itself under ANSI (the Spark 4 default) — the silent path
+    // this guard closes is literal nulls, which cast quietly in any mode.
+    val edges = Seq((Some(1L), Some(2L)), (Some(2L), None), (Some(3L), Some(1L)))
+      .toDF("src", "dst")
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val e = intercept[IllegalArgumentException](Graph.triangleStats(edges).head())
+    assert(e.getMessage.contains("null after cast"))
+    assert(spark.sparkContext.getPersistentRDDs.size === base) // no leak
+  }
+
+  test("commonNeighborScores excludes adjacency in EITHER stored direction") {
+    // wedge 1-2-3 plus the closing edge stored BACKWARDS (3,1): pair (1,3)
+    // is adjacent and must not be predicted (review r9: the raw-direction
+    // anti-join leaked it); pair (4,6) via wedges 4-5-6 stays predicted
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = Graph.commonNeighborScores(edges, minCommon = 1, topK = 10)
+    val pairs = got.select("u", "v").as[(Long, Long)].collect().toSet
+    got.unpersist()
+    assert(!pairs.contains((1L, 3L)), s"adjacent pair predicted: $pairs")
+    assert(pairs.contains((4L, 6L)))
+  }
+
+  test("pageRank on an empty edge list fails loudly, leaking no cache") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val e = intercept[IllegalArgumentException](
+      Graph.pageRank(edges, "src", "dst", iterations = 3))
+    assert(e.getMessage.contains("empty edge list"))
+    assert(spark.sparkContext.getPersistentRDDs.size === base)
+  }
+
   test("dailyOccupancy: two overlapping 3-day intervals") {
     val df = Seq("2024-01-01", "2024-01-02").toDF("start")
       .select(to_date(col("start")).as("start"))
