@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.CosineSimilarity
 
-/** SparkSessionExtensions entry point: registers graft's native Catalyst
-  * functions for SQL callers.
+/** THE SparkSessionExtensions entry point: registers everything graft
+  * extends Spark with — SQL functions (cosine_sim), the optimizer rule
+  * (JaroWinklerLengthPruning), and the planner strategy (TopKPerGroup).
   *
   * Use either at session build time:
   * {{{
@@ -18,11 +19,18 @@ import graft.functions.CosineSimilarity
   *
   * After registration, `SELECT cosine_sim(embedding, other) FROM t` runs the
   * codegen'd [[CosineSimilarity]] kernel — same plan as the Column API.
+  *
+  * One class registers ALL of it on purpose (review r9): two half
+  * registrations under the same simple name meant following either file's
+  * doc silently lost the other half. `graft.plans.GraftExtensions` remains
+  * as a delegating alias for configs that name it.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
+    ext.injectOptimizerRule(_ => graft.plans.JaroWinklerLengthPruning)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 

@@ -122,12 +122,31 @@ class JdbcStaging(spark: SparkSession, url: String, table: String,
   // same concurrent-writer disambiguator as the parquet ledger
   private val writerId = java.util.UUID.randomUUID().toString
 
+  // Missing-table detection across dialects (review r9): Derby says
+  // "does not exist", MySQL — the reference's actual database — says
+  // "Table 'x.y' doesn't exist" (SQLSTATE 42S02), Postgres 42P01. Walk the
+  // cause chain: Spark wraps the driver's SQLException.
+  private def missingTable(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      t match {
+        case s: java.sql.SQLException
+            if s.getSQLState == "42S02" || s.getSQLState == "42P01" => return true
+        case _ =>
+      }
+      val m = Option(t.getMessage).getOrElse("")
+      if (m.contains("does not exist") || m.contains("doesn't exist")) return true
+      t = t.getCause
+    }
+    false
+  }
+
   private def ledger: DataFrame = {
     val df =
       try graft.io.Sources.jdbc(spark, url, table, props)
       catch {
         // first run: the table doesn't exist yet → empty ledger
-        case e: Exception if Option(e.getMessage).exists(_.contains("does not exist")) =>
+        case e: Exception if missingTable(e) =>
           spark.createDataFrame(Seq.empty[StagingRow])
       }
     // a JDBC ledger reads with the TABLE's schema (unlike the parquet path's
@@ -162,8 +181,7 @@ class JdbcStaging(spark: SparkSession, url: String, table: String,
         // schema); any other probe failure is transient — rethrow without
         // latching schemaEnsured, so the next append re-probes instead of
         // dying mid-append against an unmigrated table forever after.
-        case e: Exception if Option(e.getMessage).exists(_.contains("does not exist")) =>
-          false
+        case e: Exception if missingTable(e) => false
       }
     if (needsAlter) {
       val conn = java.sql.DriverManager.getConnection(url, props)

@@ -27,6 +27,15 @@ object Decontamination {
     */
   def wordGrams(docs: DataFrame, n: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    wordGramsRaw(docs, n, textCol, idCol).distinct()
+
+  /** [[wordGrams]] WITHOUT the per-doc dedup — map-only, nothing shuffles.
+    * The join path below needs this form: a distinct here would hash-
+    * exchange every training gram BEFORE the broadcast join (review r9),
+    * which is exactly the shuffle the module's scale contract forbids.
+    */
+  private def wordGramsRaw(docs: DataFrame, n: Int,
+      textCol: String, idCol: String): DataFrame =
     docs
       .withColumn("norm", Shingles.normalize(col(textCol)))
       .withColumn("toks", Shingles.tokensOfNorm(col("norm")))
@@ -35,19 +44,22 @@ object Decontamination {
         explode(sequence(lit(1), size(col("toks")) - lit(n - 1))).as("pos"))
       .select(col("doc_id"),
         concat_ws(" ", slice(col("toks"), col("pos"), lit(n))).as("gram"))
-      .distinct()
 
   /** Training docs sharing ≥ `minShared` distinct n-grams with the benchmark
     * corpus: (doc_id, shared_grams). `benchmark`'s gram set is broadcast.
+    * Train-side grams stream RAW (repeats included) into the broadcast join
+    * and dedup AFTER it via count_distinct — only matched rows (rare by
+    * construction) ever aggregate, so the training corpus truly never
+    * shuffles; identical counts to dedup-before-join.
     */
   def contaminated(train: DataFrame, benchmark: DataFrame, n: Int = 8,
       minShared: Int = 1, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val benchGrams = wordGrams(benchmark, n, textCol, idCol)
       .select(col("gram")).distinct()
-    wordGrams(train, n, textCol, idCol)
+    wordGramsRaw(train, n, textCol, idCol)
       .join(broadcast(benchGrams), "gram")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("shared_grams"))
+      .agg(count_distinct(col("gram")).as("shared_grams"))
       .filter(col("shared_grams") >= minShared)
   }
 }

@@ -27,13 +27,20 @@ object Multimodal {
     * bytes of the text, metadata derived from doc stats. Stands in for a
     * real (path, bytes, metadata) ingest of image/audio files.
     */
-  def asMediaTable(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+  def asMediaTable(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // null text → empty payload, not a null media row: MediaRow's Int
+    // width/height are non-nullable in the encoder and decodeStub
+    // dereferences media — one null document would kill the whole job
+    // (review r9); an empty payload flows through every stage as a
+    // well-defined zero-feature row instead
+    val t = coalesce(col(textCol), lit(""))
     docs.select(
       col(idCol).cast("long").as("doc_id"),
-      col(textCol).cast("binary").as("media"),
+      t.cast("binary").as("media"),
       lit("fake/utf8").as("format"),
-      (length(col(textCol)) % 640).cast("int").as("width"),
-      (length(col(textCol)) % 480).cast("int").as("height"))
+      (length(t) % 640).cast("int").as("width"),
+      (length(t) % 480).cast("int").as("height"))
+  }
 
   /** STUB for the real decoder: a production build would call an image/audio
     * codec here (e.g. JNI into libjpeg/ffmpeg). The fake is deterministic —

@@ -53,17 +53,24 @@ object JaroWinklerLengthPruning extends Rule[LogicalPlan] {
   private def bound(a: Expression, b: Expression, t: Double): Expression = {
     val la = Cast(Length(a), DoubleType)
     val lb = Cast(Length(b), DoubleType)
-    GreaterThan(Least(Seq(la, lb)),
-      Multiply(Literal(5.0 * t - 4.0, DoubleType), Greatest(Seq(la, lb))))
+    // max = 0 (both strings empty) must pass: jw("","") is 1.0 by the
+    // identical-string short-circuit, but 0 > (5t-4)*0 is false — without
+    // the disjunct the rewrite silently dropped empty-vs-empty rows the
+    // original predicate keeps (review r9). For max > 0 the implication is
+    // strict: jw > t ⟹ min/max > 5t-4.
+    Or(EqualTo(Greatest(Seq(la, lb)), Literal(0.0, DoubleType)),
+      GreaterThan(Least(Seq(la, lb)),
+        Multiply(Literal(5.0 * t - 4.0, DoubleType), Greatest(Seq(la, lb)))))
   }
 }
 
-/** `spark.sql.extensions` entry point registering the graft optimizer
-  * rules at session build time.
+/** Delegating alias kept for configs naming `graft.plans.GraftExtensions`
+  * — [[graft.GraftExtensions]] is the one real entry point registering
+  * ALL graft extensions (functions + rule + strategy); two half
+  * registrations under one simple name silently lost whichever half the
+  * user didn't configure (review r9).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(_ => JaroWinklerLengthPruning)
-    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    new graft.GraftExtensions().apply(ext)
 }

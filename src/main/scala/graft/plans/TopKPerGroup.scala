@@ -188,9 +188,21 @@ object TopKPerGroup {
     val spark = df.sparkSession
     register(spark)
     val analyzed = df.queryExecution.analyzed
-    def attr(name: String): Attribute = analyzed.output.find(_.name == name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    // resolve like Spark does — honoring spark.sql.caseSensitive (default
+    // case-INSENSITIVE) — and fail loudly on ambiguity instead of silently
+    // picking the first of two same-named attributes after a join
+    // (review r9: a case-sensitive find() rejected `id` vs `Id` that
+    // df.select resolves, and chose arbitrarily among duplicates)
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(name: String): Attribute = {
+      val matches = analyzed.output.filter(a => resolver(a.name, name))
+      if (matches.isEmpty) throw new IllegalArgumentException(
+        s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}")
+      if (matches.size > 1) throw new IllegalArgumentException(
+        s"column $name is ambiguous: ${matches.size} attributes match " +
+          s"(qualify or rename before TopKPerGroup)")
+      matches.head
+    }
     val order = orderBy.map { case (name, desc) =>
       SortOrder(attr(name), if (desc) Descending else Ascending)
     }

@@ -58,16 +58,18 @@ private[sources] class CountingTable(schema0: StructType, run: String)
     // remove here would destroy it at write-PLANNING time and break the
     // sink's "aborted writes leave no trace" contract (review r8).
     new WriteBuilder with SupportsTruncate {
-      override def truncate(): WriteBuilder = this
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new CountingBatchWrite(run)
+        override def toBatch: BatchWrite = new CountingBatchWrite(run, overwrite)
       }
     }
 }
 
 private[sources] case class CountMessage(rows: Long) extends WriterCommitMessage
 
-private[sources] class CountingBatchWrite(run: String) extends BatchWrite {
+private[sources] class CountingBatchWrite(run: String, overwrite: Boolean)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new DataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -82,7 +84,13 @@ private[sources] class CountingBatchWrite(run: String) extends BatchWrite {
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val total = messages.map(_.asInstanceOf[CountMessage].rows).sum
-    CountingSink.committed.put(run, (total, messages.length))
+    // append ACCUMULATES into the prior tally; only a truncate()d write
+    // (mode overwrite) replaces it — an unconditional put made append
+    // silently behave like overwrite, losing the first write's tally
+    // (review r9). merge() keeps the replace-or-add atomic per tag.
+    if (overwrite) CountingSink.committed.put(run, (total, messages.length))
+    else CountingSink.committed.merge(run, (total, messages.length),
+      (a, b) => (a._1 + b._1, a._2 + b._2))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -158,16 +158,32 @@ private[sources] case class GenOffset(v: Long)
   */
 private[sources] class GeneratedMicroBatchStream(lo: Long, hi: Long, rows: Long,
     parts: Int, batchRows: Long, required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
 
-  private var emitted = lo
-
+  // Admission control, not an in-memory cursor (review r9): the engine
+  // hands the last planned offset into latestOffset(start, limit), so rate
+  // limiting is a PURE FUNCTION of checkpointed state — a restarted stream
+  // instance cannot regress behind the committed offset and re-emit rows
+  // (the stateful cursor variant did exactly that). SupportsTrigger-
+  // AvailableNow also lets AvailableNow drain the bounded range in
+  // batchRows steps instead of falling back to one giant batch.
   override def initialOffset(): Offset = GenOffset(lo)
-  override def latestOffset(): Offset = {
-    emitted = math.min(hi, emitted + batchRows)
-    GenOffset(emitted)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GenOffset].v
+    val step = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _ => batchRows
+    }
+    GenOffset(math.min(hi, s + step))
   }
+  override def reportLatestOffset(): Offset = GenOffset(hi)
+  override def prepareForTriggerAvailableNow(): Unit = () // bounded: hi is final
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is the entry point")
   override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

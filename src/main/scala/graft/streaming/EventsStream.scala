@@ -274,11 +274,24 @@ object EventsStream {
     * the one a copy-paster must not ship). The exactly-once file-sink
     * manifest (_spark_metadata) makes the re-read consistent.
     */
+  // File.deleteOnExit only removes EMPTY directories, so a sink dir filled
+  // with parquet + checkpoint leaked permanently (review r9): register for
+  // a recursive delete at JVM exit instead. The result frame reads the dir
+  // lazily, so cleanup must not happen before shutdown.
+  private lazy val tempDirsForCleanup = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      q.forEach(d => try org.apache.hadoop.fs.FileUtil.fullyDelete(d)
+      catch { case _: Throwable => () })
+    }, "graft-stream-tempdir-cleanup"))
+    q
+  }
+
   private def detachAppendResult(result: DataFrame, tag: String): DataFrame = {
     val spark = result.sparkSession
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft_${tag}_").toFile
-    dir.deleteOnExit()
+    tempDirsForCleanup.add(dir)
     val out = new java.io.File(dir, "out").getAbsolutePath
     val q = result.writeStream
       .outputMode("append")

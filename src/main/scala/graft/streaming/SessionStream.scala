@@ -22,31 +22,46 @@ object SessionStream {
   case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
       n_events: Long, total_value: Double)
 
-  /** Fold a user's new events (sorted by ts) into the open session, emitting
-    * every session closed by a gap. Events arriving within one batch are
-    * sorted here; cross-batch ordering relies on the upstream watermark.
+  /** Fold a user's new events into the open session as a SORTED INTERVAL
+    * MERGE, emitting every session closed by a gap: the batch's events
+    * (unit intervals) and the open session are ordered by start and merged
+    * where the gap between consecutive intervals is within `gapMicros`.
+    *
+    * The interval form matters for late data (review r9): the previous
+    * event-at-a-time fold compared only against the open session's END, so
+    * `e.ts - end <= gap` was vacuously true for ANY event in the past — a
+    * late event a week before the session merged into it instead of
+    * opening its own earlier session. Here a late event more than a gap
+    * before the open session's start forms (and closes) its own session,
+    * matching the batch twin whenever the late events arrive within one
+    * lifetime of the open state. Residual limit of one-open-session state:
+    * an already-EMITTED session can never retroactively absorb later
+    * arrivals — the upstream watermark bounds how late those can be.
     */
   def updateUser(gapMicros: Long)(
       userId: Long, events: Iterator[Event],
       state: GroupState[OpenSession]): Iterator[SessionOut] = {
-    val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
-    var open = state.getOption
+    val evIvs = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      .map(e => OpenSession(e.ts_us, e.ts_us, 1L, e.value))
+    val all = state.getOption match {
+      case Some(s) =>
+        val (before, after) = evIvs.partition(_.start_us < s.start_us)
+        before ++ (s +: after)
+      case None => evIvs
+    }
+    if (all.isEmpty) return Iterator.empty
     val closed = Seq.newBuilder[SessionOut]
-    sorted.foreach { e =>
-      open match {
-        case Some(s) if e.ts_us - s.end_us <= gapMicros =>
-          // max() so a late (out-of-order) cross-batch event can extend the
-          // session's stats without moving its end backwards
-          open = Some(OpenSession(math.min(s.start_us, e.ts_us),
-            math.max(s.end_us, e.ts_us), s.n + 1, s.total + e.value))
-        case Some(s) =>
-          closed += SessionOut(userId, s.start_us, s.end_us, s.n, s.total)
-          open = Some(OpenSession(e.ts_us, e.ts_us, 1L, e.value))
-        case None =>
-          open = Some(OpenSession(e.ts_us, e.ts_us, 1L, e.value))
+    var cur = all.head
+    all.tail.foreach { iv =>
+      if (iv.start_us - cur.end_us <= gapMicros)
+        cur = OpenSession(math.min(cur.start_us, iv.start_us),
+          math.max(cur.end_us, iv.end_us), cur.n + iv.n, cur.total + iv.total)
+      else {
+        closed += SessionOut(userId, cur.start_us, cur.end_us, cur.n, cur.total)
+        cur = iv
       }
     }
-    open.foreach(state.update)
+    state.update(cur)
     closed.result().iterator
   }
 

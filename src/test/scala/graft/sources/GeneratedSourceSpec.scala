@@ -82,6 +82,44 @@ class GeneratedSourceSpec extends SparkSpec {
     assert(CountingSink.committed.get(tag)._1 === 3000L)
   }
 
+  test("append mode accumulates into the prior tally (review r9)") {
+    val tag = "acc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    read(rows = 1000L, parts = 2)
+      .write.format("graft-count").option("run", tag).mode("append").save()
+    read(rows = 500L, parts = 2)
+      .write.format("graft-count").option("run", tag).mode("append").save()
+    // an unconditional put() made the second append behave like overwrite
+    val (rows, tasks) = CountingSink.committed.get(tag)
+    assert(rows === 1500L)
+    assert(tasks === 4)
+  }
+
+  test("checkpoint restart never regresses offsets or re-emits rows (review r9)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_gen_restart").toFile
+    val out = new java.io.File(base, "out").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-gen")
+        .option("rows", "6000").option("parts", "4").option("batchRows", "1500")
+        .load()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() === 6000L)
+    // a fresh stream instance starts its in-memory cursor at lo: without
+    // the deserialize/commit ratchet, this restart reported latest=1500
+    // behind the committed 6000 and re-delivered rows 1500-6000
+    runOnce()
+    val ids = spark.read.parquet(out).select("id")
+    assert(ids.count() === 6000L, "restart re-emitted rows")
+    assert(ids.distinct().count() === 6000L)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(base)
+  }
+
   test("unsupported predicates stay residual and still filter correctly") {
     // bucket isn't pushable: the source keeps the full interval, Spark
     // re-evaluates the predicate above the scan
