@@ -21,11 +21,16 @@ object Metrics {
   def withRowMetrics(df: DataFrame, name: String, keyCol: String,
       violation: Option[org.apache.spark.sql.Column] = None): (DataFrame, Observation) = {
     val obs = new Observation(name)
+    // coalesce: sum() over an EMPTY frame is SQL NULL while count is 0 — a
+    // zero-row batch would hand callers a null metric to trip over
+    // (review r9)
     val base = Seq(
       count(lit(1)).as("n_rows"),
-      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("n_null_keys"))
+      coalesce(sum(when(col(keyCol).isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_null_keys"))
     val metrics = violation
-      .map(v => base :+ sum(when(v, 1L).otherwise(0L)).as("n_violations"))
+      .map(v => base :+
+        coalesce(sum(when(v, 1L).otherwise(0L)), lit(0L)).as("n_violations"))
       .getOrElse(base)
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }

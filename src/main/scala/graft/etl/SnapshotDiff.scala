@@ -18,28 +18,42 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotDiff {
 
-  /** (key columns..., change_type) for rows that were inserted, deleted, or
-    * updated between `before` and `after`. Unchanged rows are dropped.
-    * Schemas must match; `keys` identifies rows.
-    */
   /** [[diff]] with the full after-image: (keys..., attrs..., change_type)
     * where attrs hold the AFTER values for insert/update and null for
     * delete — the row-complete change feed a downstream consumer can apply
     * with [[applyChanges]]. Same single-join shape as [[diff]].
+    *
+    * Columns are referenced via `df(name)` / getField, never `col(name)`
+    * string parsing, so attribute names containing dots work (review r9:
+    * `col("_a.price.usd")` parsed the dots as a nested-field path and
+    * threw "cannot resolve").
     */
   def diffRows(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
     require(before.columns.sameElements(after.columns),
       s"snapshot schemas differ: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
     val attrs = before.columns.filterNot(keys.contains).toSeq
-    val b = before.select(keys.map(col) :+ struct(attrs.map(col): _*).as("_b"): _*)
-    val a = after.select(keys.map(col) :+ struct(attrs.map(col): _*).as("_a"): _*)
+    diffJoined(before, after, keys)
+      .select(keys.map(col) ++
+        attrs.map(c => col("_a").getField(c).as(c)) :+ col("change_type"): _*)
+  }
+
+  /** Shared full-outer join + null-safe struct compare of the two
+    * snapshots, classified into change_type; unchanged rows dropped.
+    */
+  private def diffJoined(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val attrs = before.columns.filterNot(keys.contains).toSeq
+    val b = before.select(keys.map(before(_)) :+
+      struct(attrs.map(c => before(c).as(c)): _*).as("_b"): _*)
+    val a = after.select(keys.map(after(_)) :+
+      struct(attrs.map(c => after(c).as(c)): _*).as("_a"): _*)
     b.join(a, keys, "full_outer")
       .withColumn("change_type",
         when(col("_b").isNull, "insert")
           .when(col("_a").isNull, "delete")
+          // null-safe: a NULL attr on one side is a change, not "unknown"
           .when(!(col("_b") <=> col("_a")), "update"))
       .filter(col("change_type").isNotNull)
-      .select(keys.map(col) ++ attrs.map(c => col(s"_a.$c").as(c)) :+ col("change_type"): _*)
   }
 
   /** Replay a [[diffRows]] change feed onto a snapshot: changed keys are
@@ -54,18 +68,15 @@ object SnapshotDiff {
       changes.filter(col("change_type") =!= "delete").drop("change_type"))
   }
 
+  /** (key columns..., change_type) for rows that were inserted, deleted, or
+    * updated between `before` and `after`. Unchanged rows are dropped.
+    * Schemas must match; `keys` identifies rows. Shares [[diffJoined]] with
+    * [[diffRows]] — the two copies had drifted (review r9).
+    */
   def diff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
     require(before.columns.sameElements(after.columns),
       s"snapshot schemas differ: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
-    val attrs = before.columns.filterNot(keys.contains)
-    val b = before.select(keys.map(col) :+ struct(attrs.map(col): _*).as("_b"): _*)
-    val a = after.select(keys.map(col) :+ struct(attrs.map(col): _*).as("_a"): _*)
-    b.join(a, keys, "full_outer")
-      .withColumn("change_type",
-        when(col("_b").isNull, "insert")
-          .when(col("_a").isNull, "delete")
-          .when(!(col("_b") <=> col("_a")), "update")) // null-safe: a NULL attr on one side is a change, not "unknown"
-      .filter(col("change_type").isNotNull)
+    diffJoined(before, after, keys)
       .select(keys.map(col) :+ col("change_type"): _*)
   }
 }

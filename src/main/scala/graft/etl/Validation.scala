@@ -72,9 +72,16 @@ object Validation {
       .groupMap(_._1)(_._2)
     byShape.toSeq
       .sortBy(_._1.mkString(","))
-      .map { case (_, paths) =>
+      .map { case (cols, paths) =>
+        // ONE pass, not two: inferSchema forces a full extra scan of every
+        // file to guess types that conformTyped immediately casts to the
+        // contract anyway (review r9 — doubled ingest I/O at scale). The
+        // group's exact header IS the grouping key, so read everything as
+        // string in that column order and let the contract casts type it.
+        val schema = org.apache.spark.sql.types.StructType(
+          cols.map(c => org.apache.spark.sql.types.StructField(c, StringType)))
         val raw = spark.read
-          .option("header", "true").option("inferSchema", "true")
+          .option("header", "true").schema(schema)
           .csv(paths: _*)
         conformTyped(raw, mandatory)
       }

@@ -28,12 +28,20 @@ object AsOf {
       seqCol: String, valueCol: String): DataFrame = {
     val vType = right.schema(valueCol).dataType
     val outCols = left.columns.toSeq
+    // the carried marker is a STRUCT wrapping the value, not the bare
+    // value: last(ignoreNulls) must skip LEFT rows only — a right row whose
+    // value is genuinely null is still "the most recent observation" and
+    // merge_asof yields null for it, where a bare-value carry would skip it
+    // and resurface an older, stale value (review r9)
+    val vStruct = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", vType)))
     val leftTagged = left
-      .withColumn("__v", lit(null).cast(vType))
+      .withColumn("__v", lit(null).cast(vStruct))
       .withColumn("__side", lit(1))
       .select((outCols ++ Seq("__v", "__side")).map(col): _*)
     val rightBase = right
-      .select(col(keyCol), col(timeCol), col(seqCol), col(valueCol).as("__v"))
+      .select(col(keyCol), col(timeCol), col(seqCol),
+        struct(col(valueCol).as("v")).as("__v"))
       .withColumn("__side", lit(0))
     val rightTagged = outCols
       .foldLeft(rightBase) { (df, c) =>
@@ -45,7 +53,8 @@ object AsOf {
       .orderBy(col(timeCol), col("__side"), col(seqCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     leftTagged.union(rightTagged)
-      .withColumn(s"asof_$valueCol", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn(s"asof_$valueCol",
+        last(col("__v"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__side") === 1)
       .drop("__side", "__v")
   }

@@ -25,6 +25,9 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
       buckets: Int): DataFrame = {
+    // buckets = 0 would make pmod null and sequence(0, -1) descending —
+    // a silently EMPTY join rather than an error (review r9)
+    require(buckets >= 1, s"buckets=$buckets must be positive")
     // salt from the row's own key + a per-row spreader; xxhash64 of the
     // monotonically increasing id is uniform and cheap (value itself is
     // partition-dependent, but any uniform value works — the join result

@@ -25,7 +25,13 @@ object Skyline {
     */
   def paretoFrontier(df: DataFrame, costCol: Column, gainCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val groups = df.groupBy(costCol.as("__cost"))
+    // rows with a null cost or gain are EXCLUDED (the rank-family null
+    // contract): a null-cost group sorts FIRST in the running-max window,
+    // so its gain would suppress every real group while the null row itself
+    // never survives the null-unsafe join-back — one null row made the
+    // whole frontier come back empty (review r9)
+    val rows = df.filter(costCol.isNotNull && gainCol.isNotNull)
+    val groups = rows.groupBy(costCol.as("__cost"))
       .agg(max(gainCol).as("__gmax"))
     val w = Window.orderBy(col("__cost")).rowsBetween(Window.unboundedPreceding, -1)
     val frontierCosts = groups
@@ -33,7 +39,7 @@ object Skyline {
       // strictly better than every strictly-cheaper group's best
       .filter(col("__prefix").isNull || col("__gmax") > col("__prefix"))
       .select(col("__cost"), col("__gmax"))
-    df.join(broadcast(frontierCosts),
+    rows.join(broadcast(frontierCosts),
         costCol === col("__cost") && gainCol === col("__gmax"))
       .drop("__cost", "__gmax")
   }

@@ -74,8 +74,11 @@ object TopK {
     typed
       .groupByKey(_._1)
       .agg(new TopKAgg(k).toColumn.name("top"))
-      .toDF("__g", "top")
-      .join(keys, "__g")
+      .toDF("__ga", "top")
+      // null-SAFE join-back: a null group key is a group like any other
+      // under the row_number idiom this op mirrors — the null-unsafe
+      // USING join silently dropped it (review r9)
+      .join(keys, col("__ga") <=> col("__g"))
       .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "item")))
       .select(col(groupCol), (col("pos") + 1).cast("long").as("rn"),
         col("item.id").as(idCol), col("item.score").as(scoreCol))

@@ -315,4 +315,18 @@ class AnalyticsOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted
     assert(ids.toSeq === Seq(1L, 2L, 3L, 6L))
   }
+
+  test("paretoFrontier excludes null cost/gain rows instead of emptying the frontier") {
+    // review r9: a null cost sorted FIRST in the running-max window and its
+    // gain suppressed every real group, while the null row itself never
+    // joined back — one null row returned an empty frontier
+    val df = Seq(
+      (1L, Some(1.0), Some(50)),
+      (2L, None, Some(100)),
+      (3L, Some(2.0), None)
+    ).toDF("id", "cost", "gain")
+    val ids = Skyline.paretoFrontier(df, col("cost"), col("gain"))
+      .select("id").as[Long].collect().toSeq
+    assert(ids === Seq(1L))
+  }
 }

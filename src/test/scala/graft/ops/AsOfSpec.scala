@@ -26,4 +26,18 @@ class AsOfSpec extends SparkSpec {
     assert(got(3L).contains(3.0))
     assert(got(4L).isEmpty)
   }
+
+  test("a genuinely-null right value is the observation, not skipped (merge_asof)") {
+    // review r9: a bare ignore-nulls carry skipped the null-valued right
+    // row and resurfaced the older 5.0 — merge_asof semantics say the most
+    // recent observation at t=2 is null
+    val left = Seq((1L, 10L, 3L)).toDF("event_id", "user_id", "ts_us")
+    val right = Seq(
+      (100L, 10L, 1L, Some(5.0)),
+      (101L, 10L, 2L, None)
+    ).toDF("event_id", "user_id", "ts_us", "value")
+    val got = AsOf.join(left, right, "user_id", "ts_us", "event_id", "value")
+      .head()
+    assert(got.isNullAt(got.fieldIndex("asof_value")))
+  }
 }
