@@ -22,28 +22,35 @@ object QueryCatalogR7 {
   private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
   private def docs(s: SparkSession, d: String): DataFrame = T(s, d, "documents")
 
+  /** User co-activity edge list shared by the three graph entries
+    * (triangle_count / kcore_decomposition / link_prediction): users active
+    * in the same MINUTE for the same event type — minute, not hour: hour
+    * buckets make the graph near-complete at sf0.1 (a dense graph has
+    * Θ(n³) triangles no matter the algorithm); minute buckets keep average
+    * degree ~30, the realistic sparse regime the operators target. One
+    * helper so the bucketing can never drift between the three Spark
+    * builders and their three matching oracle CTEs (review r9).
+    */
+  private def coActivityEdges(s: SparkSession, d: String): DataFrame = {
+    val b = QueryCatalog.eventsRaw(s, d)
+      .select(expr("ts_us div 60000000").as("h"), col("event_type"), col("user_id"))
+      .distinct()
+    b.select(col("h"), col("event_type"), col("user_id").as("src"))
+      .join(b.select(col("h"), col("event_type"), col("user_id").as("dst")),
+        Seq("h", "event_type"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct()
+  }
+
   val entries: Seq[CatalogEntry] = Seq(
 
-    // Whole-graph triangle census over the user co-activity graph (users
-    // active in the same MINUTE for the same event type — minute, not hour:
-    // hour buckets make the graph near-complete at sf0.1, and a dense graph
-    // has Θ(n³) triangles no matter the algorithm; minute buckets keep
-    // average degree ~30 at sf0.1, the realistic sparse regime the operator
-    // targets). Spark side runs the degree-ordered-orientation count
-    // (Graph.triangleStats — no hub blowup); the oracle recomputes naively
-    // with a 3-way self-join, exactly the shape the operator avoids.
+    // Whole-graph triangle census over the co-activity graph (see
+    // coActivityEdges for the minute-bucket rationale). Spark side runs the
+    // degree-ordered-orientation count (Graph.triangleStats — no hub
+    // blowup); the oracle recomputes naively with a 3-way self-join,
+    // exactly the shape the operator avoids.
     CatalogEntry("triangle_count",
-      (s, d) => {
-        val b = QueryCatalog.eventsRaw(s, d)
-          .select(expr("ts_us div 60000000").as("h"), col("event_type"), col("user_id"))
-          .distinct()
-        val e = b.select(col("h"), col("event_type"), col("user_id").as("src"))
-          .join(b.select(col("h"), col("event_type"), col("user_id").as("dst")),
-            Seq("h", "event_type"))
-          .filter(col("src") < col("dst"))
-          .select(col("src"), col("dst")).distinct()
-        ops.Graph.triangleStats(e)
-      },
+      (s, d) => ops.Graph.triangleStats(coActivityEdges(s, d)),
       Some("""WITH b AS (
         |  SELECT DISTINCT date_trunc('minute', ts) AS h, event_type, user_id FROM events
         |), e AS (
@@ -197,7 +204,8 @@ object QueryCatalogR7 {
         .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
       Some("""SELECT p_partkey, p_retailprice, p_size
         |FROM part p
-        |WHERE NOT EXISTS (
+        |WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+        |  AND NOT EXISTS (
         |  SELECT 1 FROM part q
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin)),
@@ -295,18 +303,8 @@ object QueryCatalogR7 {
     // same peels as SQL CTEs: sf0.01 converges in 2 rounds (measured), the
     // oracle unrolls 4 — two spare rounds of margin.
     CatalogEntry("kcore_decomposition",
-      (s, d) => {
-        val b = QueryCatalog.eventsRaw(s, d)
-          .select(expr("ts_us div 60000000").as("h"), col("event_type"), col("user_id"))
-          .distinct()
-        val e = b.select(col("h"), col("event_type"), col("user_id").as("src"))
-          .join(b.select(col("h"), col("event_type"), col("user_id").as("dst")),
-            Seq("h", "event_type"))
-          .filter(col("src") < col("dst"))
-          .select(col("src"), col("dst")).distinct()
-        ops.Graph.kCore(e, k = 2)
-          .select(col("node").as("user_id"), col("core_deg"))
-      },
+      (s, d) => ops.Graph.kCore(coActivityEdges(s, d), k = 2)
+        .select(col("node").as("user_id"), col("core_deg")),
       Some("""WITH b AS (
         |  SELECT DISTINCT date_trunc('minute', ts) AS h, event_type, user_id FROM events
         |), e0 AS (
@@ -600,17 +598,8 @@ object QueryCatalogR7 {
     // existing edges, degree-normalized. Counts are exact integers; the
     // Jaccard is one mirrored division.
     CatalogEntry("link_prediction",
-      (s, d) => {
-        val b = QueryCatalog.eventsRaw(s, d)
-          .select(expr("ts_us div 60000000").as("h"), col("event_type"), col("user_id"))
-          .distinct()
-        val e = b.select(col("h"), col("event_type"), col("user_id").as("src"))
-          .join(b.select(col("h"), col("event_type"), col("user_id").as("dst")),
-            Seq("h", "event_type"))
-          .filter(col("src") < col("dst"))
-          .select(col("src"), col("dst")).distinct()
-        ops.Graph.commonNeighborScores(e, minCommon = 2, topK = 20)
-      },
+      (s, d) => ops.Graph.commonNeighborScores(coActivityEdges(s, d),
+        minCommon = 2, topK = 20),
       Some("""WITH b AS (
         |  SELECT DISTINCT date_trunc('minute', ts) AS h, event_type, user_id FROM events
         |), e AS (
@@ -1069,7 +1058,7 @@ object QueryCatalogR7 {
       },
       Some("""WITH f AS (
         |  SELECT event_type, value, event_id FROM events
-        |  WHERE event_type IN ('purchase', 'click')
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
         |), c AS (
         |  SELECT
         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -1349,7 +1338,11 @@ object QueryCatalogR7 {
       (s, d) => {
         val v2 = col("value").cast(DecimalType(18, 2))
         val st = QueryCatalog.eventsRaw(s, d)
-          .filter(col("event_type").isin("purchase", "click"))
+          // value IS NOT NULL mirrors the oracle: count(*) would include a
+          // null-value row the sums skip, deflating mean and variance
+          // (review r9 — the oracle guarded, the pipeline didn't)
+          .filter(col("event_type").isin("purchase", "click")
+            && col("value").isNotNull)
           .withColumn("cls", when(col("event_type") === "purchase", 1).otherwise(2))
           .groupBy(col("cls"))
           .agg(count(lit(1)).as("n"), sum(v2).as("s"), sum(v2 * v2).as("sq"))
