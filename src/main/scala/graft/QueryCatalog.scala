@@ -771,13 +771,16 @@ object QueryCatalog {
 
   /** Raw events with ts as microsecond longs — the exact epoch unit DuckDB's
     * `epoch_us(ts)` yields, so oracle arithmetic stays in integer space.
-    * The NTZ→LTZ cast under the project-wide UTC session timezone is the
-    * identity on the epoch (every main pins UTC).
+    * The NTZ→LTZ cast is the epoch identity only under UTC, so the session
+    * timezone is asserted here rather than trusted to each entry point
+    * (ADVICE r9 — every graft main pins UTC, library callers may not).
     */
-  def eventsRaw(s: SparkSession, dir: String): DataFrame =
+  def eventsRaw(s: SparkSession, dir: String): DataFrame = {
+    Tables.requireUtcSession(s, "eventsRaw")
     T(s, dir, "events")
       .withColumn("ts_us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
       .drop("ts")
+  }
 
   /** Query embedding: the vector of vec_id = 0 (driver-side 1-row lookup). */
   private def queryVec(s: SparkSession, d: String): Seq[Float] =

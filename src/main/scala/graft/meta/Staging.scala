@@ -122,23 +122,42 @@ class JdbcStaging(spark: SparkSession, url: String, table: String,
   // same concurrent-writer disambiguator as the parquet ledger
   private val writerId = java.util.UUID.randomUUID().toString
 
-  // Missing-table detection across dialects (review r9): Derby says
-  // "does not exist", MySQL — the reference's actual database — says
-  // "Table 'x.y' doesn't exist" (SQLSTATE 42S02), Postgres 42P01. Walk the
-  // cause chain: Spark wraps the driver's SQLException.
+  // Missing-table detection across dialects (review r9): MySQL — the
+  // reference's actual database — says "Table 'x.y' doesn't exist"
+  // (SQLSTATE 42S02), Postgres 42P01, Derby "Table/View does not exist"
+  // (42X05). Walk the cause chain: Spark wraps the driver's SQLException.
+  // SQLSTATE decides; the message heuristic is a last resort applied ONLY
+  // to the innermost SQLException — matched against every throwable's
+  // message it also swallowed non-missing-table failures that merely
+  // contain the phrase ("database does not exist", auth errors), turning
+  // them into a silent empty ledger (ADVICE r9). When the heuristic does
+  // decide, log loudly: an empty-ledger pre-flight on a wrong guess would
+  // report nothing active instead of surfacing the real error.
   private def missingTable(e: Throwable): Boolean = {
     var t: Throwable = e
+    var innermostSql: java.sql.SQLException = null
     while (t != null) {
       t match {
-        case s: java.sql.SQLException
-            if s.getSQLState == "42S02" || s.getSQLState == "42P01" => return true
+        case s: java.sql.SQLException =>
+          s.getSQLState match {
+            case "42S02" | "42P01" | "42X05" => return true
+            case _ =>
+          }
+          innermostSql = s
         case _ =>
       }
-      val m = Option(t.getMessage).getOrElse("")
-      if (m.contains("does not exist") || m.contains("doesn't exist")) return true
       t = t.getCause
     }
-    false
+    val byMessage = innermostSql != null && {
+      val m = Option(innermostSql.getMessage).getOrElse("")
+      m.contains("does not exist") || m.contains("doesn't exist")
+    }
+    if (byMessage)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"JdbcStaging: treating table '$table' as missing via the message " +
+          s"heuristic (no missing-table SQLSTATE in the cause chain): " +
+          innermostSql.getMessage)
+    byMessage
   }
 
   private def ledger: DataFrame = {

@@ -247,7 +247,20 @@ object Dedup {
           col("doc_b").cast("long").as("dst"))
       else pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEdges = edges.count()
+    // Null ids ride the SAME one-row aggregate as the edge count (no extra
+    // job): a null id would NPE the string union-find (find(null) →
+    // null.compareTo on the driver) and silently merge as a phantom label
+    // distributed — reject loudly instead, mirroring triangleStats' guard
+    // (ADVICE r9).
+    val counts = edges.agg(count(lit(1)).as("n"),
+      count(col("src")).as("nSrc"), count(col("dst")).as("nDst")).head()
+    val nEdges = counts.getLong(0)
+    if (counts.getLong(1) != nEdges || counts.getLong(2) != nEdges) {
+      edges.unpersist()
+      throw new IllegalArgumentException(
+        s"connectedComponents: ${nEdges - math.min(counts.getLong(1), counts.getLong(2))} " +
+          "edge(s) carry a null doc id — filter or repair ids before clustering")
+    }
     val budget = if (integral) driverEdgeLimit else driverEdgeLimit / 4
     if (nEdges <= budget && (integral || idType == StringType)) {
       val out =

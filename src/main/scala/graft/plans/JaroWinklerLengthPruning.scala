@@ -51,8 +51,14 @@ object JaroWinklerLengthPruning extends Rule[LogicalPlan] {
   }
 
   private def bound(a: Expression, b: Expression, t: Double): Expression = {
-    val la = Cast(Length(a), DoubleType)
-    val lb = Cast(Length(b), DoubleType)
+    // OctetLength, NOT Length: the kernel scores UTF-8 BYTES (see
+    // JaroWinkler.computeBytes), so the implication jw > t ⟹ min/max > 5t-4
+    // only holds for byte lengths. With char Length a multi-byte string can
+    // fail the char-ratio predicate while its byte-based score exceeds t
+    // (jw("é","éa") = 0.911 under byte scoring but char ratio 1/2 fails at
+    // t = 0.9) — the rule would silently drop a true match (ADVICE r9).
+    val la = Cast(OctetLength(a), DoubleType)
+    val lb = Cast(OctetLength(b), DoubleType)
     // max = 0 (both strings empty) must pass: jw("","") is 1.0 by the
     // identical-string short-circuit, but 0 > (5t-4)*0 is false — without
     // the disjunct the rewrite silently dropped empty-vs-empty rows the

@@ -37,6 +37,8 @@ object EventsStream {
     * |open windows × event types|, bounded by the watermark.
     */
   def hourlyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    // hour buckets trunc the NTZ→LTZ-cast ts: UTC-only (ADVICE r9)
+    graft.Tables.requireUtcSession(spark, "EventsStream.hourlyCounts")
     // the file-stream source requires a directory: stream the sf dir with a
     // glob pinned to the events table (explicit schema, no inference pass)
     val stream = spark.readStream
@@ -205,6 +207,8 @@ object EventsStream {
     // per side per batch, and profiling showed 8 → 2 saves ~0.6 s at this
     // data scale with the join itself nowhere near CPU-bound. A real
     // cluster sizes this to |executors| like the other streaming entries.
+    // emits unix_micros epochs from the NTZ column: UTC-only (ADVICE r9)
+    graft.Tables.requireUtcSession(spark, "EventsStream.purchaseClickLeftJoin")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     // the completeness cutoff only needs the raw batch side, so its 1-row

@@ -82,6 +82,24 @@ class DedupSpec extends SparkSpec {
       "web-8" -> "web-8", "web-9" -> "web-8"))
   }
 
+  test("connected components reject null doc ids loudly") {
+    // ADVICE r9: a null id NPE'd the string union-find (find(null) →
+    // null.compareTo on the driver) and merged as a phantom label
+    // distributed — the guard turns both into one descriptive error
+    val strPairs = Seq(("web-1", null: String), ("web-2", "web-3"))
+      .toDF("doc_a", "doc_b")
+    val e1 = intercept[IllegalArgumentException](Dedup.connectedComponents(strPairs))
+    assert(e1.getMessage.contains("null doc id"), e1.getMessage)
+    val longPairs = Seq((java.lang.Long.valueOf(1L), null: java.lang.Long))
+      .toDF("doc_a", "doc_b")
+    val e2 = intercept[IllegalArgumentException](Dedup.connectedComponents(longPairs))
+    assert(e2.getMessage.contains("null doc id"), e2.getMessage)
+    // the distributed path is guarded by the same probe
+    val e3 = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(strPairs, driverEdgeLimit = 0L))
+    assert(e3.getMessage.contains("null doc id"), e3.getMessage)
+  }
+
   test("union-find labels re-enter as an RDD scan, never a plan-embedded LocalRelation") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
     val comps = Dedup.connectedComponents(pairs)

@@ -60,6 +60,39 @@ class JaroWinklerLengthPruningSpec extends SparkSpec {
     }
   }
 
+  test("rewrite preserves results on non-ASCII strings (byte-length bound)") {
+    // The kernel scores UTF-8 BYTES, so the bound must too (OctetLength).
+    // With char Length, jw("é","éa") = 0.911 > 0.9 but the char predicate
+    // 1.0 > 0.5*2.0 is false — the rule dropped a true match (ADVICE r9).
+    val rows = Seq(
+      ("é", "éa"), ("née", "néee"), ("grüße", "grüßen"),
+      ("日本語", "日本語a"), ("ascii", "ascij"), ("x", "yyyyyy"))
+    import spark.implicits._
+    def pairs: DataFrame = rows.toDF("sa", "sb")
+      .filter(StringSimilarity.jaroWinkler(col("sa"), col("sb")) > lit(0.9))
+      .select(col("sa"), col("sb"))
+    val want = pairs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val got = withRule(pairs.collect().map(r => (r.getString(0), r.getString(1))).toSet)
+    assert(got === want)
+    assert(want.contains(("é", "éa")), want) // the adversarial case is live
+  }
+
+  test("bound is implied by the threshold over non-ASCII strings (byte units)") {
+    val rng = new scala.util.Random(11)
+    val alphabet = "aébc語ß"
+    def randStr() = Seq.fill(1 + rng.nextInt(8))(alphabet(rng.nextInt(alphabet.length))).mkString
+    val t = 0.85
+    (1 to 2000).foreach { _ =>
+      val (x, y) = (randStr(), randStr())
+      val jw = graft.functions.JaroWinkler.compute(x, y)
+      if (jw > t) {
+        val (bx, by) = (x.getBytes("UTF-8").length, y.getBytes("UTF-8").length)
+        val (lo, hi) = (math.min(bx, by).toDouble, math.max(bx, by).toDouble)
+        assert(lo > (5 * t - 4) * hi, s"byte bound violated for ($x, $y) jw=$jw")
+      }
+    }
+  }
+
   test("GraftExtensions registers the rule") {
     // the injector runs against a fresh extensions object; we only verify
     // registration executes (session-build wiring is config-level)
