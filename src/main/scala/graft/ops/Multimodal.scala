@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded/feature-extracted per partition.
   *
-  * The decode itself is STUBBED (no media libraries in this container — see
-  * [[Multimodal.decodeStub]]); everything Spark-side is real: the schema
-  * (binary payload + typed metadata), the typed Dataset boundary, the
-  * per-partition iteration (where a real decoder handle would be opened once
-  * per partition and reused across rows), and the deterministic feature
-  * output shape.
+  * Decoding is REAL for the codec-free container formats — BMP (24-bit),
+  * PPM (P6), WAV (16-bit PCM) — via the pure-JVM decoders in
+  * [[MediaCodecs]]; formats that need native codecs (JPEG/MP4/...) fall
+  * back to [[Multimodal.decodeStub]] (byte-histogram moments over the
+  * container bytes), since those libraries aren't in this container.
+  * Everything Spark-side is shared: the schema (binary payload + typed
+  * metadata), the typed Dataset boundary, the per-partition iteration
+  * (where a JNI decoder handle would be opened once per partition and
+  * reused across rows), and the deterministic feature output shape.
   *
   * Scale notes: media rows are orders of magnitude wider than text rows —
   * repartition by a size-balanced key before decode so one executor doesn't
@@ -42,10 +45,11 @@ object Multimodal {
       (length(t) % 480).cast("int").as("height"))
   }
 
-  /** STUB for the real decoder: a production build would call an image/audio
-    * codec here (e.g. JNI into libjpeg/ffmpeg). The fake is deterministic —
-    * byte-histogram moments over the payload — so tests can assert exact
-    * values while the real codec slots in without touching the plumbing.
+  /** Fallback for formats without a pure-JVM decoder (a production build
+    * would call JNI into libjpeg/ffmpeg here; see [[MediaCodecs.decode]]
+    * for the formats decoded for real). Deterministic — byte-histogram
+    * moments over the container payload — so tests can assert exact values
+    * and unknown formats still flow as well-defined rows.
     */
   def decodeStub(r: MediaRow): MediaFeatures = {
     val bytes = r.media
@@ -91,14 +95,17 @@ object Multimodal {
   }
 
   /** Feature extraction over the media table: typed mapPartitions so a real
-    * decoder is initialized once per partition, not once per row.
+    * decoder is initialized once per partition, not once per row. Dispatches
+    * per row on the declared format — BMP/PPM/WAV decode for real
+    * ([[MediaCodecs.decode]]), anything else takes the stub path.
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val ds = media.select("doc_id", "media", "format", "width", "height")
       .as(Encoders.product[MediaRow])
     ds.mapPartitions { rows =>
-      // real impl: open codec/handle here, close via iterator completion
-      rows.map(decodeStub)
+      // a JNI codec would open its handle here, close via iterator
+      // completion; the pure-JVM decoders are stateless
+      rows.map(MediaCodecs.decode)
     }(Encoders.product[MediaFeatures])
   }
 }
