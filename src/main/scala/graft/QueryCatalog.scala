@@ -2792,10 +2792,20 @@ object QueryCatalog {
         val edges = T(s, d, "lineitem")
           .select((col("l_partkey") * 2).cast("long").as("src"),
             (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-        ops.Graph.pageRank(edges, "src", "dst", iterations = 5, dedupEdges = true)
-          .select(expr("CASE WHEN node % 2 = 0 THEN 'p:' || CAST(node div 2 AS STRING) " +
-            "ELSE 's:' || CAST(node div 2 AS STRING) END").as("node"), col("rank"))
-          .orderBy(col("rank").desc, col("node")).limit(30)
+        // top-30 + label render happen on the driver (the rank vector is
+        // already local on the vector path) — no extra Spark sort job
+        ops.Graph.pageRankTopK(edges, "src", "dst", iterations = 5, k = 30,
+          renderLocal = node => {
+            val l = node.asInstanceOf[Long]
+            if (l % 2 == 0) "p:" + (l / 2) else "s:" + (l / 2)
+          },
+          renderSql = "CASE WHEN node % 2 = 0 THEN 'p:' || CAST(node div 2 AS STRING) " +
+            "ELSE 's:' || CAST(node div 2 AS STRING) END",
+          dedupEdges = true,
+          // ~21k adjacency rows at sf0.1: 8 cached partitions, not 32 —
+          // each of the 5 iterations scans the cache once, so near-empty
+          // partitions are task-launch overhead × iterations
+          adjPartitions = 8)
       },
       Some("""WITH e0 AS (
         |  SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,

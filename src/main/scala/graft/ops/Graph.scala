@@ -42,15 +42,82 @@ object Graph {
     * checkpointing — slower, never driver-fatal (the Distribution gate
     * discipline).
     *
-    * 100 TB caveat: collect_list packs a celebrity node's neighbours into
-    * one row. Contributions are additive, so an ultra-hub can be salted
-    * into (src, salt) sub-rows sharing the true outdeg before grouping —
-    * not needed at any tested scale, documented for the cluster port.
+    * 100 TB hubs: collect_list packs a celebrity node's neighbours into
+    * one row. Contributions are additive, so `hubSalts > 1` splits every
+    * node whose degree exceeds `hubDegreeThreshold` into (src, salt)
+    * sub-rows sharing the TRUE outdeg — each sub-row carries a
+    * deterministic slice of the neighbour list (salt = hash(dst) mod
+    * salts), so per-row width is bounded by deg/salts while rank sums are
+    * bit-identical to the unsalted plan (property-spec'd). Sub-grouping by
+    * (src, salt) keeps the edge-scale shuffle at ONE pass; the true outdeg
+    * re-aggregates over sub-rows (|nodes|·salts scale, not |edges|), and
+    * non-hub sub-rows merge back so the cached adjacency stays |nodes|
+    * rows + ≤salts extra per hub.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, scale: Long = 1000000000000L,
-      maxVectorNodes: Long = 10000000L, dedupEdges: Boolean = false): DataFrame = {
+      maxVectorNodes: Long = 10000000L, dedupEdges: Boolean = false,
+      hubDegreeThreshold: Long = Long.MaxValue, hubSalts: Int = 1,
+      adjPartitions: Int = 0): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iterations, scale, maxVectorNodes,
+      dedupEdges, hubDegreeThreshold, hubSalts, adjPartitions) match {
+      case Left((spark, schema, rows)) => spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+      case Right(df) => df // the one leaked handle (Dedup cache contract)
+    }
+
+  /** PageRank's top-k, rendered: on the vector path (n ≤ `maxVectorNodes`)
+    * the final rank vector is ALREADY driver-local, so the top-k selection
+    * and display-label render happen in plain Scala — no extra Spark job
+    * for a sort the driver can do on an in-memory array (r9 verdict item
+    * 5). Past the gate it degrades to the distributed orderBy/limit with
+    * `renderSql` applied to the node column. Ordering is (rank DESC, label
+    * ASC); labels must be ASCII for the driver/SQL tie-break to agree
+    * (String and UTF8String compare identically on ASCII).
+    *
+    * @param renderLocal label render on the driver (vector path)
+    * @param renderSql   same render as a SQL expression over column name
+    *                    `node` (distributed fallback) — keep semantically
+    *                    identical to renderLocal
+    */
+  def pageRankTopK(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, k: Int, renderLocal: Any => String, renderSql: String,
+      scale: Long = 1000000000000L, maxVectorNodes: Long = 10000000L,
+      dedupEdges: Boolean = false, hubDegreeThreshold: Long = Long.MaxValue,
+      hubSalts: Int = 1, adjPartitions: Int = 0): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iterations, scale, maxVectorNodes,
+      dedupEdges, hubDegreeThreshold, hubSalts, adjPartitions) match {
+      case Left((spark, _, rows)) =>
+        val top = rows.iterator
+          .map(r => (renderLocal(r.get(0)), r.getLong(1)))
+          .toArray
+          .sortBy { case (label, rank) => (-rank, label) }
+          .take(k)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        spark.createDataFrame(new java.util.ArrayList(
+          java.util.Arrays.asList(top.map { case (l, r) =>
+            org.apache.spark.sql.Row(l, r) }: _*)), schema)
+      case Right(df) =>
+        df.select(expr(renderSql).as("node"), col("rank"))
+          .orderBy(col("rank").desc, col("node")).limit(k)
+    }
+
+  /** Shared machinery: Left((session, schema, final driver-local rank
+    * rows)) on the vector path — nothing left persisted; Right(distributed
+    * ranks) past the gate — one persisted handle leaks by contract.
+    */
+  private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, scale: Long, maxVectorNodes: Long, dedupEdges: Boolean,
+      hubDegreeThreshold: Long, hubSalts: Int, adjPartitions: Int)
+      : Either[(org.apache.spark.sql.SparkSession,
+          org.apache.spark.sql.types.StructType,
+          Array[org.apache.spark.sql.Row]), DataFrame] = {
     require(iterations >= 1, "need at least one iteration")
+    require(hubSalts >= 1, "hubSalts must be >= 1")
     val spark = edges.sparkSession
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Prefer INTEGER node ids in `edges`: shuffling/distincting longs is
@@ -62,32 +129,68 @@ object Graph {
     // raw directed list unions straight off the scan and pays ONE shuffle
     // total instead of distinct's shuffle followed by the groupBy's. Leave
     // it false when multi-edge multiplicity should weight contributions.
-    val (adj, edgeCache) =
-      if (dedupEdges) {
-        val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        (e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-          .groupBy(col("src"))
-          .agg(collect_set(col("dst")).as("dsts"))
-          .select(col("src"), size(col("dsts")).cast("long").as("outdeg"), col("dsts"))
-          .persist(level), None)
-      } else {
+    // (collect_set dedup stays exact under salting: dst determines its salt
+    // bucket, so duplicates always land in the same sub-group.)
+    val transients = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val directed = {
+      val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      if (dedupEdges) e0
+      else {
         // the caller's edge expression usually embeds a distinct — cache the
         // directed list ONCE so the union's two branches read the cache
-        // instead of re-running that shuffle per branch (the r8 shape
-        // persisted the union, which still computed the distinct twice into
-        // the cache).
-        val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist(level)
-        (e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-          .groupBy(col("src"))
-          .agg(count(lit(1)).as("outdeg"), collect_list(col("dst")).as("dsts"))
-          .persist(level), Some(e))
+        // instead of re-running that shuffle per branch
+        val e = e0.persist(level); transients += e; e
       }
-    val n = adj.count() // one action: fills adj (and the edge cache, if any)
-    edgeCache.foreach(_.unpersist())
-    if (n == 0) { // would otherwise die as a bare `/ by zero` two lines down
+    }
+    val sym = directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+    val adjPlan =
+      if (hubSalts == 1) {
+        if (dedupEdges)
+          sym.groupBy(col("src"))
+            .agg(collect_set(col("dst")).as("dsts"))
+            .select(col("src"), size(col("dsts")).cast("long").as("outdeg"), col("dsts"))
+        else
+          sym.groupBy(col("src"))
+            .agg(count(lit(1)).as("outdeg"), collect_list(col("dst")).as("dsts"))
+      } else {
+        // hub salting: sub-group the one edge-scale shuffle by (src, salt),
+        // re-derive the true outdeg over sub-rows, then merge non-hub
+        // sub-rows back to one row per node — hubs stay split
+        val bySalt = sym
+          .withColumn("salt", pmod(hash(col("dst")), lit(hubSalts)))
+          .groupBy(col("src"), col("salt"))
+        val sub = (if (dedupEdges)
+            bySalt.agg(collect_set(col("dst")).as("dsts"))
+              .select(col("src"), size(col("dsts")).cast("long").as("cnt"), col("dsts"))
+          else
+            bySalt.agg(count(lit(1)).as("cnt"), collect_list(col("dst")).as("dsts"))
+              .select(col("src"), col("cnt"), col("dsts")))
+          .persist(level)
+        transients += sub
+        val outdeg = sub.groupBy(col("src")).agg(sum(col("cnt")).as("outdeg"))
+        val joined = sub.join(outdeg, "src")
+        joined.filter(col("outdeg") <= hubDegreeThreshold)
+          .groupBy(col("src"), col("outdeg"))
+          .agg(flatten(collect_list(col("dsts"))).as("dsts"))
+          .select(col("src"), col("outdeg"), col("dsts"))
+          .union(joined.filter(col("outdeg") > hubDegreeThreshold)
+            .select(col("src"), col("outdeg"), col("dsts")))
+      }
+    // adjPartitions > 0 coalesces the CACHED adjacency: every iteration
+    // launches one stage over it, so on a small-n graph 32 near-empty
+    // cached partitions are pure task-launch overhead × iterations. A
+    // cluster-scale caller leaves 0 (keep the shuffle width).
+    val adj = (if (adjPartitions > 0) adjPlan.coalesce(adjPartitions) else adjPlan)
+      .persist(level)
+    val nRows = adj.count() // one action: fills adj (and any transient cache)
+    transients.foreach(_.unpersist())
+    if (nRows == 0) { // would otherwise die as a bare `/ by zero` below
       adj.unpersist()
       throw new IllegalArgumentException("pageRank: empty edge list — no nodes to rank")
     }
+    // under salting a hub occupies several adjacency rows — N is nodes
+    val n = if (hubSalts == 1) nRows
+      else adj.agg(count_distinct(col("src"))).head().getLong(0)
     val base: Long = scale / n
     val teleport: Long = (15L * base) / 100L
     def step(ranks: DataFrame, bcast: Boolean) = {
@@ -99,19 +202,21 @@ object Graph {
         .select(col("dst").as("node"),
           expr(s"CAST($teleport + (85 * s) div 100 AS BIGINT)").as("rank"))
     }
-    val init = adj.select(col("src").as("node"), lit(base).as("rank"))
+    val initNodes = if (hubSalts == 1) adj.select(col("src").as("node"))
+      else adj.select(col("src").as("node")).distinct()
+    val init = initNodes.select(col("node"), lit(base).as("rank"))
+    val rankSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", adj.schema("src").dataType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false)))
     if (n <= maxVectorNodes) {
-      val rankSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("node", adj.schema("src").dataType),
-        org.apache.spark.sql.types.StructField("rank",
-          org.apache.spark.sql.types.LongType, nullable = false)))
       def local(rows: Array[org.apache.spark.sql.Row]) = spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), rankSchema)
-      var ranks = init
-      for (_ <- 1 to iterations)
-        ranks = local(step(ranks, bcast = true).collect())
+      var rows = step(init, bcast = true).collect()
+      for (_ <- 2 to iterations)
+        rows = step(local(rows), bcast = true).collect()
       adj.unpersist()
-      ranks // a local relation — nothing left persisted
+      Left((spark, rankSchema, rows)) // nothing left persisted
     } else {
       // rank vector past driver budget: shuffle joins, each iteration
       // materialized via persist+count (lineage checkpointing)
@@ -125,7 +230,7 @@ object Graph {
         ranks = next
       }
       adj.unpersist()
-      ranks // the one leaked handle (Dedup cache contract)
+      Right(ranks)
     }
   }
 

@@ -67,6 +67,47 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size === base)
   }
 
+  test("pageRank hub salting: salted ranks are bit-identical to unsalted") {
+    // forced hub: star centre 0 ↔ 1..120 plus a sparse ring so non-hub
+    // nodes have degree > 1; threshold 10 splits only the hub
+    val star = (1 to 120).map(i => (0L, i.toLong))
+    val ring = (1 to 119).map(i => (i.toLong, (i + 1).toLong))
+    val edges = (star ++ ring).toDF("src", "dst")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = asMap(Graph.pageRank(edges, "src", "dst", iterations = 4))
+    val salted = asMap(Graph.pageRank(edges, "src", "dst", iterations = 4,
+      hubDegreeThreshold = 10L, hubSalts = 4))
+    assert(salted === plain)
+    // dedupEdges path too: double every edge, collect_set dedup under salt
+    val doubled = (star ++ star ++ ring ++ ring).toDF("src", "dst")
+    val plainD = asMap(Graph.pageRank(doubled, "src", "dst", iterations = 4,
+      dedupEdges = true))
+    val saltedD = asMap(Graph.pageRank(doubled, "src", "dst", iterations = 4,
+      dedupEdges = true, hubDegreeThreshold = 10L, hubSalts = 4))
+    assert(saltedD === plainD)
+    assert(plainD === plain) // dedup of doubled edges = the simple graph
+  }
+
+  test("pageRankTopK local render matches the Spark sort+render form on both paths") {
+    val edges = ((1 to 40).map(i => (0L, i.toLong)) ++
+      (1 to 39).map(i => (i.toLong, (i + 1).toLong))).toDF("src", "dst")
+    val renderSql = "'n:' || CAST(node AS STRING)"
+    def viaSort(maxVec: Long) =
+      Graph.pageRank(edges, "src", "dst", iterations = 3, maxVectorNodes = maxVec)
+        .select(expr(renderSql).as("node"), col("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(7)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def viaTopK(maxVec: Long) =
+      Graph.pageRankTopK(edges, "src", "dst", iterations = 3, k = 7,
+        renderLocal = n => "n:" + n, renderSql = renderSql, maxVectorNodes = maxVec)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaTopK(10000000L) === viaSort(10000000L)) // driver-local path
+    val viaFallback = viaTopK(1L) // distributed fallback path
+    spark.sharedState.cacheManager.clearCache() // fallback leaks by contract
+    assert(viaFallback === viaSort(10000000L))
+  }
+
   test("dailyOccupancy: two overlapping 3-day intervals") {
     val df = Seq("2024-01-01", "2024-01-02").toDF("start")
       .select(to_date(col("start")).as("start"))
