@@ -3449,4 +3449,17 @@ object QueryCatalog {
   )
 
   def all: Seq[CatalogEntry] = parity ++ extensions ++ QueryCatalogR7.entries
+
+  /** Entries that execute a Structured Streaming query (micro-batches +
+    * state stores), as opposed to batch plans. The bench isolates these in
+    * their own chunk with state-store teardown between queries: a loaded
+    * provider's maintenance churn otherwise bleeds into NEIGHBOR timings
+    * (r9 verdict item 1 — dsv2_stream_agg swung 1.86 vs 4.47 s across
+    * passes purely from chunk-mates). Membership is spec-pinned against
+    * the catalog (QueryCatalogSpec).
+    */
+  val streamingNames: Set[String] = Set(
+    "events_hourly_stream", "events_stream_static_join",
+    "events_stream_stream_join", "events_stream_left_join",
+    "events_stream_dedup", "dsv2_stream_agg")
 }

@@ -13,6 +13,16 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(dupes.isEmpty, s"duplicate catalog names: $dupes")
   }
 
+  test("streamingNames all exist in the catalog and carry 'stream' in the name") {
+    val names = QueryCatalog.all.map(_.name).toSet
+    assert(QueryCatalog.streamingNames.subsetOf(names),
+      QueryCatalog.streamingNames -- names)
+    // membership drift guard: every catalog entry named *stream* must be
+    // declared streaming (a new streaming entry that skips the set would
+    // silently lose its bench isolation)
+    assert(names.filter(_.contains("stream")) === QueryCatalog.streamingNames)
+  }
+
   test("driver maps cover the catalog exactly") {
     assert(SparkEntry.queries.keySet === QueryCatalog.all.map(_.name).toSet)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
