@@ -749,9 +749,14 @@ object QueryCatalog {
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1""".stripMargin)),
 
-    // Tumbling event-time window (batch twin of the streaming op)
+    // Tumbling event-time window (batch twin of the streaming op).
+    // ts IS NOT NULL on both sides: Spark's window generator silently
+    // emits nothing for a NULL event time while SQL date_trunc keeps a
+    // NULL group — the explicit filter makes "no event time → no window"
+    // a stated contract instead of an engine accident (round-10 sweep)
     CatalogEntry("events_hourly",
       (s, d) => eventsTable(s, d)
+        .where(col("ts").isNotNull)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(
           count(lit(1)).as("cnt"),
@@ -761,7 +766,7 @@ object QueryCatalog {
       Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin)),
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin)),
   )
 
   // ------------------------------------------------------------ extensions
@@ -791,7 +796,7 @@ object QueryCatalog {
     """SELECT date_trunc('hour', ts) AS hour_start, event_type,
       |  COUNT(*) AS cnt,
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-      |FROM events GROUP BY 1, 2""".stripMargin
+      |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin
 
   /** LSH geometry shared by the embedding queries: 8 tables × 4 bits keeps
     * per-bucket candidate counts ~|table|/16 (measured: knn probe union =
@@ -817,7 +822,7 @@ object QueryCatalog {
     */
   private val verifiedPairsCtes: String =
     """t AS (
-      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  SELECT doc_id, trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')) AS norm
       |  FROM documents
       |), gs AS (
       |  SELECT doc_id,
@@ -858,7 +863,7 @@ object QueryCatalog {
     * distinct pipeline, so `fps` is bit-equal to the Spark frame.
     */
   private val fingerprintCtes: String =
-    """t AS (SELECT doc_id, text, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    """t AS (SELECT doc_id, text, trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')) AS norm
       |      FROM documents),
       |base AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash, norm,
       |         length(norm) - 7 AS n_grams FROM t WHERE length(norm) - 7 - 3 > 0),
@@ -888,6 +893,7 @@ object QueryCatalog {
       |  SELECT e.vec_id, s.t, s.b,
       |    list_reduce(list_prepend(0.0, [e.embedding[i]::DOUBLE * s.sg[i] FOR i IN range(1, 65)]), (a, x) -> a + x) AS dot
       |  FROM embeddings e, signs s
+      |  WHERE e.embedding IS NOT NULL
       |),
       |buckets AS (
       |  SELECT vec_id, t,
@@ -927,8 +933,8 @@ object QueryCatalog {
       (s, d) => ops.TextAnalysis.languageId(docs(s, d)),
       Some("""WITH t AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |    trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')) AS norm,
+        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |), s AS (
         |  SELECT doc_id,
@@ -963,7 +969,7 @@ object QueryCatalog {
       (s, d) => ops.TextAnalysis.qualityScore(docs(s, d)),
       Some("""WITH t AS (
         |  SELECT doc_id, text,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks,
         |    length(text) AS n_chars
         |  FROM documents
         |), m AS (
@@ -988,7 +994,7 @@ object QueryCatalog {
         .withColumn("weight", round(col("weight"), 9)),
       Some("""WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |    unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ')) AS term
         |  FROM documents
         |), tf AS (
         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1, 2
@@ -1061,7 +1067,7 @@ object QueryCatalog {
     CatalogEntry("dedup_minhash",
       (s, d) => ops.Replay.minhashCandidates(docs(s, d),
         k = 64, bands = 16, shingleLen = 5, maxBucket = 100, minEstJaccard = 0.25),
-      Some("""WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      Some("""WITH t AS (SELECT doc_id, trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')) AS norm
         |      FROM documents),
         |ga AS (SELECT doc_id, list_distinct([substr(norm, i, 5) FOR i IN range(1, len(norm) - 3)]) AS grams
         |       FROM t WHERE len(norm) >= 5),
@@ -1136,7 +1142,7 @@ object QueryCatalog {
     // (Dedup.simhashPairs) is the scale path, pinned by DedupSpec.
     CatalogEntry("dedup_simhash",
       (s, d) => ops.Replay.simhashPairs(docs(s, d), maxHamming = 3, maxBucket = 200),
-      Some("""WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      Some("""WITH t AS (SELECT doc_id, trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')) AS norm
         |      FROM documents),
         |tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM t),
         |tokh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
@@ -1164,7 +1170,7 @@ object QueryCatalog {
         n = 3, threshold = 0.01, maxBucket = 100),
       Some("""WITH t AS (
         |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |), g AS (
         |  SELECT DISTINCT doc_id, gram FROM (
@@ -1196,15 +1202,17 @@ object QueryCatalog {
       (s, d) => ops.Similarity.nearDupPairs(embs(s, d), threshold = 0.3, lshPlanes)
         .withColumn("cosine", round(col("cosine"), 9)),
       Some(s"""WITH $lshBucketsCte,
-        |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
         |sizes AS (SELECT t, bucket FROM buckets GROUP BY t, bucket HAVING COUNT(*) BETWEEN 2 AND 1000),
         |cp AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |       FROM buckets a JOIN sizes USING (t, bucket) JOIN buckets b USING (t, bucket)
-        |       WHERE a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(list_cosine_similarity(x.v, y.v), 9) AS cosine
-        |FROM cp JOIN e2 x ON x.vec_id = cp.id_a JOIN e2 y ON y.vec_id = cp.id_b
-        |WHERE NOT isnan(list_cosine_similarity(x.v, y.v))
-        |  AND list_cosine_similarity(x.v, y.v) >= 0.3""".stripMargin)),
+        |       WHERE a.vec_id < b.vec_id),
+        |sc AS (SELECT id_a, id_b, list_dot_product(x.v, y.v)
+        |         / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS s0
+        |       FROM cp JOIN e2 x ON x.vec_id = cp.id_a JOIN e2 y ON y.vec_id = cp.id_b)
+        |SELECT id_a, id_b, round(s0, 9) AS cosine FROM sc
+        |WHERE s0 IS NOT NULL AND NOT isnan(s0) AND s0 >= 0.3""".stripMargin)),
 
     // score rounded to 9dp in BOTH engines: the double-accumulated cosine
     // agrees with DuckDB's list_cosine_similarity over DOUBLE[] to ~1 ulp
@@ -1213,12 +1221,15 @@ object QueryCatalog {
     CatalogEntry("knn_bruteforce",
       (s, d) => ops.Similarity.bruteForceTopK(embs(s, d), queryVec(s, d), k = 20)
         .withColumn("score", round(col("score"), 9)),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-        |SELECT vec_id, round(list_cosine_similarity(v, qv), 9) AS score
-        |FROM e, q
-        |WHERE NOT isnan(list_cosine_similarity(v, qv))
-        |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT 20""".stripMargin)),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |sc AS (SELECT vec_id, list_dot_product(v, qv)
+        |         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS s0
+        |       FROM e, q)
+        |SELECT vec_id, round(s0, 9) AS score FROM sc
+        |WHERE s0 IS NOT NULL AND NOT isnan(s0)
+        |ORDER BY s0 DESC, vec_id ASC LIMIT 20""".stripMargin)),
 
     // exact-all-pairs twin of embedding_neardup: the LSH variant stays
     // rows-only (recall < 1 by construction); this one is the oracle-checked
@@ -1226,12 +1237,13 @@ object QueryCatalog {
     CatalogEntry("embedding_neardup_exact",
       (s, d) => ops.Similarity.exactNearDupPairs(embs(s, d), threshold = 0.3)
         .withColumn("cosine", round(col("cosine"), 9)),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.v, b.v), 9) AS cosine
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
-        |  AND list_cosine_similarity(a.v, b.v) >= 0.3""".stripMargin)),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_dot_product(a.v, b.v)
+        |         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s0
+        |       FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(s0, 9) AS cosine FROM sc
+        |WHERE s0 IS NOT NULL AND NOT isnan(s0) AND s0 >= 0.3""".stripMargin)),
 
     // ANN with the probe REPLAYED by the oracle: DuckDB recomputes the
     // query's buckets and ranks the same candidate union (227 of 500 vecs
@@ -1241,14 +1253,17 @@ object QueryCatalog {
       (s, d) => ops.Similarity.annTopK(embs(s, d), queryVec(s, d), k = 20, lshPlanes)
         .withColumn("score", round(col("score"), 9)),
       Some(s"""WITH $lshBucketsCte,
-        |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
         |q AS (SELECT v AS qv FROM e2 WHERE vec_id = 0),
         |qb AS (SELECT t, bucket FROM buckets WHERE vec_id = 0),
-        |cand AS (SELECT DISTINCT b2.vec_id FROM buckets b2 JOIN qb USING (t, bucket))
-        |SELECT e2.vec_id, round(list_cosine_similarity(v, qv), 9) AS score
-        |FROM cand JOIN e2 USING (vec_id), q
-        |WHERE NOT isnan(list_cosine_similarity(v, qv))
-        |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 20""".stripMargin)),
+        |cand AS (SELECT DISTINCT b2.vec_id FROM buckets b2 JOIN qb USING (t, bucket)),
+        |sc AS (SELECT e2.vec_id, list_dot_product(v, qv)
+        |         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS s0
+        |       FROM cand JOIN e2 USING (vec_id), q)
+        |SELECT vec_id, round(s0, 9) AS score FROM sc
+        |WHERE s0 IS NOT NULL AND NOT isnan(s0)
+        |ORDER BY s0 DESC, vec_id LIMIT 20""".stripMargin)),
 
     // IVF with STATIC centroids (iters = 0 ⇒ the first-16-by-id k-means
     // init, raw float vectors both engines share), so the oracle replays
@@ -1266,24 +1281,35 @@ object QueryCatalog {
         ops.IVF.topK(e, index, queryVec(s, d), k = 20, nprobe = 4)
           .withColumn("score", round(col("score"), 9))
       },
-      Some("""WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e2 WHERE vec_id < 16),
+      Some("""WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |c AS (SELECT vec_id AS cid, v AS cv
+        |      FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e2)
+        |      WHERE rn <= 16),
         |q AS (SELECT v AS qv FROM e2 WHERE vec_id = 0),
         |assign AS (
         |  SELECT e2.vec_id, c.cid,
-        |    row_number() OVER (PARTITION BY e2.vec_id ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+        |    row_number() OVER (PARTITION BY e2.vec_id ORDER BY
+        |      (list_dot_product(v, cv) / (sqrt(list_dot_product(v, v))
+        |        * sqrt(list_dot_product(cv, cv)))) DESC NULLS LAST, cid) AS rn
         |  FROM e2, c),
         |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
-        |probe AS (SELECT cid FROM c, q ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4)
-        |SELECT e2.vec_id, round(list_cosine_similarity(v, qv), 9) AS score
-        |FROM e2 JOIN cells USING (vec_id), q
-        |WHERE cells.cell IN (SELECT cid FROM probe) AND NOT isnan(list_cosine_similarity(v, qv))
-        |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 20""".stripMargin)),
+        |probe AS (SELECT cid FROM c, q ORDER BY
+        |  (list_dot_product(cv, qv) / (sqrt(list_dot_product(cv, cv))
+        |    * sqrt(list_dot_product(qv, qv)))) DESC NULLS LAST, cid LIMIT 4),
+        |sc AS (SELECT e2.vec_id, list_dot_product(v, qv)
+        |         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS s0
+        |       FROM e2 JOIN cells USING (vec_id), q
+        |       WHERE cells.cell IN (SELECT cid FROM probe))
+        |SELECT vec_id, round(s0, 9) AS score FROM sc
+        |WHERE s0 IS NOT NULL AND NOT isnan(s0)
+        |ORDER BY s0 DESC, vec_id LIMIT 20""".stripMargin)),
 
     CatalogEntry("sessionize",
       (s, d) => ops.Sessions.sessionize(eventsRaw(s, d), gapMicros = 1800L * 1000 * 1000),
       Some("""WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+        |  WHERE ts IS NOT NULL
         |), m AS (
         |  SELECT user_id, event_id, ts_us, value,
         |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
@@ -1357,18 +1383,23 @@ object QueryCatalog {
         |FROM events""".stripMargin)),
 
     // Regex group extraction
+    // try_cast on BOTH sides: a source with no digit run makes
+    // regexp_extract return '' and a plain CAST('' AS BIGINT) throws in
+    // Spark (ANSI) and DuckDB alike; the no-match contract is NULL
+    // (adversarial-corpus sweep, round 10)
     CatalogEntry("regex_extract",
       (s, d) => docs(s, d)
         .select(col("doc_id"), col("source"),
-          regexp_extract(col("source"), "src([0-9]+)", 1).cast("long").as("source_num")),
+          expr("try_cast(regexp_extract(source, 'src([0-9]+)', 1) AS LONG)").as("source_num")),
       Some("""SELECT doc_id, source,
-        |  CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) AS source_num
+        |  TRY_CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) AS source_num
         |FROM documents""".stripMargin)),
 
     // Sliding event-time windows (1h window, 30min slide): each event lands
     // in two windows; oracle reconstructs the grid with a two-bucket union
     CatalogEntry("events_sliding",
       (s, d) => eventsTable(s, d)
+        .where(col("ts").isNotNull) // the events_hourly no-event-time contract
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
@@ -1376,10 +1407,10 @@ object QueryCatalog {
           col("cnt"), col("total_value")),
       Some("""WITH b AS (
         |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, event_type, value
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |  UNION ALL
         |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |)
         |SELECT win_start, event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -1531,7 +1562,7 @@ object QueryCatalog {
         |    SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
         |        FOR i IN range(1, len(toks) - 6)]) AS gram
         |    FROM (SELECT doc_id,
-        |            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |            string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
         |          FROM documents))
         |), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
         |SELECT doc_id, COUNT(*) AS shared_grams
@@ -1821,7 +1852,7 @@ object QueryCatalog {
       (s, d) => ops.TextAnalysis.repetitionRatios(docs(s, d)),
       Some("""WITH t AS (
         |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |), g AS (
         |  SELECT doc_id, len(toks) AS n_words,
@@ -1841,8 +1872,8 @@ object QueryCatalog {
       (s, d) => ops.TextAnalysis.qualityFilter(docs(s, d)),
       Some("""WITH t AS (
         |  SELECT doc_id, text,
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |    trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')) AS norm,
+        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |), m AS (
         |  SELECT doc_id,
@@ -1862,7 +1893,7 @@ object QueryCatalog {
     CatalogEntry("bigram_lm",
       (s, d) => ops.TextAnalysis.bigramConditionals(docs(s, d), minCount = 5),
       Some("""WITH t AS (
-        |  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  SELECT string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |), bg AS (
         |  SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
@@ -1882,7 +1913,7 @@ object QueryCatalog {
       (s, d) => ops.TextAnalysis.perplexityScores(docs(s, d)),
       Some("""WITH t AS (
         |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |), bg AS (
         |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
@@ -1919,8 +1950,8 @@ object QueryCatalog {
         |  SELECT * FROM documents WHERE doc_id % 10 <> 0
         |), t AS (
         |  SELECT doc_id, text,
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |    trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')) AS norm,
+        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
         |  FROM train
         |), q AS (
         |  SELECT doc_id FROM t
@@ -1943,7 +1974,7 @@ object QueryCatalog {
         |  SELECT DISTINCT gram FROM (
         |    SELECT unnest([array_to_string(toks[i:i+7], ' ')
         |        FOR i IN range(1, len(toks) - 6)]) AS gram
-        |    FROM (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |    FROM (SELECT string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
         |          FROM documents WHERE doc_id % 10 = 0))
         |), contam AS (
         |  SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)
@@ -2949,7 +2980,7 @@ object QueryCatalog {
         queryTerms = Seq("spark", "join", "window", "shuffle")),
       Some("""WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |    unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ')) AS term
         |  FROM documents
         |), tf AS (
         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1, 2
@@ -2976,8 +3007,8 @@ object QueryCatalog {
       (s, d) => ops.TextAnalysis.sourceKlDivergence(docs(s, d)),
       Some("""WITH toks AS (
         |  SELECT source,
-        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
-        |  FROM documents
+        |    unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents WHERE source IS NOT NULL
         |), tf AS (
         |  SELECT source, term, COUNT(*) AS cnt FROM toks WHERE length(term) > 0 GROUP BY 1, 2
         |), st AS (SELECT source, SUM(cnt) AS total FROM tf GROUP BY 1
@@ -2996,7 +3027,7 @@ object QueryCatalog {
     CatalogEntry("boilerplate_ngrams",
       (s, d) => ops.TextAnalysis.boilerplateGrams(docs(s, d), n = 2, minDocPct = 5),
       Some("""WITH toks AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS t
         |  FROM documents
         |), grams AS (
         |  SELECT DISTINCT doc_id, array_to_string(t[j:j+1], ' ') AS gram
@@ -3142,6 +3173,7 @@ object QueryCatalog {
     // gap idiom: a gap of EXACTLY 30min starts a new session here.
     CatalogEntry("session_window_agg",
       (s, d) => eventsTable(s, d)
+        .where(col("ts").isNotNull) // the events_hourly no-event-time contract
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
@@ -3150,7 +3182,7 @@ object QueryCatalog {
           expr("unix_micros(CAST(session_window.end AS TIMESTAMP))").as("session_end_us"),
           col("n_events"), col("total_value")),
       Some("""WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events WHERE ts IS NOT NULL
         |), m AS (
         |  SELECT user_id, ts_us, value,
         |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
@@ -3408,13 +3440,29 @@ object QueryCatalog {
           element_at(col("feature"), 2).as("f_var"),
           element_at(col("feature"), 3).as("f_len")),
       Some("""WITH b AS (
-        |  SELECT doc_id, length(text) AS len,
-        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS bytes
+        |  SELECT doc_id, strlen(coalesce(text, '')) AS len,
+        |    flatten(list_transform(
+        |      list_filter(string_split(coalesce(text, ''), ''), ch -> ch <> ''),
+        |      c -> CASE
+        |        WHEN ascii(c) < 128 THEN [CAST(ascii(c) AS BIGINT)]
+        |        WHEN ascii(c) < 2048 THEN [
+        |          CAST(192 + ascii(c) // 64 AS BIGINT),
+        |          CAST(128 + ascii(c) % 64 AS BIGINT)]
+        |        WHEN ascii(c) < 65536 THEN [
+        |          CAST(224 + ascii(c) // 4096 AS BIGINT),
+        |          CAST(128 + (ascii(c) // 64) % 64 AS BIGINT),
+        |          CAST(128 + ascii(c) % 64 AS BIGINT)]
+        |        ELSE [
+        |          CAST(240 + ascii(c) // 262144 AS BIGINT),
+        |          CAST(128 + (ascii(c) // 4096) % 64 AS BIGINT),
+        |          CAST(128 + (ascii(c) // 64) % 64 AS BIGINT),
+        |          CAST(128 + ascii(c) % 64 AS BIGINT)]
+        |      END)) AS bytes
         |  FROM documents
         |), m AS (
         |  SELECT doc_id, len,
-        |    CAST(list_sum(bytes) AS DOUBLE) AS s,
-        |    CAST(list_sum(list_transform(bytes, x -> x * x)) AS DOUBLE) AS sq,
+        |    CAST(coalesce(list_sum(bytes), 0) AS DOUBLE) AS s,
+        |    CAST(coalesce(list_sum(list_transform(bytes, x -> x * x)), 0) AS DOUBLE) AS sq,
         |    CAST(GREATEST(len, 1) AS DOUBLE) AS n,
         |    list_reduce(
         |      list_prepend(CAST(1125899906842597 AS HUGEINT),
@@ -3432,13 +3480,15 @@ object QueryCatalog {
         |FROM m""".stripMargin)),
 
     // frame metadata (doc_id, frame_idx, n_bytes) is pure chunk arithmetic
-    // over the payload length — every-2nd 64-byte chunk — so the oracle
-    // replays it with range() math; the frame payload itself stays Spark-side
+    // over the payload BYTE length (strlen — the payload is the text's
+    // UTF-8 bytes, not its characters; round-10 sweep caught the char
+    // model diverging on non-ASCII) — every-2nd 64-byte chunk — so the
+    // oracle replays it with range() math; the payload stays Spark-side
     CatalogEntry("multimodal_frames",
       (s, d) => ops.Multimodal.sampleFrames(ops.Multimodal.asMediaTable(docs(s, d)))
         .toDF().drop("frame"),
       Some("""WITH t AS (
-        |  SELECT doc_id, length(text) AS len FROM documents
+        |  SELECT doc_id, strlen(coalesce(text, '')) AS len FROM documents
         |), f AS (
         |  SELECT doc_id, unnest(range(0, CAST(ceil(len / 64.0) AS INT))) AS frame_idx, len
         |  FROM t WHERE len > 0

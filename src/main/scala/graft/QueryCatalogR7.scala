@@ -78,7 +78,7 @@ object QueryCatalogR7 {
       (s, d) => ops.TextAnalysis.collocations(docs(s, d), minCount = 5, topK = 20)
         .withColumn("rank", col("rank").cast("long")),
       Some("""WITH t AS (
-        |  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  SELECT string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |), uni AS (
         |  SELECT w, COUNT(*) AS wc FROM (SELECT unnest(toks) AS w FROM t) u
@@ -218,6 +218,7 @@ object QueryCatalogR7 {
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
         QueryCatalog.eventsRaw(s, d)
+          .filter(col("ts_us").isNotNull) // no event time -> no timeline segment
           .withColumn("next_us", lead(col("ts_us"), 1).over(w))
           .filter(col("next_us").isNotNull)
           .withColumn("gap_s", expr("(next_us - ts_us) div 1000000"))
@@ -234,7 +235,7 @@ object QueryCatalogR7 {
         |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v2,
         |    (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
         |      - epoch_us(ts)) // 1000000 AS gap_s
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |)
         |SELECT user_id, COUNT(*) AS n_segments,
         |  CAST(SUM(v2 * gap_s) AS DOUBLE) / CAST(SUM(gap_s) AS DOUBLE) AS twa
@@ -286,7 +287,7 @@ object QueryCatalogR7 {
       (s, d) => ops.TextAnalysis.zipfRanks(docs(s, d), topK = 50),
       Some("""WITH uni AS (
         |  SELECT w, COUNT(*) AS freq FROM (
-        |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |    SELECT unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ')) AS w
         |    FROM documents) u
         |  WHERE length(w) > 0 GROUP BY 1
         |), top AS (
@@ -406,6 +407,7 @@ object QueryCatalogR7 {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
         val wp = Window.partitionBy(col("prev_type"))
         QueryCatalog.eventsRaw(s, d)
+          .filter(col("ts_us").isNotNull) // no event time -> no sequence position
           .withColumn("next_type", lead(col("event_type"), 1).over(w))
           .filter(col("next_type").isNotNull)
           .groupBy(col("event_type").as("prev_type"), col("next_type"))
@@ -416,7 +418,7 @@ object QueryCatalogR7 {
       Some("""WITH seq AS (
         |  SELECT event_type AS prev_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |), c AS (
         |  SELECT prev_type, next_type, COUNT(*) AS cnt FROM seq
         |  WHERE next_type IS NOT NULL GROUP BY 1, 2
@@ -756,6 +758,7 @@ object QueryCatalogR7 {
           .orderBy(col("cnt").desc, col("next_type"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         QueryCatalog.eventsRaw(s, d)
+          .filter(col("ts_us").isNotNull) // no event time -> no sequence position
           .withColumn("next_type", lead(col("event_type"), 1).over(w))
           .filter(col("next_type").isNotNull)
           .groupBy(col("event_type").as("prev_type"), col("next_type"))
@@ -770,7 +773,7 @@ object QueryCatalogR7 {
       Some("""WITH seq AS (
         |  SELECT event_type AS prev_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |), c AS (
         |  SELECT prev_type, next_type, COUNT(*) AS cnt FROM seq
         |  WHERE next_type IS NOT NULL GROUP BY 1, 2
@@ -810,7 +813,7 @@ object QueryCatalogR7 {
       },
       Some(s"""WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        |    unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\\s+', ' ', 'g')), ' ')) AS term
         |  FROM documents
         |), tf AS (
         |  SELECT term, doc_id, COUNT(*) AS tf FROM toks
@@ -912,7 +915,7 @@ object QueryCatalogR7 {
       },
       Some("""WITH t AS (
         |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |)
         |SELECT doc_id,
@@ -1086,6 +1089,11 @@ object QueryCatalogR7 {
       (s, d) => {
         val ev = QueryCatalog.eventsRaw(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
+          // explicit statement of the groupedSelect contract (NULL group/
+          // value rows are excluded), mirrored in the oracle's WHERE —
+          // unlike the winsorize/mad twins, this query emits the groups
+          // DIRECTLY, so a NULL group has nowhere to fall out via a join
+          .filter(col("event_type").isNotNull && col("value").isNotNull)
         // cut expressions bound once (selection + matcher share the tree)
         val cuts = Seq("p50" -> expr("(50 * n + 99) div 100"),
           "p90" -> expr("(90 * n + 99) div 100"),
@@ -1102,7 +1110,7 @@ object QueryCatalogR7 {
         |  SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rank,
         |    COUNT(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events WHERE value IS NOT NULL
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
         |)
         |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
         |  MIN(CASE WHEN rank = (50 * n + 99) // 100 THEN value END) AS p50,
@@ -1135,7 +1143,10 @@ object QueryCatalogR7 {
       (s, d) => {
         val ev = QueryCatalog.eventsRaw(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
-          .filter(col("value").isNotNull) // sizes share the ranks' null contract
+          // sizes AND the pooled pass share the ranks' null contract: rows
+          // with a NULL value or NULL group are excluded everywhere, so the
+          // per-group and pooled rank populations agree (round-10 sweep)
+          .filter(col("value").isNotNull && col("event_type").isNotNull)
         val grouped = ops.Distribution.groupedRanks(
             ev, "event_type", col("value"), Seq(col("event_id")))
           .select(col("g").as("event_type"), col("v").as("value"),
@@ -1160,11 +1171,11 @@ object QueryCatalogR7 {
         |      ORDER BY value, event_id) AS BIGINT) AS rg,
         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS ng,
         |    CAST(COUNT(*) OVER () AS BIGINT) AS nn
-        |  FROM events WHERE value IS NOT NULL
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
         |), pooled AS (
         |  SELECT CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS idx,
         |    value AS pooled_v
-        |  FROM events WHERE value IS NOT NULL
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
         |)
         |SELECT r.event_id, r.event_type, r.value, p.pooled_v AS normalized
         |FROM ranked r JOIN pooled p

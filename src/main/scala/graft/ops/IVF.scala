@@ -33,17 +33,33 @@ object IVF {
     * argmax — a when-chain fold would reference the running best in both
     * branches and double the expression tree per centroid (2^c nodes; hung
     * at c=16). Ties resolve to the lowest index (array_position = first).
+    *
+    * NaN cosines (a zero-norm vector OR a zero-norm centroid) map to -∞
+    * before the argmax: Spark sorts/maxes NaN as GREATER than any double,
+    * so one degenerate all-zero centroid would otherwise capture EVERY
+    * vector (array_max = NaN → cell = that centroid) and collapse the
+    * index to a single cell. With -∞, a degenerate centroid simply never
+    * wins, and an all-zero vector lands in cell 0 by the lowest-index tie
+    * rule — the same order the oracle replays as `DESC NULLS LAST, cid`
+    * (adversarial-corpus sweep, round 10).
     */
   private def cellOf(vec: Column, centroids: Seq[Seq[Float]]): Column = {
-    val scores = array(centroids.map(ctr => VectorFunctions.cosine(vec, typedLit(ctr))): _*)
+    val scores = array(centroids.map(ctr =>
+      nanvl(VectorFunctions.cosine(vec, typedLit(ctr)), lit(Double.NegativeInfinity))): _*)
     (array_position(scores, array_max(scores)) - 1).cast("int").as("cell")
   }
 
   /** Train centroids with `iters` Lloyd steps (cosine assignment,
     * decimal-exact per-dimension means, unit-free — cosine ignores scale).
     */
-  def train(embs: DataFrame, c: Int, iters: Int = 3,
+  def train(embs0: DataFrame, c: Int, iters: Int = 3,
       vecCol: String = "embedding", idCol: String = "vec_id"): Index = {
+    // NULL vectors carry no geometry: a null row among the first c ids
+    // previously became a null centroid and NPE'd the driver collect
+    // (adversarial-corpus sweep, round 10) — excluded from init, training,
+    // and (below) assignment/probing, mirrored by the oracles'
+    // `WHERE embedding IS NOT NULL`
+    val embs = embs0.filter(col(vecCol).isNotNull)
     var centroids: Seq[Seq[Float]] = embs
       .orderBy(col(idCol)).limit(c)
       .select(vecCol).collect().map(_.getSeq[Float](0).toSeq).toSeq
@@ -71,9 +87,11 @@ object IVF {
     Index(centroids)
   }
 
-  /** Assign each vector to its IVF cell (the write-side of the index). */
+  /** Assign each vector to its IVF cell (the write-side of the index).
+    * NULL vectors are excluded — see [[train]]. */
   def assign(embs: DataFrame, index: Index, vecCol: String = "embedding"): DataFrame =
-    embs.withColumn("cell", cellOf(col(vecCol), index.centroids))
+    embs.filter(col(vecCol).isNotNull)
+      .withColumn("cell", cellOf(col(vecCol), index.centroids))
 
   /** ANN top-k: probe the `nprobe` cells whose centroids are nearest the
     * query, exact-rank candidates inside them.

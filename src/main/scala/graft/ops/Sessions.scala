@@ -17,11 +17,19 @@ object Sessions {
 
   /** events must carry raw microsecond ts as long (`ts_us`). A gap greater
     * than `gapMicros` (or the first event) opens a new session.
+    *
+    * Events with a NULL `ts_us` are EXCLUDED: an event without a time
+    * cannot be placed in a gap-based timeline, and leaving it to engine
+    * defaults diverges (Spark windows sort NULLs first ascending, DuckDB
+    * last) — Spark's own `session_window` drops such rows too, so this
+    * filter makes the batch op match both the streaming twin and the
+    * oracle's `WHERE ts IS NOT NULL` (adversarial-corpus sweep, round 10).
     */
   def sessionize(events: DataFrame, gapMicros: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
+      .filter(col("ts_us").isNotNull)
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_ts").isNull || (col("ts_us") - col("prev_ts")) > gapMicros, 1L)

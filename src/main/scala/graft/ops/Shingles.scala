@@ -18,6 +18,14 @@ object Shingles {
 
   /** Lowercased, whitespace-collapsed text. Materialize the result before
     * feeding it to the positional builders below.
+    *
+    * Case-mapping contract: Spark's `lower` is Unicode FULL lowercasing
+    * (Java `toLowerCase`), whose one unconditional multi-char mapping is
+    * U+0130 'İ' → "i" + U+0307 (combining dot above). DuckDB's `lower`
+    * implements the simple single-char mapping ('İ' → "i"), so every
+    * catalog oracle pre-expands `replace(text, 'İ', 'i' || chr(775))`
+    * before `lower(...)` to replay the engine's semantics exactly
+    * (adversarial-corpus sweep, round 10).
     */
   def normalize(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))

@@ -81,6 +81,12 @@ object Similarity {
   def bruteForceTopK(embs: DataFrame, query: Seq[Float], k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
     embs
+      // NULL vectors carry no geometry — excluded from every similarity
+      // index/candidate set (the IVF.train contract; oracles mirror with
+      // WHERE embedding IS NOT NULL). Zero-norm vectors score NaN and are
+      // dropped by the isnan filter on both engines (explicit-quotient
+      // oracle: 0/0 -> NULL).
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol), VectorFunctions.cosine(col(vecCol), typedLit(query)).as("score"))
       .filter(!isnan(col("score")))
       .orderBy(col("score").desc, col(idCol).asc)
@@ -93,7 +99,7 @@ object Similarity {
   def annTopK(embs: DataFrame, query: Seq[Float], k: Int,
       planes: Seq[Seq[Seq[Float]]],
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val bucketed = withLshBuckets(embs, vecCol, planes)
+    val bucketed = withLshBuckets(embs.filter(col(vecCol).isNotNull), vecCol, planes)
     val queryBuckets = planes.zipWithIndex.map { case (tablePlanes, t) =>
       (t, bucketOfVector(query, tablePlanes))
     }
@@ -131,8 +137,9 @@ object Similarity {
     */
   def exactNearDupPairs(embs: DataFrame, threshold: Double,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val nn = embs.filter(col(vecCol).isNotNull) // the null-vector contract
+    val a = nn.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = nn.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
@@ -149,7 +156,8 @@ object Similarity {
   def nearDupPairs(embs: DataFrame, threshold: Double,
       planes: Seq[Seq[Seq[Float]]], maxBucket: Int = 1000,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val slim = embs.select(col(idCol), col(vecCol))
+    val slim = embs.filter(col(vecCol).isNotNull) // the null-vector contract
+      .select(col(idCol), col(vecCol))
     // id-only bucket table (a vector carried through every bucket copy would
     // multiply the shuffle by tables × bucket-size); persisted because the
     // hyperplane dot products feed three consumers (sizes + both join sides)

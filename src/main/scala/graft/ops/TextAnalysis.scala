@@ -26,13 +26,18 @@ object TextAnalysis {
     val nWords = size(split(trim(t), "\\s+"))
     val nPunct = nChars - length(regexp_replace(t, "[.,;:!?]", ""))
     val nUpper = nChars - length(regexp_replace(t, "[A-Z]", ""))
+    // try_divide, not `/`: an empty document has n_chars = 0, and the
+    // ratio contract for an undefined denominator is NULL — exactly what
+    // DuckDB's double division-by-zero yields, so the oracle needs no
+    // guard of its own (adversarial-corpus sweep, round 10; plain `/`
+    // threw DIVIDE_BY_ZERO under ANSI)
     docs.select(
       col(idCol).as("doc_id"),
       nChars.cast("long").as("n_chars"),
       nWords.cast("long").as("n_words"),
-      (nChars.cast("double") / nWords).as("avg_word_len"),
-      (nPunct.cast("double") / nChars).as("punct_ratio"),
-      (nUpper.cast("double") / nChars).as("upper_ratio"))
+      try_divide(nChars.cast("double"), nWords).as("avg_word_len"),
+      try_divide(nPunct.cast("double"), nChars).as("punct_ratio"),
+      try_divide(nUpper.cast("double"), nChars).as("upper_ratio"))
   }
 
   /** Composite quality score for training-data filtering: length factor,
@@ -47,11 +52,15 @@ object TextAnalysis {
       .withColumn("toks", Shingles.tokensOfNorm(col("norm")))
     val nWords = size(col("toks"))
     val nChars = length(col(textCol))
-    val punctRatio = (nChars - length(regexp_replace(col(textCol), "[.,;:!?]", "")))
-      .cast("double") / nChars
-    val avgWordLen = nChars.cast("double") / nWords
-    val stopRatio = size(array_intersect(col("toks"), lit(markers("en").toArray)))
-      .cast("double") / nWords
+    // try_divide: empty text has n_chars = 0 → NULL ratio (the textStats
+    // contract); the NULL then flows through greatest/least, which skip
+    // NULLs identically in Spark and DuckDB, so the composite quality
+    // stays defined and cross-engine equal for empty documents
+    val punctRatio = try_divide((nChars - length(regexp_replace(col(textCol), "[.,;:!?]", "")))
+      .cast("double"), nChars)
+    val avgWordLen = try_divide(nChars.cast("double"), nWords)
+    val stopRatio = try_divide(size(array_intersect(col("toks"), lit(markers("en").toArray)))
+      .cast("double"), nWords)
     val lengthFactor = least(nWords.cast("double") / 50.0, lit(1.0))
     val punctFactor = greatest(lit(0.0), lit(1.0) - punctRatio * 5.0)
     val wordLenFactor = when(avgWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
@@ -413,7 +422,11 @@ object TextAnalysis {
   def sourceKlDivergence(docs: DataFrame, textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = termFrequencies(docs, textCol, sourceCol, spread = false)
+    // documents with a NULL source are excluded: a per-source distribution
+    // cannot be attributed to an unknown source, and SQL replay would drop
+    // the NULL key at the first equi-join anyway — stating it here makes
+    // engine and oracle agree by contract, not accident (round-10 sweep)
+    val tf = termFrequencies(docs.filter(col(sourceCol).isNotNull), textCol, sourceCol, spread = false)
       .withColumnRenamed("doc_id", "source").withColumnRenamed("tf", "cnt")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gt = tf.groupBy(col("term")).agg(sum(col("cnt")).as("gcnt"))
