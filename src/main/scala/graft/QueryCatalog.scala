@@ -71,7 +71,7 @@ object QueryCatalog {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
       |  last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
-      |  cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS price_cume
+      |  cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice NULLS FIRST) AS price_cume
       |FROM orders""".stripMargin
 
   /** Dialect-shared correlated scalar subquery. */
@@ -691,7 +691,7 @@ object QueryCatalog {
         |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
         |        CAST(row_number() OVER (PARTITION BY o_orderstatus
         |          ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
-        |      FROM orders) t
+        |      FROM orders WHERE o_totalprice IS NOT NULL) t
         |WHERE rn <= 3""".stripMargin)),
 
     // Ranking/navigation window family beyond rank(): dense_rank, ntile,
@@ -1342,7 +1342,7 @@ object QueryCatalog {
         .agg(concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
           .as("priorities")),
       Some("""SELECT o_orderstatus,
-        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+        |  COALESCE(string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority), '') AS priorities
         |FROM orders GROUP BY 1""".stripMargin)),
 
     // Array-column accessors over the embedding vectors
@@ -1520,14 +1520,14 @@ object QueryCatalog {
       Some("""WITH c AS (
         |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
         |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderdate, o_orderkey) AS prev,
+        |      ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS prev,
         |    row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |      ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS rn
         |  FROM orders),
         |v AS (SELECT * FROM c WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority)
         |SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
         |  lead(o_orderdate) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |    ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS valid_to
         |FROM v""".stripMargin)),
 
     // Ordered funnel (ops.Sessions.funnel): deepest in-order stage per user,
@@ -1690,20 +1690,26 @@ object QueryCatalog {
     // oracle derives them from two-pass central moments. All rounded 6dp —
     // the streaming-update algorithms differ in low bits.
     CatalogEntry("stats_suite",
-      (s, d) => T(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
-          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_covar"),
-          round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
-          round(var_samp(col("l_quantity")), 6).as("qty_var"),
-          round(skewness(col("l_quantity")), 6).as("qty_skew"),
-          round(kurtosis(col("l_quantity")), 6).as("qty_kurt")),
+      (s, d) => {
+        // degenerate moments (single-row group, zero variance) are NaN in
+        // Spark but NULL in SQL engines — the stated contract is the SQL
+        // one, so NaN maps to NULL (identity on any 2+-row group)
+        def nn(c: org.apache.spark.sql.Column) = when(c.isNaN, lit(null)).otherwise(c)
+        T(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(nn(corr(col("l_quantity"), col("l_extendedprice"))), 6).as("qty_price_corr"),
+            round(nn(covar_samp(col("l_quantity"), col("l_extendedprice"))), 6).as("qty_price_covar"),
+            round(nn(stddev_samp(col("l_quantity"))), 6).as("qty_stddev"),
+            round(nn(var_samp(col("l_quantity"))), 6).as("qty_var"),
+            round(nn(skewness(col("l_quantity"))), 6).as("qty_skew"),
+            round(nn(kurtosis(col("l_quantity"))), 6).as("qty_kurt"))
+      },
       Some("""WITH mu AS (
         |  SELECT l_returnflag AS flag, AVG(l_quantity) AS mu FROM lineitem GROUP BY 1),
         |c AS (
         |  SELECT l_returnflag, l_quantity, l_extendedprice, l_quantity - mu AS dq
-        |  FROM lineitem JOIN mu ON l_returnflag = flag)
+        |  FROM lineitem JOIN mu ON l_returnflag IS NOT DISTINCT FROM flag)
         |SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
         |  round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
@@ -2624,7 +2630,7 @@ object QueryCatalog {
       },
       Some("""SELECT o_orderkey, o_custkey,
         |  median(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |    ORDER BY CAST(o_orderdate AS DATE) NULLS FIRST, o_orderkey
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_median
         |FROM orders""".stripMargin)),
 
@@ -2635,7 +2641,10 @@ object QueryCatalog {
     // interpreted but over 6-element maps, not rows (ROUNDLOG lesson 1).
     CatalogEntry("map_funcs",
       (s, d) => {
-        val perType = T(s, d, "part").groupBy(col("p_brand"), col("p_type"))
+        // a map key must be non-null (Spark throws NULL_MAP_KEY): null
+        // p_type rows are excluded on both sides
+        val perType = T(s, d, "part").where(col("p_type").isNotNull)
+          .groupBy(col("p_brand"), col("p_type"))
           .agg(count(lit(1)).as("cnt"))
         perType.groupBy(col("p_brand"))
           .agg(map_from_entries(array_sort(
@@ -2648,7 +2657,8 @@ object QueryCatalog {
             size(map_keys(map_filter(col("m"), (_, v) => v < 10))).as("n_small_types"))
       },
       Some("""WITH t AS (
-        |  SELECT p_brand, p_type, COUNT(*) AS cnt FROM part GROUP BY 1, 2)
+        |  SELECT p_brand, p_type, COUNT(*) AS cnt FROM part
+        |  WHERE p_type IS NOT NULL GROUP BY 1, 2)
         |SELECT p_brand,
         |  COALESCE(MAX(CASE WHEN p_type = 'PROMO' THEN cnt END), 0) AS n_promo,
         |  COALESCE(MAX(CASE WHEN p_type = 'ECONOMY' THEN cnt END), 0) AS n_economy,
@@ -2841,6 +2851,7 @@ object QueryCatalog {
       Some("""WITH e0 AS (
         |  SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
         |                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst FROM lineitem
+        |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
         |), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
         |), deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1
         |), base AS (SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS b FROM deg
@@ -2880,6 +2891,10 @@ object QueryCatalog {
     // shuffle of the data itself.
     CatalogEntry("weighted_sample",
       (s, d) => T(s, d, "orders")
+        // A-ES weights must be POSITIVE: w = 0 divides by zero, w < 0
+        // inverts the priority order, w NULL is unweighable (round-10
+        // sweep; the > 0 predicate excludes NULL on both engines)
+        .where(col("o_totalprice") > 0)
         .withColumn("u",
           (ops.Replay.hash60(concat(lit("ws:"), col("o_orderkey").cast("string"))) + 1)
             / lit(1152921504606846976.0))
@@ -2890,7 +2905,7 @@ object QueryCatalog {
         |  SELECT o_orderkey, o_totalprice,
         |    -ln((('0x' || substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT + 1)
         |        / 1152921504606846976.0) / o_totalprice AS k
-        |  FROM orders)
+        |  FROM orders WHERE o_totalprice > 0)
         |SELECT o_orderkey, o_totalprice FROM t ORDER BY k, o_orderkey LIMIT 100""".stripMargin)),
 
     // Shannon token entropy per document (the vocabulary-diversity quality
@@ -3053,7 +3068,7 @@ object QueryCatalog {
       },
       Some("""SELECT o_custkey, o_orderkey,
         |  COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey
-        |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |    ORDER BY CAST(o_orderdate AS DATE) NULLS FIRST, o_orderkey
         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n_prios
         |FROM orders""".stripMargin)),
 
@@ -3119,6 +3134,10 @@ object QueryCatalog {
           .orderBy(col("o_orderdate").cast("date"), col("o_orderkey"))
           .rowsBetween(-9, Window.currentRow)
         T(s, d, "orders")
+          // null prices excluded on BOTH sides: DuckDB's list() keeps NULLs
+          // (poisoning the fold), Spark's collect_list silently drops them —
+          // an EWMA over an unmeasured value is undefined anyway
+          .where(col("o_totalprice").isNotNull)
           .withColumn("xs", collect_list(col("o_totalprice")).over(w))
           .select(col("o_orderkey"), col("o_custkey"),
             when(size(col("xs")) === 1, element_at(col("xs"), 1))
@@ -3130,9 +3149,9 @@ object QueryCatalog {
       Some("""WITH t AS (
         |  SELECT o_orderkey, o_custkey,
         |    list(o_totalprice) OVER (PARTITION BY o_custkey
-        |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |      ORDER BY CAST(o_orderdate AS DATE) NULLS FIRST, o_orderkey
         |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs
-        |  FROM orders
+        |  FROM orders WHERE o_totalprice IS NOT NULL
         |)
         |SELECT o_orderkey, o_custkey,
         |  CASE WHEN len(xs) = 1 THEN xs[1]
@@ -3404,7 +3423,7 @@ object QueryCatalog {
       },
       Some("""SELECT o_orderkey, o_custkey,
         |  last_value(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END IGNORE NULLS) OVER (
-        |    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS filled
+        |    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) NULLS FIRST, o_orderkey) AS filled
         |FROM orders""".stripMargin)),
 
     // Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicate

@@ -557,8 +557,12 @@ object QueryCatalogR7 {
     CatalogEntry("benford_digits",
       (s, d) => {
         val cents = col("o_totalprice").cast(DecimalType(18, 2)) * 100
-        val tot = T(s, d, "orders").agg(count(lit(1)).as("n"))
-        T(s, d, "orders")
+        // Benford's law applies to POSITIVE magnitudes: a negative value's
+        // "leading digit" is '-' (cast throws on both engines) and zero's
+        // is 0 (exp_p divides by it) — both excluded, denominator included
+        val pos = T(s, d, "orders").where(col("o_totalprice") > 0)
+        val tot = pos.agg(count(lit(1)).as("n"))
+        pos
           .withColumn("digit",
             substring(cents.cast("long").cast("string"), 1, 1).cast("int"))
           .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
@@ -569,9 +573,9 @@ object QueryCatalogR7 {
       },
       Some("""WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-        |  FROM orders
+        |  FROM orders WHERE o_totalprice > 0
         |), c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY 1
-        |), n AS (SELECT COUNT(*) AS n FROM orders)
+        |), n AS (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > 0)
         |SELECT digit, cnt,
         |  CAST(cnt AS DOUBLE) / (SELECT n FROM n) AS obs_p,
         |  round(log10(1e0 + 1e0 / digit), 9) AS exp_p
@@ -672,9 +676,11 @@ object QueryCatalogR7 {
             sum(q).as("sq"), sum(p).as("sp"),
             sum(q * q).as("sqq"), sum(p * p).as("spp"), sum(q * p).as("sqp"))
           .select(col("l_returnflag"), col("n"),
-            round((col("n") * col("sqp").cast("double")
-                - col("sq").cast("double") * col("sp").cast("double"))
-              / (sqrt(col("n") * col("sqq").cast("double")
+            // try_divide: a 1-row group has zero variance -> NULL corr
+            // (DuckDB's division-by-zero result), not an ANSI throw
+            round(try_divide(col("n") * col("sqp").cast("double")
+                - col("sq").cast("double") * col("sp").cast("double"),
+              sqrt(col("n") * col("sqq").cast("double")
                   - col("sq").cast("double") * col("sq").cast("double"))
                 * sqrt(col("n") * col("spp").cast("double")
                   - col("sp").cast("double") * col("sp").cast("double"))), 9)
@@ -1434,8 +1440,10 @@ object QueryCatalogR7 {
           sum(col("n_days")).as("tot_days"))
         monthly.crossJoin(broadcast(tot))
           .select(col("cal_month"), col("cents"), col("n_days"),
-            ((col("cents").cast("double") / col("n_days"))
-              / (col("tot_cents").cast("double") / col("tot_days"))).as("seasonal_idx"))
+            // try_divide: the NULL-month group (null dates) counts ZERO
+            // distinct days -> NULL index (DuckDB's /0), not an ANSI throw
+            try_divide(try_divide(col("cents").cast("double"), col("n_days")),
+              col("tot_cents").cast("double") / col("tot_days")).as("seasonal_idx"))
       },
       Some("""WITH m AS (
         |  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS cal_month,

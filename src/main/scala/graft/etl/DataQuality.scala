@@ -26,11 +26,18 @@ object DataQuality {
 
   /** Referential integrity: child rows whose key has no parent (anti-join —
     * broadcast when the parent is a dimension).
+    *
+    * A NULL child key is NOT an orphan — SQL foreign-key semantics (a null
+    * FK satisfies the constraint), and what the oracle's `NOT IN` replay
+    * computes anyway (NULL NOT IN ... is UNKNOWN). The anti-join used to
+    * count it because a null key matches nothing (round-10 sweep); check
+    * nullability with a separate completeness check if nulls matter.
     */
   def orphans(child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame =
-    child.join(parent.select(col(parentKey)),
-      child(childKey) === parent(parentKey), "left_anti")
+    child.filter(child(childKey).isNotNull)
+      .join(parent.select(col(parentKey)),
+        child(childKey) === parent(parentKey), "left_anti")
 
   /** Accepted values: rows whose column falls outside the allowed set. */
   def acceptedValues(df: DataFrame, c: String, allowed: Seq[String]): DataFrame =

@@ -118,6 +118,15 @@ object Graph {
           Array[org.apache.spark.sql.Row]), DataFrame] = {
     require(iterations >= 1, "need at least one iteration")
     require(hubSalts >= 1, "hubSalts must be >= 1")
+    // Edges with a NULL endpoint are EXCLUDED: a null node has no identity
+    // to accumulate rank under, and leaving it in diverges engines (one
+    // side's count(*) node census includes the null "node", shifting the
+    // base rank b = scale/|V| and with it EVERY rank value — round-10
+    // sweep). Unlike triangleStats' loud null-id guard (whose concern is
+    // silent count corruption inside a packed min/max), dropping the edge
+    // here is well-defined graph semantics: rank mass simply never flows
+    // through a nameless endpoint. Oracles mirror with src/dst IS NOT NULL.
+    val edgesNN = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
     val spark = edges.sparkSession
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Prefer INTEGER node ids in `edges`: shuffling/distincting longs is
@@ -133,7 +142,7 @@ object Graph {
     // bucket, so duplicates always land in the same sub-group.)
     val transients = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val directed = {
-      val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      val e0 = edgesNN.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       if (dedupEdges) e0
       else {
         // the caller's edge expression usually embeds a distinct — cache the

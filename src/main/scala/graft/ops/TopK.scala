@@ -64,7 +64,12 @@ object TopK {
       k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val typed = df.select(
+    // Rows with a NULL score are EXCLUDED: a top-k by an unknown score is
+    // undefined, and the primitive Double in the typed boundary would
+    // otherwise die with an opaque NOT_NULL_ASSERT_VIOLATION (round-10
+    // sweep). idCol must be non-null (same encoder constraint); the
+    // catalog oracle mirrors the score filter as `score IS NOT NULL`.
+    val typed = df.filter(col(scoreCol).isNotNull).select(
       col(groupCol).cast("string").as("g"),
       col(scoreCol).cast("double").as("score"),
       col(idCol).cast("long").as("id"))

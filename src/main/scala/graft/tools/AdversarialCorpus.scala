@@ -202,6 +202,81 @@ object AdversarialCorpus {
     b.result()
   }
 
+  /** Adversarial rows APPENDED to the base relational tables (round-10
+    * second wave): the byte-copied TPC-H-ish tables never exercised the
+    * ~140 relational queries with hostile shapes. Keys stay non-null and
+    * mostly referentially sound (the TPC-H generator contract); the
+    * appended rows add what a regeneration could plausibly emit — NULL
+    * measures/dates/flags, empty and non-ASCII strings, orphan foreign
+    * keys, duplicate business keys (dq_checks counts them identically on
+    * both engines), boundary dates, and timestamps with a time-of-day
+    * component (the base corpus is all-midnight).
+    *
+    * Construction: rows are built against the BASE file's exact schema
+    * (createDataFrame + base.schema), so an i32 column stays i32 and the
+    * union cannot silently widen a type.
+    */
+  private def appendRows(spark: SparkSession, baseFile: String,
+      rows: Seq[Seq[Any]]): DataFrame = {
+    val base = spark.read.parquet(baseFile)
+    val crafted = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        rows.map(vs => org.apache.spark.sql.Row(vs: _*)): _*)),
+      base.schema)
+    base.unionByName(crafted)
+  }
+
+  private def ts(y: Int, m: Int, d: Int, h: Int = 0, mi: Int = 0, s: Int = 0) =
+    LocalDateTime.of(y, m, d, h, mi, s)
+
+  def ordersExtra: Seq[Seq[Any]] = Seq(
+    Seq(2000L, 5L, "O", null, ts(1997, 3, 5), "1-URGENT"),            // null price
+    Seq(2001L, 7L, null, 0.0, ts(1998, 6, 1), null),                  // null status+priority
+    Seq(2002L, 99999L, "F", 123.45, ts(1996, 2, 29), "5-LOW"),        // orphan cust, leap day
+    Seq(2003L, null, "O", 10.0, ts(1997, 7, 4), "3-MEDIUM"),          // null custkey
+    Seq(2004L, 3L, "", -50.0, ts(1999, 9, 9), ""),                    // empty flags, negative
+    Seq(2005L, 11L, "O", 42.0, null, "2-HIGH"),                       // NULL date
+    Seq(2006L, 11L, "O", 43.0, ts(1995, 1, 1), "2-HIGH"),             // min boundary
+    Seq(2007L, 2L, "P", 44.0, ts(2001, 8, 1), "4-NOT SPECIFIED"),     // max boundary
+    Seq(2008L, 2L, "O", 999999.99, ts(2000, 12, 31), "5-LOW"),
+    Seq(2009L, 0L, "O", 55.55, ts(2000, 2, 29, 12, 34, 56), "1-URGENT"), // time-of-day
+    Seq(2010L, 4L, "O", 60.0, ts(1997, 1, 15), "3-MEDIUM"),           // duplicate pk pair
+    Seq(2010L, 4L, "F", 61.0, ts(1997, 1, 16), "3-MEDIUM"),
+    Seq(2012L, 8L, "X", 66.6, ts(1998, 4, 1), "1-DRINGEND-É"))        // unseen codes
+
+  def customerExtra: Seq[Seq[Any]] = Seq(
+    Seq(200L, "Müller Çelik", Int.box(3), 100.0, "MACHINERY"),
+    Seq(201L, "东方 客户", Int.box(7), null, "BUILDING"),              // null acctbal
+    Seq(202L, "😀 customer", Int.box(12), -1000.0, null),             // null segment
+    Seq(203L, "", Int.box(0), 0.0, ""),                               // empty strings
+    Seq(204L, null, Int.box(5), 55.5, "FURNITURE"),                   // null name
+    Seq(205L, "O'Brien \"quoted\", comma", Int.box(9), 10.0, "HOUSEHOLD"),
+    Seq(206L, "İpek Ünal", Int.box(99), 20.0, "AUTOMOBILE"),          // orphan nation
+    Seq(207L, "plain person", null, 30.0, "machinery"))               // null nation, case-variant seg
+
+  def lineitemExtra: Seq[Seq[Any]] = Seq(
+    Seq(10L, 5L, 2L, Int.box(9), null, 100.0, 0.05, 0.02, "N", "O", ts(1997, 5, 5)), // null qty
+    Seq(10L, 6L, 3L, Int.box(10), 0.0, null, null, null, "A", "F", ts(1997, 5, 6)),  // null money
+    Seq(11L, null, 2L, Int.box(9), 3.0, 30.0, 0.1, 0.0, "R", "O", ts(1998, 1, 1)),   // null partkey
+    Seq(11L, 7L, null, Int.box(10), 4.0, 40.0, 1.0, 0.0, "N", "F", ts(1998, 1, 2)),  // 100% discount
+    Seq(12L, 9999L, 2L, Int.box(9), -5.0, -50.0, 0.0, 0.0, "R", "F", ts(1998, 2, 2)), // orphan part, negatives
+    Seq(12L, 8L, 4L, Int.box(10), 6.0, 60.0, 0.0, 0.08, null, null, ts(1998, 3, 3)), // null flags
+    Seq(13L, 9L, 5L, Int.box(9), 7.0, 70.0, 0.02, 0.01, "", "", null),               // null shipdate
+    Seq(13L, 10L, 6L, Int.box(10), 8.0, 80.0, 0.03, 0.01, "A", "O", ts(1995, 1, 2)), // min boundary
+    Seq(88888L, 11L, 7L, Int.box(1), 9.0, 90.0, 0.04, 0.01, "N", "O", ts(2001, 11, 4)), // orphan order, max date
+    Seq(2000L, 12L, 8L, Int.box(1), 10.0, 95.0, 0.05, 0.02, "R", "O", ts(1999, 6, 30, 23, 59, 59)))
+
+  def partExtra: Seq[Seq[Any]] = Seq(
+    Seq(300L, "πart 零件", "Brand#13", "ECONOMY", Int.box(0), 0.0),
+    Seq(301L, null, null, null, null, null),                          // all-null attrs
+    Seq(302L, "", "Brand#5", "", Int.box(-1), -9.99),
+    Seq(303L, "emoji 🚀 bolt", "Brand#19", "PROMO", Int.box(50), 123.45))
+
+  def supplierExtra: Seq[Seq[Any]] = Seq(
+    Seq(20L, "Ünal 供应商", Int.box(3), null),
+    Seq(21L, null, null, -5.0),
+    Seq(22L, "", Int.box(99), 0.0))
+
   /** Write df as a SINGLE parquet FILE at `dest` (the driver corpus layout:
     * `{sf}/{table}.parquet` is a file, and check_oracle.py globs files). */
   private def writeSingleFile(df: DataFrame, dest: String): Unit = {
@@ -228,17 +303,25 @@ object AdversarialCorpus {
     import spark.implicits._
 
     Files.createDirectories(Paths.get(outDir))
+    val appended = Map(
+      "orders" -> ordersExtra, "customer" -> customerExtra,
+      "lineitem" -> lineitemExtra, "part" -> partExtra,
+      "supplier" -> supplierExtra)
     val replaced = Set("documents", "events", "embeddings")
-    graft.Tables.names.filterNot(replaced).foreach { t =>
+    graft.Tables.names.filterNot(t => replaced(t) || appended.contains(t)).foreach { t =>
       Files.copy(Paths.get(s"$baseDir/$t.parquet"),
         Paths.get(s"$outDir/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    appended.foreach { case (t, extra) =>
+      writeSingleFile(appendRows(spark, s"$baseDir/$t.parquet", extra),
+        s"$outDir/$t.parquet")
     }
     writeSingleFile(docs.toDF(), s"$outDir/documents.parquet")
     writeSingleFile(events.toDF(), s"$outDir/events.parquet")
     writeSingleFile(embeddings.toDF(), s"$outDir/embeddings.parquet")
 
     // print the shapes so a sweep log self-documents
-    Seq("documents", "events", "embeddings").foreach { t =>
+    (Seq("documents", "events", "embeddings") ++ appended.keys.toSeq.sorted).foreach { t =>
       val df = spark.read.parquet(s"$outDir/$t.parquet")
       println(s"ADV $t rows=${df.count()} schema=${df.schema.simpleString}")
     }

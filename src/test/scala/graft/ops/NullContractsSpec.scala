@@ -95,6 +95,39 @@ class NullContractsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("TopK.perGroup excludes null scores instead of an encoder assert") {
+    val df = Seq(
+      (Some(10.0), "a", 1L), (Some(20.0), "a", 2L),
+      (Option.empty[Double], "a", 3L), // null score -> excluded
+      (Option.empty[Double], "b", 4L)  // a group with ONLY null scores
+    ).toDF("score", "g", "id")
+    val top = TopK.perGroup(df, "g", "score", "id", k = 2).collect()
+    assert(top.map(_.getAs[Long]("id")).toSet === Set(2L, 1L))
+    assert(!top.exists(_.getAs[String]("g") == "b"))
+  }
+
+  test("DataQuality.orphans: a NULL foreign key is not an orphan") {
+    import graft.etl.DataQuality
+    val child = Seq(Some(1L), Some(99L), None).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val bad = DataQuality.orphans(child, "fk", parent, "pk").collect()
+    assert(bad.map(_.getAs[Long]("fk")).toSeq === Seq(99L))
+  }
+
+  test("pageRank excludes edges with a null endpoint") {
+    val edges = Seq(
+      (Some(1L), Some(2L)), (Some(2L), Some(3L)),
+      (Some(1L), None), (None, Some(3L))).toDF("src", "dst")
+    val clean = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val withNulls = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Graph.pageRank(clean, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the null "node" must not enter the census (it would shift the base
+    // rank b = scale/|V| and every rank value with it)
+    assert(withNulls === expected)
+  }
+
   test("regexp no-match extracts NULL under try_cast, both engines' contract") {
     val docs = Seq((1L, "src42"), (2L, "srcA"), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "source")
