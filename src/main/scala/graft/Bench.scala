@@ -162,16 +162,22 @@ object Bench {
     // hand, now in the artifact. A solo time ≪ the passes' min says the
     // chunk environment (not the plan) inflated the query.
     val soloCount = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO", "5").toInt.max(0)
-    val solo = results.sortBy(-_._2).take(soloCount).map { case (name, _, _, _) =>
+    val soloFailed = scala.collection.mutable.LinkedHashSet[String]()
+    val solo = results.sortBy(-_._2).take(soloCount).flatMap { case (name, _, _, _) =>
       val spark = newSession()
       spark.range(1000000).selectExpr("sum(id)").collect()
       warmChunk(spark, Seq(name), "solo")
       val before = acc(name)
       measure(spark, name, "solo")
+      // a FAILED solo run's duration is a fast crash, not a timing — a
+      // reader applying "solo ≪ passes min ⇒ chunk contention" would draw
+      // exactly the wrong conclusion from it (round-10 review). Surface
+      // the failure in its own field and keep the number out of `solo`.
+      val soloOk = acc(name)._2
       val soloMin = acc(name)._1.drop(before._1.size).min
       acc(name) = before // solo samples stay out of the headline min
       spark.stop()
-      name -> soloMin
+      if (soloOk) Some(name -> soloMin) else { soloFailed += name; None }
     }
     val loadEnd = loadAvg()
 
@@ -192,12 +198,13 @@ object Bench {
     val warmFailedJson = warmFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val soloJson = solo.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val soloFailedJson = soloFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // "warm" records whether an unmeasured steady-state warmup ran, so
     // consumers can tell warm timings from cold-start ones (ADVICE r2)
     def line(withSamples: Boolean) = {
       val samples = if (withSamples) s""","samples":$spread""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"passes":$passes,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"queries":$qs$samples,"solo":$soloJson,"failed":$failed,"warm_failed":$warmFailedJson,"sf":"$sfDir","warm":$warmed,"warm_dir":"$warmDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"passes":$passes,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"queries":$qs$samples,"solo":$soloJson,"solo_failed":$soloFailedJson,"failed":$failed,"warm_failed":$warmFailedJson,"sf":"$sfDir","warm":$warmed,"warm_dir":"$warmDir"}"""
     }
     // stdout gets captured-and-truncated by the harness (the r3 tail lost
     // the "value" field; r5/r6 lost the whole parse) — keep stdout compact

@@ -820,9 +820,20 @@ object QueryCatalog {
     * final threshold cut; the LSH recall CONTRACT (catch rate
     * 1-(1-J^4)^16) is documented in COVERAGE.md.
     */
+  /** The oracle-side twin of [[ops.Shingles.normalize]]'s case mapping:
+    * DuckDB `lower()` is the SIMPLE Unicode map while Spark's is FULL
+    * lowercasing, whose one unconditional multi-char mapping is U+0130
+    * 'İ' → i + U+0307 — pre-expanded here so both engines agree (round-10
+    * adversarial sweep). ONE definition, interpolated into every
+    * text-normalizing oracle: the next case-mapping divergence gets fixed
+    * in exactly one place (round-10 review).
+    */
+  private[graft] val lowerTextSql: String =
+    "lower(replace(text, 'İ', 'i' || chr(775)))"
+
   private val verifiedPairsCtes: String =
-    """t AS (
-      |  SELECT doc_id, trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')) AS norm
+    raw"""t AS (
+      |  SELECT doc_id, trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')) AS norm
       |  FROM documents
       |), gs AS (
       |  SELECT doc_id,
@@ -863,7 +874,7 @@ object QueryCatalog {
     * distinct pipeline, so `fps` is bit-equal to the Spark frame.
     */
   private val fingerprintCtes: String =
-    """t AS (SELECT doc_id, text, trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')) AS norm
+    raw"""t AS (SELECT doc_id, text, trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')) AS norm
       |      FROM documents),
       |base AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash, norm,
       |         length(norm) - 7 AS n_grams FROM t WHERE length(norm) - 7 - 3 > 0),
@@ -931,10 +942,10 @@ object QueryCatalog {
     // zero hits => 'und'
     CatalogEntry("lang_id",
       (s, d) => ops.TextAnalysis.languageId(docs(s, d)),
-      Some("""WITH t AS (
+      Some(raw"""WITH t AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')) AS norm,
-        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
+        |    trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')) AS norm,
+        |    string_split(trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |), s AS (
         |  SELECT doc_id,
@@ -967,9 +978,9 @@ object QueryCatalog {
     // TextAnalysis.qualityScore exactly
     CatalogEntry("doc_quality",
       (s, d) => ops.TextAnalysis.qualityScore(docs(s, d)),
-      Some("""WITH t AS (
+      Some(raw"""WITH t AS (
         |  SELECT doc_id, text,
-        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks,
+        |    string_split(trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')), ' ') AS toks,
         |    length(text) AS n_chars
         |  FROM documents
         |), m AS (
@@ -992,9 +1003,9 @@ object QueryCatalog {
     CatalogEntry("tfidf_top_terms",
       (s, d) => ops.TextAnalysis.tfidfTopTerms(docs(s, d), m = 5)
         .withColumn("weight", round(col("weight"), 9)),
-      Some("""WITH toks AS (
+      Some(raw"""WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ')) AS term
+        |    unnest(string_split(trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')), ' ')) AS term
         |  FROM documents
         |), tf AS (
         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1, 2
@@ -1067,7 +1078,7 @@ object QueryCatalog {
     CatalogEntry("dedup_minhash",
       (s, d) => ops.Replay.minhashCandidates(docs(s, d),
         k = 64, bands = 16, shingleLen = 5, maxBucket = 100, minEstJaccard = 0.25),
-      Some("""WITH t AS (SELECT doc_id, trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')) AS norm
+      Some(raw"""WITH t AS (SELECT doc_id, trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')) AS norm
         |      FROM documents),
         |ga AS (SELECT doc_id, list_distinct([substr(norm, i, 5) FOR i IN range(1, len(norm) - 3)]) AS grams
         |       FROM t WHERE len(norm) >= 5),
@@ -1142,7 +1153,7 @@ object QueryCatalog {
     // (Dedup.simhashPairs) is the scale path, pinned by DedupSpec.
     CatalogEntry("dedup_simhash",
       (s, d) => ops.Replay.simhashPairs(docs(s, d), maxHamming = 3, maxBucket = 200),
-      Some("""WITH t AS (SELECT doc_id, trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')) AS norm
+      Some(raw"""WITH t AS (SELECT doc_id, trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')) AS norm
         |      FROM documents),
         |tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM t),
         |tokh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
@@ -1168,9 +1179,9 @@ object QueryCatalog {
     CatalogEntry("ngram_jaccard",
       (s, d) => ops.Dedup.ngramJaccardPairs(docs(s, d),
         n = 3, threshold = 0.01, maxBucket = 100),
-      Some("""WITH t AS (
+      Some(raw"""WITH t AS (
         |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
+        |    string_split(trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |), g AS (
         |  SELECT DISTINCT doc_id, gram FROM (
@@ -1557,12 +1568,12 @@ object QueryCatalog {
           all.filter(col("doc_id") % 10 =!= 0),
           all.filter(col("doc_id") % 10 === 0), n = 8)
       },
-      Some("""WITH g AS (
+      Some(raw"""WITH g AS (
         |  SELECT DISTINCT doc_id, gram FROM (
         |    SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
         |        FOR i IN range(1, len(toks) - 6)]) AS gram
         |    FROM (SELECT doc_id,
-        |            string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
+        |            string_split(trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')), ' ') AS toks
         |          FROM documents))
         |), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
         |SELECT doc_id, COUNT(*) AS shared_grams
@@ -1856,9 +1867,9 @@ object QueryCatalog {
     // strings where Spark uses the one-pass hash kernel
     CatalogEntry("repetition_ratio",
       (s, d) => ops.TextAnalysis.repetitionRatios(docs(s, d)),
-      Some("""WITH t AS (
+      Some(raw"""WITH t AS (
         |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
+        |    string_split(trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |), g AS (
         |  SELECT doc_id, len(toks) AS n_words,
@@ -1876,15 +1887,15 @@ object QueryCatalog {
     // C4-style hard quality filter with per-rule audit booleans
     CatalogEntry("quality_filter",
       (s, d) => ops.TextAnalysis.qualityFilter(docs(s, d)),
-      Some("""WITH t AS (
+      Some(raw"""WITH t AS (
         |  SELECT doc_id, text,
-        |    trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')) AS norm,
-        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
+        |    trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')) AS norm,
+        |    string_split(trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |), m AS (
         |  SELECT doc_id,
         |    len(toks) >= 10 AS enough_words,
-        |    regexp_matches(text, '[.!?]\s*$') AS terminal_punct,
+        |    regexp_matches(text, '[.!?]\s*$$') AS terminal_punct,
         |    CAST(length(norm) AS DOUBLE) / len(toks) BETWEEN 3e0 AND 1e1 AS sane_word_len,
         |    list_max(list_transform(toks, x -> length(x))) <= 30 AS no_giant_word,
         |    len(list_intersect(toks, ['the','and','of','to','is','in','that','with'])) > 0 AS has_stopword
@@ -1898,8 +1909,8 @@ object QueryCatalog {
     // zipped double-unnest is DuckDB's positional bigram idiom
     CatalogEntry("bigram_lm",
       (s, d) => ops.TextAnalysis.bigramConditionals(docs(s, d), minCount = 5),
-      Some("""WITH t AS (
-        |  SELECT string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
+      Some(raw"""WITH t AS (
+        |  SELECT string_split(trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |), bg AS (
         |  SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
@@ -1917,9 +1928,9 @@ object QueryCatalog {
     // libm/summation-order noise across engines
     CatalogEntry("perplexity_score",
       (s, d) => ops.TextAnalysis.perplexityScores(docs(s, d)),
-      Some("""WITH t AS (
+      Some(raw"""WITH t AS (
         |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
+        |    string_split(trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |), bg AS (
         |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
@@ -1952,12 +1963,12 @@ object QueryCatalog {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars").cast("long")).as("total_chars"))
       },
-      Some("""WITH train AS (
+      Some(raw"""WITH train AS (
         |  SELECT * FROM documents WHERE doc_id % 10 <> 0
         |), t AS (
         |  SELECT doc_id, text,
-        |    trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')) AS norm,
-        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
+        |    trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')) AS norm,
+        |    string_split(trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')), ' ') AS toks
         |  FROM train
         |), q AS (
         |  SELECT doc_id FROM t
@@ -1980,7 +1991,7 @@ object QueryCatalog {
         |  SELECT DISTINCT gram FROM (
         |    SELECT unnest([array_to_string(toks[i:i+7], ' ')
         |        FOR i IN range(1, len(toks) - 6)]) AS gram
-        |    FROM (SELECT string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
+        |    FROM (SELECT string_split(trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')), ' ') AS toks
         |          FROM documents WHERE doc_id % 10 = 0))
         |), contam AS (
         |  SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)
@@ -2993,9 +3004,9 @@ object QueryCatalog {
     CatalogEntry("bm25_scores",
       (s, d) => ops.TextAnalysis.bm25Scores(docs(s, d),
         queryTerms = Seq("spark", "join", "window", "shuffle")),
-      Some("""WITH toks AS (
+      Some(raw"""WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ')) AS term
+        |    unnest(string_split(trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')), ' ')) AS term
         |  FROM documents
         |), tf AS (
         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1, 2
@@ -3020,9 +3031,9 @@ object QueryCatalog {
     // divisions; the per-source sum rounds to 6 (accumulation order).
     CatalogEntry("source_kl_divergence",
       (s, d) => ops.TextAnalysis.sourceKlDivergence(docs(s, d)),
-      Some("""WITH toks AS (
+      Some(raw"""WITH toks AS (
         |  SELECT source,
-        |    unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ')) AS term
+        |    unnest(string_split(trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')), ' ')) AS term
         |  FROM documents WHERE source IS NOT NULL
         |), tf AS (
         |  SELECT source, term, COUNT(*) AS cnt FROM toks WHERE length(term) > 0 GROUP BY 1, 2
@@ -3041,8 +3052,8 @@ object QueryCatalog {
     // operator scaladoc for the double-ceil tie hazard it avoids.
     CatalogEntry("boilerplate_ngrams",
       (s, d) => ops.TextAnalysis.boilerplateGrams(docs(s, d), n = 2, minDocPct = 5),
-      Some("""WITH toks AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS t
+      Some(raw"""WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')), ' ') AS t
         |  FROM documents
         |), grams AS (
         |  SELECT DISTINCT doc_id, array_to_string(t[j:j+1], ' ') AS gram

@@ -77,8 +77,8 @@ object QueryCatalogR7 {
     CatalogEntry("collocation_pmi",
       (s, d) => ops.TextAnalysis.collocations(docs(s, d), minCount = 5, topK = 20)
         .withColumn("rank", col("rank").cast("long")),
-      Some("""WITH t AS (
-        |  SELECT string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
+      Some(raw"""WITH t AS (
+        |  SELECT string_split(trim(regexp_replace(${QueryCatalog.lowerTextSql}, '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |), uni AS (
         |  SELECT w, COUNT(*) AS wc FROM (SELECT unnest(toks) AS w FROM t) u
@@ -285,9 +285,9 @@ object QueryCatalogR7 {
     // corpus distribution sanity check for curation pipelines
     CatalogEntry("zipf_ranks",
       (s, d) => ops.TextAnalysis.zipfRanks(docs(s, d), topK = 50),
-      Some("""WITH uni AS (
+      Some(raw"""WITH uni AS (
         |  SELECT w, COUNT(*) AS freq FROM (
-        |    SELECT unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ')) AS w
+        |    SELECT unnest(string_split(trim(regexp_replace(${QueryCatalog.lowerTextSql}, '\s+', ' ', 'g')), ' ')) AS w
         |    FROM documents) u
         |  WHERE length(w) > 0 GROUP BY 1
         |), top AS (
@@ -559,8 +559,11 @@ object QueryCatalogR7 {
         val cents = col("o_totalprice").cast(DecimalType(18, 2)) * 100
         // Benford's law applies to POSITIVE magnitudes: a negative value's
         // "leading digit" is '-' (cast throws on both engines) and zero's
-        // is 0 (exp_p divides by it) — both excluded, denominator included
-        val pos = T(s, d, "orders").where(col("o_totalprice") > 0)
+        // is 0 (exp_p divides by it). The filter tests the ROUNDED cents,
+        // not the raw price — a sub-cent positive price (0 < p < 0.005)
+        // still rounds to zero cents and would reintroduce digit 0
+        // (round-10 review)
+        val pos = T(s, d, "orders").where(cents.cast("long") >= 1)
         val tot = pos.agg(count(lit(1)).as("n"))
         pos
           .withColumn("digit",
@@ -573,9 +576,10 @@ object QueryCatalogR7 {
       },
       Some("""WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-        |  FROM orders WHERE o_totalprice > 0
+        |  FROM orders WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >= 1
         |), c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY 1
-        |), n AS (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > 0)
+        |), n AS (SELECT COUNT(*) AS n FROM orders
+        |         WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >= 1)
         |SELECT digit, cnt,
         |  CAST(cnt AS DOUBLE) / (SELECT n FROM n) AS obs_p,
         |  round(log10(1e0 + 1e0 / digit), 9) AS exp_p
@@ -817,9 +821,9 @@ object QueryCatalogR7 {
               .as("postings_digest"))
           .filter(col("df") >= 5)
       },
-      Some(s"""WITH toks AS (
+      Some(raw"""WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\\s+', ' ', 'g')), ' ')) AS term
+        |    unnest(string_split(trim(regexp_replace(${QueryCatalog.lowerTextSql}, '\s+', ' ', 'g')), ' ')) AS term
         |  FROM documents
         |), tf AS (
         |  SELECT term, doc_id, COUNT(*) AS tf FROM toks
@@ -919,9 +923,9 @@ object QueryCatalogR7 {
               .cast("long").as("n_total_hits"))
           .withColumn("flagged", col("n_distinct_hits") > 0)
       },
-      Some("""WITH t AS (
+      Some(raw"""WITH t AS (
         |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(replace(text, 'İ', 'i' || chr(775))), '\s+', ' ', 'g')), ' ') AS toks
+        |    string_split(trim(regexp_replace(${QueryCatalog.lowerTextSql}, '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |)
         |SELECT doc_id,

@@ -253,13 +253,17 @@ object Dedup {
     // distributed — reject loudly instead, mirroring triangleStats' guard
     // (ADVICE r9).
     val counts = edges.agg(count(lit(1)).as("n"),
-      count(col("src")).as("nSrc"), count(col("dst")).as("nDst")).head()
+      count(when(col("src").isNull || col("dst").isNull, 1)).as("nBad")).head()
     val nEdges = counts.getLong(0)
-    if (counts.getLong(1) != nEdges || counts.getLong(2) != nEdges) {
+    val nBad = counts.getLong(1)
+    if (nBad > 0) {
       edges.unpersist()
+      // count the bad EDGES directly: deriving it from per-column non-null
+      // counts undercounted when src and dst carried nulls in different
+      // rows (round-10 review) — the user acts on this number
       throw new IllegalArgumentException(
-        s"connectedComponents: ${nEdges - math.min(counts.getLong(1), counts.getLong(2))} " +
-          "edge(s) carry a null doc id — filter or repair ids before clustering")
+        s"connectedComponents: $nBad edge(s) carry a null doc id — " +
+          "filter or repair ids before clustering")
     }
     val budget = if (integral) driverEdgeLimit else driverEdgeLimit / 4
     if (nEdges <= budget && (integral || idType == StringType)) {

@@ -104,14 +104,24 @@ object MediaCodecs {
     val width = i32le(b, 18)
     val rawHeight = i32le(b, 22)
     val topDown = rawHeight < 0
+    // math.abs(Int.MinValue) is still negative: without the explicit
+    // reject below, the row loop would run zero times and a syntactically
+    // valid zero-pixel feature row would flow downstream silently — the
+    // exact quiet poisoning this decoder's fail-loud contract forbids
     val height = math.abs(rawHeight)
     val bpp = u16le(b, 28)
     val compression = i32le(b, 30)
     if (bpp != 24) fail(r, s"unsupported bit depth $bpp (24 bpp only)")
     if (compression != 0) fail(r, s"compressed BMP (method $compression) unsupported")
-    if (width <= 0 || height == 0) fail(r, s"bad dimensions ${width}x$rawHeight")
-    val stride = ((width * 3 + 3) / 4) * 4
-    val need = pixelOffset.toLong + stride.toLong * height
+    if (width <= 0 || height <= 0) fail(r, s"bad dimensions ${width}x$rawHeight")
+    // stride/need in LONG: width near Int.MaxValue/3 wraps `width * 3`
+    // negative in Int, which slips past the bounds check and turns a
+    // malformed header into an uncontrolled ArrayIndexOutOfBounds instead
+    // of the contracted doc_id-tagged failure (round-10 review)
+    val strideL = ((width.toLong * 3 + 3) / 4) * 4
+    val need = pixelOffset.toLong + strideL * height
+    if (strideL > Int.MaxValue) fail(r, s"width $width overflows row stride")
+    val stride = strideL.toInt
     if (pixelOffset < 54 || need > b.length)
       fail(r, s"pixel data out of bounds (need $need of ${b.length} bytes)")
     val acc = new PixelAccumulator(width, height)
@@ -205,7 +215,10 @@ object MediaCodecs {
     while (pos + 8 <= b.length && (dataStart < 0 || channels < 0)) {
       val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = i32le(b, pos + 4)
-      if (size < 0 || pos + 8 + size > b.length)
+      // compare in LONG: a declared size near Int.MaxValue wraps
+      // `pos + 8 + size` negative and escapes an Int-typed guard (the
+      // skip-chunk `pos` advance below is safe once this check holds)
+      if (size < 0 || pos.toLong + 8 + size > b.length)
         fail(r, s"chunk '$id' out of bounds (size $size at offset $pos)")
       id match {
         case "fmt " =>

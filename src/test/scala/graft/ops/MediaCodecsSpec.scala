@@ -154,6 +154,40 @@ class MediaCodecsSpec extends SparkSpec {
     assert(e3.getMessage.contains("missing fmt"), e3.getMessage)
   }
 
+  test("overflow-hostile headers fail loudly, never crash or return silently") {
+    // BMP width near Int.MaxValue/3: `width * 3` wraps negative in Int —
+    // must be the contracted IllegalArgumentException, not an
+    // ArrayIndexOutOfBounds from a bypassed bounds check (round-10 review)
+    val hugeWidth = bmpBytes(2, 2, topDown = false)
+    le32At(hugeWidth, 18, 800000000)
+    val e1 = intercept[IllegalArgumentException](
+      MediaCodecs.decode(row(hugeWidth, "image/bmp", id = 7L)))
+    assert(e1.getMessage.contains("doc_id=7"), e1.getMessage)
+    // rawHeight = Int.MinValue survives math.abs as a NEGATIVE height: the
+    // old `height == 0` guard passed and a zero-pixel feature row flowed
+    // out silently
+    val minHeight = bmpBytes(2, 2, topDown = false)
+    le32At(minHeight, 22, Int.MinValue)
+    val e2 = intercept[IllegalArgumentException](
+      MediaCodecs.decode(row(minHeight, "image/bmp")))
+    assert(e2.getMessage.contains("bad dimensions"), e2.getMessage)
+    // WAV chunk with size near Int.MaxValue: `pos + 8 + size` wraps
+    // negative and escaped the Int-typed guard
+    val wav = new ByteArrayOutputStream()
+    wav.write("RIFF".getBytes("US-ASCII")); le32(wav, 100)
+    wav.write("WAVE".getBytes("US-ASCII"))
+    wav.write("data".getBytes("US-ASCII")); le32(wav, Int.MaxValue - 8)
+    wav.write(new Array[Byte](64))
+    val e3 = intercept[IllegalArgumentException](
+      MediaCodecs.decode(row(wav.toByteArray, "wav")))
+    assert(e3.getMessage.contains("out of bounds"), e3.getMessage)
+  }
+
+  private def le32At(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v & 0xFF).toByte; b(i + 1) = ((v >> 8) & 0xFF).toByte
+    b(i + 2) = ((v >> 16) & 0xFF).toByte; b(i + 3) = ((v >> 24) & 0xFF).toByte
+  }
+
   test("extractFeatures dispatches by format: real decode + stub fallback side by side") {
     val media = Seq(
       (1L, bmpBytes(2, 2, topDown = false), "image/bmp", 2, 2),
