@@ -242,7 +242,10 @@ object AdversarialCorpus {
     Seq(2009L, 0L, "O", 55.55, ts(2000, 2, 29, 12, 34, 56), "1-URGENT"), // time-of-day
     Seq(2010L, 4L, "O", 60.0, ts(1997, 1, 15), "3-MEDIUM"),           // duplicate pk pair
     Seq(2010L, 4L, "F", 61.0, ts(1997, 1, 16), "3-MEDIUM"),
-    Seq(2012L, 8L, "X", 66.6, ts(1998, 4, 1), "1-DRINGEND-É"))        // unseen codes
+    Seq(2012L, 8L, "X", 66.6, ts(1998, 4, 1), "1-DRINGEND-É"),        // unseen codes
+    Seq(2014L, 208L, "O", 70.0, ts(1999, 2, 1), "5-LOW"),             // -> null-name nation
+    Seq(2015L, 209L, "F", 71.0, ts(1999, 2, 2), "5-LOW"),             // -> unicode nation
+    Seq(2016L, 210L, "O", 72.0, ts(1999, 2, 3), "5-LOW"))             // -> null-name region
 
   def customerExtra: Seq[Seq[Any]] = Seq(
     Seq(200L, "Müller Çelik", Int.box(3), 100.0, "MACHINERY"),
@@ -252,7 +255,13 @@ object AdversarialCorpus {
     Seq(204L, null, Int.box(5), 55.5, "FURNITURE"),                   // null name
     Seq(205L, "O'Brien \"quoted\", comma", Int.box(9), 10.0, "HOUSEHOLD"),
     Seq(206L, "İpek Ünal", Int.box(99), 20.0, "AUTOMOBILE"),          // orphan nation
-    Seq(207L, "plain person", null, 30.0, "machinery"))               // null nation, case-variant seg
+    Seq(207L, "plain person", null, 30.0, "machinery"),               // null nation, case-variant seg
+    // customers wired to the adversarial NATIONS below, so null / non-ASCII
+    // / empty dim attributes actually flow through the join queries
+    // (an unreferenced dim row changes nothing)
+    Seq(208L, "via null-name nation", Int.box(31), 40.0, "MACHINERY"),
+    Seq(209L, "via unicode nation", Int.box(30), 41.0, "BUILDING"),
+    Seq(210L, "via null-name region", Int.box(35), 42.0, "FURNITURE"))
 
   def lineitemExtra: Seq[Seq[Any]] = Seq(
     Seq(10L, 5L, 2L, Int.box(9), null, 100.0, 0.05, 0.02, "N", "O", ts(1997, 5, 5)), // null qty
@@ -271,6 +280,18 @@ object AdversarialCorpus {
     Seq(301L, null, null, null, null, null),                          // all-null attrs
     Seq(302L, "", "Brand#5", "", Int.box(-1), -9.99),
     Seq(303L, "emoji 🚀 bolt", "Brand#19", "PROMO", Int.box(50), 123.45))
+
+  def nationExtra: Seq[Seq[Any]] = Seq(
+    Seq(Int.box(30), "Deutschland Öst", Int.box(1)),                  // non-ASCII name
+    Seq(Int.box(31), null, Int.box(2)),                               // null name
+    Seq(Int.box(32), "", Int.box(0)),                                 // empty name
+    Seq(Int.box(33), "keyless nation", null),                         // null region FK
+    Seq(Int.box(34), "orphan nation", Int.box(9)),                    // orphan region FK
+    Seq(Int.box(35), "in nameless region", Int.box(5)))               // -> null-name region
+
+  def regionExtra: Seq[Seq[Any]] = Seq(
+    Seq(Int.box(5), null),                                            // null name
+    Seq(Int.box(6), ""))                                              // empty name
 
   def supplierExtra: Seq[Seq[Any]] = Seq(
     Seq(20L, "Ünal 供应商", Int.box(3), null),
@@ -306,12 +327,13 @@ object AdversarialCorpus {
     val appended = Map(
       "orders" -> ordersExtra, "customer" -> customerExtra,
       "lineitem" -> lineitemExtra, "part" -> partExtra,
-      "supplier" -> supplierExtra)
+      "supplier" -> supplierExtra, "nation" -> nationExtra,
+      "region" -> regionExtra)
     val replaced = Set("documents", "events", "embeddings")
     graft.Tables.names.filterNot(t => replaced(t) || appended.contains(t)).foreach { t =>
       Files.copy(Paths.get(s"$baseDir/$t.parquet"),
         Paths.get(s"$outDir/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    }
+    } // (every table is now replaced or appended; the copy loop stays for safety)
     appended.foreach { case (t, extra) =>
       writeSingleFile(appendRows(spark, s"$baseDir/$t.parquet", extra),
         s"$outDir/$t.parquet")
