@@ -229,74 +229,89 @@ object AdversarialCorpus {
   private def ts(y: Int, m: Int, d: Int, h: Int = 0, mi: Int = 0, s: Int = 0) =
     LocalDateTime.of(y, m, d, h, mi, s)
 
-  def ordersExtra: Seq[Seq[Any]] = Seq(
-    Seq(2000L, 5L, "O", null, ts(1997, 3, 5), "1-URGENT"),            // null price
-    Seq(2001L, 7L, null, 0.0, ts(1998, 6, 1), null),                  // null status+priority
-    Seq(2002L, 99999L, "F", 123.45, ts(1996, 2, 29), "5-LOW"),        // orphan cust, leap day
-    Seq(2003L, null, "O", 10.0, ts(1997, 7, 4), "3-MEDIUM"),          // null custkey
-    Seq(2004L, 3L, "", -50.0, ts(1999, 9, 9), ""),                    // empty flags, negative
-    Seq(2005L, 11L, "O", 42.0, null, "2-HIGH"),                       // NULL date
-    Seq(2006L, 11L, "O", 43.0, ts(1995, 1, 1), "2-HIGH"),             // min boundary
-    Seq(2007L, 2L, "P", 44.0, ts(2001, 8, 1), "4-NOT SPECIFIED"),     // max boundary
-    Seq(2008L, 2L, "O", 999999.99, ts(2000, 12, 31), "5-LOW"),
-    Seq(2009L, 0L, "O", 55.55, ts(2000, 2, 29, 12, 34, 56), "1-URGENT"), // time-of-day
-    Seq(2010L, 4L, "O", 60.0, ts(1997, 1, 15), "3-MEDIUM"),           // duplicate pk pair
-    Seq(2010L, 4L, "F", 61.0, ts(1997, 1, 16), "3-MEDIUM"),
-    Seq(2012L, 8L, "X", 66.6, ts(1998, 4, 1), "1-DRINGEND-É"),        // unseen codes
-    Seq(2014L, 208L, "O", 70.0, ts(1999, 2, 1), "5-LOW"),             // -> null-name nation
-    Seq(2015L, 209L, "F", 71.0, ts(1999, 2, 2), "5-LOW"),             // -> unicode nation
-    Seq(2016L, 210L, "O", 72.0, ts(1999, 2, 3), "5-LOW"))             // -> null-name region
+  /** Key offsets derived from the BASE tables' max keys, so appended ids
+    * never collide with real ids at any base SF (at sf0.01 the old fixed
+    * 200/2000-style ids collided with live custkeys/orderkeys, minting
+    * accidental duplicate PKs that crashed the correlated scalar subquery
+    * and skewed join fanout). At sf0.001 the derived values reproduce the
+    * original fixture ids exactly (1499+501=2000, 149+51=200, ...).
+    */
+  final case class Keys(ko: Long, kc: Long, kp: Long, ks: Long, kn: Int, kr: Int) {
+    def orphanCust: Long = kc + 1000     // beyond base AND appended range
+    def orphanOrder: Long = ko + 500
+    def orphanPart: Long = kp + 999
+    def orphanNation: Int = kn + 50
+    def orphanRegion: Int = kr + 4
+  }
 
-  def customerExtra: Seq[Seq[Any]] = Seq(
-    Seq(200L, "Müller Çelik", Int.box(3), 100.0, "MACHINERY"),
-    Seq(201L, "东方 客户", Int.box(7), null, "BUILDING"),              // null acctbal
-    Seq(202L, "😀 customer", Int.box(12), -1000.0, null),             // null segment
-    Seq(203L, "", Int.box(0), 0.0, ""),                               // empty strings
-    Seq(204L, null, Int.box(5), 55.5, "FURNITURE"),                   // null name
-    Seq(205L, "O'Brien \"quoted\", comma", Int.box(9), 10.0, "HOUSEHOLD"),
-    Seq(206L, "İpek Ünal", Int.box(99), 20.0, "AUTOMOBILE"),          // orphan nation
-    Seq(207L, "plain person", null, 30.0, "machinery"),               // null nation, case-variant seg
+  def ordersExtra(k: Keys): Seq[Seq[Any]] = Seq(
+    Seq(k.ko + 0, 5L, "O", null, ts(1997, 3, 5), "1-URGENT"),         // null price
+    Seq(k.ko + 1, 7L, null, 0.0, ts(1998, 6, 1), null),               // null status+priority
+    Seq(k.ko + 2, k.orphanCust, "F", 123.45, ts(1996, 2, 29), "5-LOW"), // orphan cust, leap day
+    Seq(k.ko + 3, null, "O", 10.0, ts(1997, 7, 4), "3-MEDIUM"),       // null custkey
+    Seq(k.ko + 4, 3L, "", -50.0, ts(1999, 9, 9), ""),                 // empty flags, negative
+    Seq(k.ko + 5, 11L, "O", 42.0, null, "2-HIGH"),                    // NULL date
+    Seq(k.ko + 6, 11L, "O", 43.0, ts(1995, 1, 1), "2-HIGH"),          // min boundary
+    Seq(k.ko + 7, 2L, "P", 44.0, ts(2001, 8, 1), "4-NOT SPECIFIED"),  // max boundary
+    Seq(k.ko + 8, 2L, "O", 999999.99, ts(2000, 12, 31), "5-LOW"),
+    Seq(k.ko + 9, 0L, "O", 55.55, ts(2000, 2, 29, 12, 34, 56), "1-URGENT"), // time-of-day
+    Seq(k.ko + 10, 4L, "O", 60.0, ts(1997, 1, 15), "3-MEDIUM"),       // duplicate pk pair
+    Seq(k.ko + 10, 4L, "F", 61.0, ts(1997, 1, 16), "3-MEDIUM"),
+    Seq(k.ko + 12, 8L, "X", 66.6, ts(1998, 4, 1), "1-DRINGEND-É"),    // unseen codes
+    Seq(k.ko + 14, k.kc + 8, "O", 70.0, ts(1999, 2, 1), "5-LOW"),     // -> null-name nation
+    Seq(k.ko + 15, k.kc + 9, "F", 71.0, ts(1999, 2, 2), "5-LOW"),     // -> unicode nation
+    Seq(k.ko + 16, k.kc + 10, "O", 72.0, ts(1999, 2, 3), "5-LOW"))    // -> null-name region
+
+  def customerExtra(k: Keys): Seq[Seq[Any]] = Seq(
+    Seq(k.kc + 0, "Müller Çelik", Int.box(3), 100.0, "MACHINERY"),
+    Seq(k.kc + 1, "东方 客户", Int.box(7), null, "BUILDING"),          // null acctbal
+    Seq(k.kc + 2, "😀 customer", Int.box(12), -1000.0, null),         // null segment
+    Seq(k.kc + 3, "", Int.box(0), 0.0, ""),                           // empty strings
+    Seq(k.kc + 4, null, Int.box(5), 55.5, "FURNITURE"),               // null name
+    Seq(k.kc + 5, "O'Brien \"quoted\", comma", Int.box(9), 10.0, "HOUSEHOLD"),
+    Seq(k.kc + 6, "İpek Ünal", Int.box(k.orphanNation), 20.0, "AUTOMOBILE"), // orphan nation
+    Seq(k.kc + 7, "plain person", null, 30.0, "machinery"),           // null nation, case-variant seg
     // customers wired to the adversarial NATIONS below, so null / non-ASCII
     // / empty dim attributes actually flow through the join queries
     // (an unreferenced dim row changes nothing)
-    Seq(208L, "via null-name nation", Int.box(31), 40.0, "MACHINERY"),
-    Seq(209L, "via unicode nation", Int.box(30), 41.0, "BUILDING"),
-    Seq(210L, "via null-name region", Int.box(35), 42.0, "FURNITURE"))
+    Seq(k.kc + 8, "via null-name nation", Int.box(k.kn + 1), 40.0, "MACHINERY"),
+    Seq(k.kc + 9, "via unicode nation", Int.box(k.kn + 0), 41.0, "BUILDING"),
+    Seq(k.kc + 10, "via null-name region", Int.box(k.kn + 5), 42.0, "FURNITURE"))
 
-  def lineitemExtra: Seq[Seq[Any]] = Seq(
+  def lineitemExtra(k: Keys): Seq[Seq[Any]] = Seq(
     Seq(10L, 5L, 2L, Int.box(9), null, 100.0, 0.05, 0.02, "N", "O", ts(1997, 5, 5)), // null qty
     Seq(10L, 6L, 3L, Int.box(10), 0.0, null, null, null, "A", "F", ts(1997, 5, 6)),  // null money
     Seq(11L, null, 2L, Int.box(9), 3.0, 30.0, 0.1, 0.0, "R", "O", ts(1998, 1, 1)),   // null partkey
     Seq(11L, 7L, null, Int.box(10), 4.0, 40.0, 1.0, 0.0, "N", "F", ts(1998, 1, 2)),  // 100% discount
-    Seq(12L, 9999L, 2L, Int.box(9), -5.0, -50.0, 0.0, 0.0, "R", "F", ts(1998, 2, 2)), // orphan part, negatives
+    Seq(12L, k.orphanPart, 2L, Int.box(9), -5.0, -50.0, 0.0, 0.0, "R", "F", ts(1998, 2, 2)), // orphan part, negatives
     Seq(12L, 8L, 4L, Int.box(10), 6.0, 60.0, 0.0, 0.08, null, null, ts(1998, 3, 3)), // null flags
     Seq(13L, 9L, 5L, Int.box(9), 7.0, 70.0, 0.02, 0.01, "", "", null),               // null shipdate
     Seq(13L, 10L, 6L, Int.box(10), 8.0, 80.0, 0.03, 0.01, "A", "O", ts(1995, 1, 2)), // min boundary
-    Seq(88888L, 11L, 7L, Int.box(1), 9.0, 90.0, 0.04, 0.01, "N", "O", ts(2001, 11, 4)), // orphan order, max date
-    Seq(2000L, 12L, 8L, Int.box(1), 10.0, 95.0, 0.05, 0.02, "R", "O", ts(1999, 6, 30, 23, 59, 59)))
+    Seq(k.orphanOrder, 11L, 7L, Int.box(1), 9.0, 90.0, 0.04, 0.01, "N", "O", ts(2001, 11, 4)), // orphan order, max date
+    Seq(k.ko + 0, 12L, 8L, Int.box(1), 10.0, 95.0, 0.05, 0.02, "R", "O", ts(1999, 6, 30, 23, 59, 59)))
 
-  def partExtra: Seq[Seq[Any]] = Seq(
-    Seq(300L, "πart 零件", "Brand#13", "ECONOMY", Int.box(0), 0.0),
-    Seq(301L, null, null, null, null, null),                          // all-null attrs
-    Seq(302L, "", "Brand#5", "", Int.box(-1), -9.99),
-    Seq(303L, "emoji 🚀 bolt", "Brand#19", "PROMO", Int.box(50), 123.45))
+  def partExtra(k: Keys): Seq[Seq[Any]] = Seq(
+    Seq(k.kp + 0, "πart 零件", "Brand#13", "ECONOMY", Int.box(0), 0.0),
+    Seq(k.kp + 1, null, null, null, null, null),                      // all-null attrs
+    Seq(k.kp + 2, "", "Brand#5", "", Int.box(-1), -9.99),
+    Seq(k.kp + 3, "emoji 🚀 bolt", "Brand#19", "PROMO", Int.box(50), 123.45))
 
-  def nationExtra: Seq[Seq[Any]] = Seq(
-    Seq(Int.box(30), "Deutschland Öst", Int.box(1)),                  // non-ASCII name
-    Seq(Int.box(31), null, Int.box(2)),                               // null name
-    Seq(Int.box(32), "", Int.box(0)),                                 // empty name
-    Seq(Int.box(33), "keyless nation", null),                         // null region FK
-    Seq(Int.box(34), "orphan nation", Int.box(9)),                    // orphan region FK
-    Seq(Int.box(35), "in nameless region", Int.box(5)))               // -> null-name region
+  def nationExtra(k: Keys): Seq[Seq[Any]] = Seq(
+    Seq(Int.box(k.kn + 0), "Deutschland Öst", Int.box(1)),            // non-ASCII name
+    Seq(Int.box(k.kn + 1), null, Int.box(2)),                         // null name
+    Seq(Int.box(k.kn + 2), "", Int.box(0)),                           // empty name
+    Seq(Int.box(k.kn + 3), "keyless nation", null),                   // null region FK
+    Seq(Int.box(k.kn + 4), "orphan nation", Int.box(k.orphanRegion)), // orphan region FK
+    Seq(Int.box(k.kn + 5), "in nameless region", Int.box(k.kr + 0)))  // -> null-name region
 
-  def regionExtra: Seq[Seq[Any]] = Seq(
-    Seq(Int.box(5), null),                                            // null name
-    Seq(Int.box(6), ""))                                              // empty name
+  def regionExtra(k: Keys): Seq[Seq[Any]] = Seq(
+    Seq(Int.box(k.kr + 0), null),                                     // null name
+    Seq(Int.box(k.kr + 1), ""))                                       // empty name
 
-  def supplierExtra: Seq[Seq[Any]] = Seq(
-    Seq(20L, "Ünal 供应商", Int.box(3), null),
-    Seq(21L, null, null, -5.0),
-    Seq(22L, "", Int.box(99), 0.0))
+  def supplierExtra(k: Keys): Seq[Seq[Any]] = Seq(
+    Seq(k.ks + 0, "Ünal 供应商", Int.box(3), null),
+    Seq(k.ks + 1, null, null, -5.0),
+    Seq(k.ks + 2, "", Int.box(k.orphanNation), 0.0))
 
   /** Write df as a SINGLE parquet FILE at `dest` (the driver corpus layout:
     * `{sf}/{table}.parquet` is a file, and check_oracle.py globs files). */
@@ -324,11 +339,22 @@ object AdversarialCorpus {
     import spark.implicits._
 
     Files.createDirectories(Paths.get(outDir))
+    def maxKey(t: String, c: String): Long =
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .agg(org.apache.spark.sql.functions.max(c)).head()
+        .get(0).asInstanceOf[Number].longValue
+    val k = Keys(
+      ko = maxKey("orders", "o_orderkey") + 501,
+      kc = maxKey("customer", "c_custkey") + 51,
+      kp = maxKey("part", "p_partkey") + 101,
+      ks = maxKey("supplier", "s_suppkey") + 11,
+      kn = (maxKey("nation", "n_nationkey") + 6).toInt,
+      kr = (maxKey("region", "r_regionkey") + 1).toInt)
     val appended = Map(
-      "orders" -> ordersExtra, "customer" -> customerExtra,
-      "lineitem" -> lineitemExtra, "part" -> partExtra,
-      "supplier" -> supplierExtra, "nation" -> nationExtra,
-      "region" -> regionExtra)
+      "orders" -> ordersExtra(k), "customer" -> customerExtra(k),
+      "lineitem" -> lineitemExtra(k), "part" -> partExtra(k),
+      "supplier" -> supplierExtra(k), "nation" -> nationExtra(k),
+      "region" -> regionExtra(k))
     val replaced = Set("documents", "events", "embeddings")
     graft.Tables.names.filterNot(t => replaced(t) || appended.contains(t)).foreach { t =>
       Files.copy(Paths.get(s"$baseDir/$t.parquet"),
