@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Seeded fuzz sweep (round-11 verdict item 3): for each seed, regenerate
+# the adversarial corpus WITH the seeded random wave, run the full
+# catalog, and oracle-check. A failing seed is a permanent regression
+# fixture — the corpus is deterministic per seed.
+#
+# Usage: scripts/fuzz_sweep.sh [seed...]        (default: 1 2 3 4 5)
+#        FUZZ_BASE=/root/testdata/sf0.001       (base tables)
+set -uo pipefail
+cd "$(dirname "$0")/.."
+BASE="${FUZZ_BASE:-/root/testdata/sf0.001}"
+SEEDS=("$@")
+[ ${#SEEDS[@]} -eq 0 ] && SEEDS=(1 2 3 4 5)
+fail=0
+for s in "${SEEDS[@]}"; do
+  echo "=== fuzz seed $s ==="
+  ./scripts/run_main.sh graft.tools.AdversarialCorpus "/tmp/fuzz_sf_$s" "$BASE" --fuzz "$s" \
+    >/dev/null 2>&1 || { echo "seed $s: corpus generation FAILED"; fail=1; continue; }
+  ./scripts/run_main.sh graft.Verify "/tmp/fuzz_sf_$s" "/tmp/fuzz_verify_$s" \
+    >/dev/null 2>&1 || { echo "seed $s: Verify FAILED"; fail=1; continue; }
+  python3 scripts/check_oracle.py "/tmp/fuzz_sf_$s" "/tmp/fuzz_verify_$s" | tail -2
+  [ "${PIPESTATUS[0]}" -ne 0 ] && fail=1
+done
+exit $fail

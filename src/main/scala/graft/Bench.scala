@@ -91,7 +91,11 @@ object Bench {
     def stateTeardown(): Unit =
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
-    def measure(spark: SparkSession, name: String, tag: String): Unit = {
+    // returns THIS invocation's ok (all `runs` samples succeeded) — the
+    // accumulated acc(name)._2 folds in earlier passes, so a solo re-run
+    // reading it would misclassify "failed in the passes, solo fine" as a
+    // solo failure (ADVICE r10)
+    def measure(spark: SparkSession, name: String, tag: String): Boolean = {
       val fn = SparkEntry.queries(name)
       System.err.println(s"[bench] $tag running $name ...")
       val times = (1 to runs).map { _ =>
@@ -112,6 +116,7 @@ object Bench {
       val (prevSamples, prevOk) = acc(name)
       acc(name) = (prevSamples ++ times.map(_._1), prevOk && times.forall(_._2))
       System.err.println(f"[bench] $tag $name: ${times.map(_._1).min}%.2f s (min of $runs, max ${times.map(_._1).max}%.2f)")
+      times.forall(_._2)
     }
 
     def warmChunk(spark: SparkSession, chunk: Seq[String], tag: String): Unit = if (warmed) {
@@ -168,12 +173,13 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       warmChunk(spark, Seq(name), "solo")
       val before = acc(name)
-      measure(spark, name, "solo")
       // a FAILED solo run's duration is a fast crash, not a timing — a
       // reader applying "solo ≪ passes min ⇒ chunk contention" would draw
       // exactly the wrong conclusion from it (round-10 review). Surface
       // the failure in its own field and keep the number out of `solo`.
-      val soloOk = acc(name)._2
+      // measure's return is THIS run's outcome alone: the accumulated flag
+      // would brand a passes-failure as a solo failure (ADVICE r10).
+      val soloOk = measure(spark, name, "solo")
       val soloMin = acc(name)._1.drop(before._1.size).min
       acc(name) = before // solo samples stay out of the headline min
       spark.stop()

@@ -27,17 +27,22 @@ object DataQuality {
   /** Referential integrity: child rows whose key has no parent (anti-join —
     * broadcast when the parent is a dimension).
     *
-    * A NULL child key is NOT an orphan — SQL foreign-key semantics (a null
-    * FK satisfies the constraint), and what the oracle's `NOT IN` replay
-    * computes anyway (NULL NOT IN ... is UNKNOWN). The anti-join used to
-    * count it because a null key matches nothing (round-10 sweep); check
-    * nullability with a separate completeness check if nulls matter.
+    * A NULL child key is NOT an orphan by default — SQL foreign-key
+    * semantics (a null FK satisfies the constraint), and what the oracle's
+    * `NOT IN` replay computes anyway (NULL NOT IN ... is UNKNOWN). The
+    * anti-join used to count it because a null key matches nothing
+    * (round-10 sweep). BEHAVIOR CHANGE in r10 for callers that relied on
+    * null keys being flagged (ADVICE r10): pass `nullsAsOrphans = true`
+    * to restore the pre-r10 count (equivalent to this check plus a
+    * not-null completeness check on the FK column).
     */
   def orphans(child: DataFrame, childKey: String,
-      parent: DataFrame, parentKey: String): DataFrame =
-    child.filter(child(childKey).isNotNull)
-      .join(parent.select(col(parentKey)),
-        child(childKey) === parent(parentKey), "left_anti")
+      parent: DataFrame, parentKey: String,
+      nullsAsOrphans: Boolean = false): DataFrame = {
+    val base = if (nullsAsOrphans) child else child.filter(child(childKey).isNotNull)
+    base.join(parent.select(col(parentKey)),
+      child(childKey) === parent(parentKey), "left_anti")
+  }
 
   /** Accepted values: rows whose column falls outside the allowed set. */
   def acceptedValues(df: DataFrame, c: String, allowed: Seq[String]): DataFrame =

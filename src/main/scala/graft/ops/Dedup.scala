@@ -266,7 +266,7 @@ object Dedup {
           "filter or repair ids before clustering")
     }
     val budget = if (integral) driverEdgeLimit else driverEdgeLimit / 4
-    if (nEdges <= budget && (integral || idType == StringType)) {
+    if (nEdges <= graft.ScaleGates.cap(budget) && (integral || idType == StringType)) {
       val out =
         if (integral) unionFindComponents(edges)
         else unionFindStringComponents(edges)

@@ -108,7 +108,7 @@ object Distribution {
     // operator stays single-consumption and leaks no cache handle
     // (CacheContractSpec discipline).
     val offsetsSide =
-      if (approxGroups <= broadcastRowCap) broadcast(boffsets) else boffsets
+      if (approxGroups <= graft.ScaleGates.cap(broadcastRowCap)) broadcast(boffsets) else boffsets
     // in-bucket rank: the window partitions by (group, bucket), so a heavy
     // group fans out over `buckets` tasks instead of one
     val wr = Window.partitionBy(col("g"), col("__b"))
@@ -192,7 +192,8 @@ object Distribution {
     // understating it risks a fat broadcast, never wrong results). Past
     // the cap, a shuffle join — slower, never driver-fatal.
     val targetsSide =
-      if (approxGroups * maxCuts <= broadcastRowCap) broadcast(targets) else targets
+      if (approxGroups * maxCuts <= graft.ScaleGates.cap(broadcastRowCap)) broadcast(targets)
+      else targets
     // inner join prunes the fact to hit buckets map-side AND replicates a
     // bucket once per target it contains; the window partitions by
     // (g, __b, rank) so each target ranks its own replica independently
@@ -242,7 +243,7 @@ object Distribution {
     val med = selectAtRanks(b.bucketed, orderCols.size, medianRank,
       b.approxGroups, maxCuts = 1, broadcastRowCap)
       .select(col("g"), col("v").as("med"))
-    if (b.approxGroups <= maxLocalGroups) {
+    if (b.approxGroups <= graft.ScaleGates.cap(maxLocalGroups)) {
       val medRows = med.collect()
       val medSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("g", b.bucketed.schema("g").dataType),

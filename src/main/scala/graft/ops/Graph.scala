@@ -218,7 +218,7 @@ object Graph {
       org.apache.spark.sql.types.StructField("node", adj.schema("src").dataType),
       org.apache.spark.sql.types.StructField("rank",
         org.apache.spark.sql.types.LongType, nullable = false)))
-    if (n <= maxVectorNodes) {
+    if (n <= graft.ScaleGates.cap(maxVectorNodes)) {
       def local(rows: Array[org.apache.spark.sql.Row]) = spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), rankSchema)
       var rows = step(init, bcast = true).collect()
@@ -303,7 +303,7 @@ object Graph {
     // the two degree joins never shuffle the edge list; the SAME un-projected
     // frame feeds both joins, so the second is served by ReuseExchange from
     // the first's broadcast. Past the gate: shuffle joins, never driver-fatal.
-    val degB = if (nNodes <= 10000000L) broadcast(deg) else deg
+    val degB = if (nNodes <= graft.ScaleGates.cap(10000000L)) broadcast(deg) else deg
     // (degree, id) packed into one orderable long
     val keyed = e
       .join(degB, col("src") === col("node"))
@@ -376,7 +376,7 @@ object Graph {
     // plans, so ReuseExchange serves the second join from the first's
     // broadcast by construction
     def degAmong(alive: DataFrame, nAlive: Long): DataFrame = {
-      val gate = if (nAlive <= 10000000L) broadcast(alive) else alive
+      val gate = if (nAlive <= graft.ScaleGates.cap(10000000L)) broadcast(alive) else alive
       sym.join(gate, col("src") === col("node")).drop("node")
         .join(gate, col("dst") === col("node")).drop("node")
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))

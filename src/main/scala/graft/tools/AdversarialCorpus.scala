@@ -313,22 +313,247 @@ object AdversarialCorpus {
     Seq(k.ks + 1, null, null, -5.0),
     Seq(k.ks + 2, "", Int.box(k.orphanNation), 0.0))
 
+  /** Seeded random fuzz wave (round-11 verdict item 3): the curated rows
+    * above encode every hostile shape someone THOUGHT of; this draws
+    * doc/event/embedding/relational shapes from seeded generators —
+    * lengths, scripts, null masks, key collisions, boundary dates — so a
+    * sweep over N seeds covers the shapes nobody enumerated. Deterministic
+    * per seed (same seed → byte-identical corpus), so a failing seed is a
+    * permanent regression fixture: re-run
+    * `scripts/fuzz_sweep.sh <seed>` to reproduce.
+    *
+    * Deliberately WITHIN the driver generator's value contracts, so any
+    * red query is an engine/oracle divergence, not fixture noise:
+    * money/value columns stay on the 2-dp grain (a >2-dp price makes the
+    * catalog's lossless-decimal casts tie-round differently per engine —
+    * ROUNDLOG lesson 5), floats avoid NaN/Inf (no catalog column carries
+    * them today), embeddings keep dim 64, ids/PKs stay non-null, and the
+    * text pools avoid uppercase Greek (Spark lower() applies the
+    * CONTEXT-DEPENDENT final-sigma rule 'Σ'→'ς', DuckDB the simple map
+    * 'Σ'→'σ' — the İ-expansion trick cannot replay a contextual mapping
+    * in SQL, so that class is excluded rather than half-tested).
+    */
+  final class Fuzz(seed: Long) {
+    private val rnd = new Random(seed)
+
+    private def mask[T >: Null <: AnyRef](p: Double, v: => T): T =
+      if (rnd.nextDouble() < p) null else v
+    private def money(lo: Double, hi: Double): Double =
+      math.rint((lo + rnd.nextDouble() * (hi - lo)) * 100) / 100.0
+    private def pick[T](xs: scala.collection.IndexedSeq[T]): T = xs(rnd.nextInt(xs.size))
+
+    private val pools: Vector[Vector[String]] = Vector(
+      Vector("spark", "query", "table", "merge", "window", "hash", "join",
+        "scan", "sort", "filter", "group", "row", "key", "order", "data"),
+      Vector("café", "résumé", "naïve", "façade", "über", "straße",
+        "garçon", "niño", "çelik"),
+      Vector("数据", "查询", "优化", "连接", "排序", "分布式", "处理", "引擎"),
+      Vector("بيانات", "استعلام", "محرك", "معالجة"),
+      Vector("данные", "запрос", "движок", "обработка"),
+      Vector("δεδομένα", "μηχανή", "ερώτημα"),
+      Vector("🚀", "😀", "👨‍👩‍👧", "🎉", "🧪", "é́"),
+      Vector("\"q\"", "line\nbreak", "tab\tsep", "back\\slash", "'sq'"))
+
+    private def fuzzText(): String = {
+      val shape = rnd.nextInt(10)
+      if (shape == 0) ""                               // empty
+      else if (shape == 1) pick(Vector(" ", "  \t", "\n")) // whitespace-only
+      else if (shape == 2) {                           // sub-shingle soup
+        val pool = pick(pools)
+        pick(pool).take(1 + rnd.nextInt(3))
+      } else if (shape == 3) {                         // CJK, no spaces
+        Seq.fill(3 + rnd.nextInt(40))(pick(pools(2))).mkString
+      } else {                                         // 1-3 mixed pools
+        val ps = Seq.fill(1 + rnd.nextInt(3))(pick(pools))
+        val n = 1 + rnd.nextInt(60)
+        Seq.fill(n)(pick(pick(ps.toIndexedSeq))).mkString(" ")
+      }
+    }
+
+    def docs(n: Int, firstId: Long): Seq[Doc] = {
+      val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      (0 until n).map { i =>
+        val roll = rnd.nextDouble()
+        val text =
+          if (roll < 0.03) null
+          else if (roll < 0.13 && texts.nonEmpty) pick(texts) // exact dup
+          else if (roll < 0.20 && texts.exists(_.length > 3)) { // near-dup
+            val t = pick(texts.filter(_.length > 3))
+            val at = rnd.nextInt(t.length)
+            // splice at a char that is not a low/high surrogate half
+            if (Character.isSurrogate(t.charAt(at))) t
+            else t.updated(at, if (t.charAt(at) == 'x') 'y' else 'x')
+          } else fuzzText()
+        if (text != null) texts += text
+        Doc(firstId + i, text,
+          mask(0.05, pick(Vector("en", "fr", "zh", "de", "es", "xx"))),
+          mask(0.05, s"src${rnd.nextInt(8)}"), cp(text))
+      }
+    }
+
+    def events(n: Int, firstId: Long): Seq[Ev] = {
+      val t0 = LocalDateTime.of(2024, 2, 1, 0, 0, 0)
+      val types = Vector("view", "click", "purchase", "signup", "error", "fuzz")
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(java.lang.Long, LocalDateTime)]
+      (0 until n).map { i =>
+        val user: java.lang.Long = mask(0.05, Long.box(rnd.nextInt(10).toLong))
+        val ts0: LocalDateTime =
+          if (rnd.nextDouble() < 0.04) null
+          else if (rnd.nextDouble() < 0.06 && seen.nonEmpty) pick(seen)._2 // shared ts
+          else if (rnd.nextDouble() < 0.10)                 // window-boundary exact
+            t0.plusMinutes(rnd.nextInt(4320).toLong)
+          else t0.plusSeconds(rnd.nextInt(259200).toLong)
+        // duplicate (user, ts) pair with a different payload
+        val (u, ts) = if (rnd.nextDouble() < 0.05 && seen.nonEmpty) pick(seen)
+          else (user, ts0)
+        if (ts != null && u != null) seen += ((u, ts))
+        Ev(firstId + i, ts, u, mask(0.04, pick(types)),
+          // explicit 0.0, never `negative * 0` — that mints -0.0, whose
+          // cross-engine repr in a hash compare is noise, not signal
+          mask(0.05, Double.box(
+            if (rnd.nextDouble() < 0.05) 0.0 else money(-100, 10000))),
+          mask(0.05, pick(Vector("{}", s"""{"k": ${rnd.nextInt(100) - 20}}""",
+            s"""{"k": ${rnd.nextInt(9)}, "note": "café 数据"}"""))))
+      }
+    }
+
+    def embeddings(n: Int, firstId: Long): Seq[Emb] = {
+      val dim = 64
+      val prev = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      (0 until n).map { i =>
+        val roll = rnd.nextDouble()
+        val v: Array[Float] =
+          if (roll < 0.04) null
+          else if (roll < 0.08) Array.fill(dim)(0.0f)
+          else if (roll < 0.16 && prev.nonEmpty) pick(prev).clone()
+          else if (roll < 0.22 && prev.nonEmpty) {       // 1-ulp twin
+            val t = pick(prev).clone(); t(rnd.nextInt(dim)) =
+              Math.nextUp(t(rnd.nextInt(dim))); t
+          } else {
+            val scale = math.pow(10, rnd.nextInt(7) - 3)  // 1e-3 .. 1e3
+            Array.fill(dim)(((rnd.nextDouble() * 2 - 1) * scale).toFloat)
+          }
+        if (v != null) prev += v
+        Emb(firstId + i, v, rnd.nextInt(10))
+      }
+    }
+
+    /** Random relational rows appended ABOVE the curated block's id range
+      * (the curated rows use k.kX + 0..16; fuzz starts at +100). Shapes:
+      * null masks on every nullable attr, orphan FKs (p=.06), duplicate
+      * PKs (p=.05), boundary dates and time-of-day timestamps, empty and
+      * multi-script strings, 2-dp money, negative/zero magnitudes.
+      */
+    def ordersExtra(k: Keys, n: Int): Seq[Seq[Any]] = {
+      val status = Vector("O", "F", "P", "", "Z")
+      val prio = Vector("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW", "")
+      (0 until n).map { i =>
+        val key = if (rnd.nextDouble() < 0.05 && i > 0) k.ko + 100 + rnd.nextInt(i)
+          else k.ko + 100 + i
+        val cust: Any = if (rnd.nextDouble() < 0.04) null
+          else if (rnd.nextDouble() < 0.06) k.orphanCust
+          else Long.box(rnd.nextInt(15).toLong)
+        Seq(key, cust, mask(0.04, pick(status)),
+          mask(0.05, Double.box(money(-500, 500000))),
+          mask(0.05, randDate()), mask(0.04, pick(prio)))
+      }
+    }
+
+    private def randDate(): LocalDateTime = {
+      val d = LocalDateTime.of(1995, 1, 1, 0, 0, 0)
+        .plusDays(rnd.nextInt(2500).toLong)
+      if (rnd.nextDouble() < 0.2)
+        d.plusSeconds(rnd.nextInt(86400).toLong) // time-of-day component
+      else d
+    }
+
+    private def fuzzName(): String = {
+      val shape = rnd.nextInt(6)
+      if (shape == 0) ""
+      else Seq.fill(1 + rnd.nextInt(3))(pick(pick(pools.take(7)))).mkString(" ")
+    }
+
+    def customerExtra(k: Keys, n: Int): Seq[Seq[Any]] = {
+      val seg = Vector("MACHINERY", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "AUTOMOBILE", "machinery", "")
+      (0 until n).map { i =>
+        val nat: Any = if (rnd.nextDouble() < 0.05) null
+          else if (rnd.nextDouble() < 0.06) Int.box(k.orphanNation)
+          else Int.box(rnd.nextInt(25))
+        Seq(k.kc + 100 + i, mask(0.05, fuzzName()), nat,
+          mask(0.05, Double.box(money(-2000, 10000))), mask(0.05, pick(seg)))
+      }
+    }
+
+    def lineitemExtra(k: Keys, n: Int): Seq[Seq[Any]] = {
+      (0 until n).map { i =>
+        val okey: Any = if (rnd.nextDouble() < 0.06) k.orphanOrder
+          else Long.box(rnd.nextInt(20).toLong)
+        val pkey: Any = if (rnd.nextDouble() < 0.04) null
+          else if (rnd.nextDouble() < 0.06) k.orphanPart
+          else Long.box(rnd.nextInt(60).toLong)
+        val skey: Any = mask(0.04, Long.box(rnd.nextInt(10).toLong))
+        Seq(okey, pkey, skey, Int.box(1 + rnd.nextInt(7)),
+          mask(0.04, Double.box((rnd.nextInt(101) - 10).toDouble)),
+          mask(0.04, Double.box(money(-100, 100000))),
+          mask(0.04, Double.box(rnd.nextInt(101) / 100.0)),
+          mask(0.04, Double.box(rnd.nextInt(9) / 100.0)),
+          mask(0.04, pick(Vector("N", "A", "R", ""))),
+          mask(0.04, pick(Vector("O", "F", ""))),
+          mask(0.05, randDate()))
+      }
+    }
+
+    def partExtra(k: Keys, n: Int): Seq[Seq[Any]] = {
+      (0 until n).map { i =>
+        Seq(k.kp + 100 + i, mask(0.06, fuzzName()),
+          mask(0.05, s"Brand#${rnd.nextInt(60)}"),
+          mask(0.05, pick(Vector("ECONOMY", "PROMO", "STANDARD", "小型", ""))),
+          mask(0.05, Int.box(rnd.nextInt(60) - 5)),
+          mask(0.05, Double.box(money(-10, 2000))))
+      }
+    }
+
+    def supplierExtra(k: Keys, n: Int): Seq[Seq[Any]] = {
+      (0 until n).map { i =>
+        val nat: Any = if (rnd.nextDouble() < 0.05) null
+          else if (rnd.nextDouble() < 0.06) Int.box(k.orphanNation)
+          else Int.box(rnd.nextInt(25))
+        Seq(k.ks + 100 + i, mask(0.06, fuzzName()), nat,
+          mask(0.06, Double.box(money(-1000, 9000))))
+      }
+    }
+  }
+
   /** Write df as a SINGLE parquet FILE at `dest` (the driver corpus layout:
     * `{sf}/{table}.parquet` is a file, and check_oracle.py globs files). */
   private def writeSingleFile(df: DataFrame, dest: String): Unit = {
     val tmp = dest + ".tmpdir"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString
-      .endsWith(".parquet")).findFirst().orElseThrow()
+    // NIO streams hold an open directory handle until closed — one leaked
+    // fd per table written, and on some platforms the open handle makes
+    // the delete walk below fail (ADVICE r10)
+    val part = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+      _.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow())
     Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
     // clean the now-empty staging dir (best-effort)
-    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    scala.util.Using.resource(Files.walk(Paths.get(tmp)))(
+      _.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p)))
   }
 
   def main(args: Array[String]): Unit = {
-    val outDir = args.headOption.getOrElse("/tmp/adv_sf")
-    val baseDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val positional = args.takeWhile(!_.startsWith("--"))
+    val outDir = positional.headOption.getOrElse("/tmp/adv_sf")
+    val baseDir = if (positional.length > 1) positional(1) else "/root/testdata/sf0.001"
+    // --fuzz <seed>: ADD the seeded random wave on top of the curated rows
+    // (scripts/fuzz_sweep.sh loops seeds; a failing seed reproduces exactly)
+    val fuzz: Option[Fuzz] = {
+      val ix = args.indexOf("--fuzz")
+      if (ix >= 0 && ix + 1 < args.length) Some(new Fuzz(args(ix + 1).toLong))
+      else None
+    }
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -350,10 +575,15 @@ object AdversarialCorpus {
       ks = maxKey("supplier", "s_suppkey") + 11,
       kn = (maxKey("nation", "n_nationkey") + 6).toInt,
       kr = (maxKey("region", "r_regionkey") + 1).toInt)
+    def withFuzz(cur: Seq[Seq[Any]], f: Fuzz => Seq[Seq[Any]]): Seq[Seq[Any]] =
+      cur ++ fuzz.map(f).getOrElse(Seq.empty)
     val appended = Map(
-      "orders" -> ordersExtra(k), "customer" -> customerExtra(k),
-      "lineitem" -> lineitemExtra(k), "part" -> partExtra(k),
-      "supplier" -> supplierExtra(k), "nation" -> nationExtra(k),
+      "orders" -> withFuzz(ordersExtra(k), _.ordersExtra(k, 30)),
+      "customer" -> withFuzz(customerExtra(k), _.customerExtra(k, 25)),
+      "lineitem" -> withFuzz(lineitemExtra(k), _.lineitemExtra(k, 40)),
+      "part" -> withFuzz(partExtra(k), _.partExtra(k, 15)),
+      "supplier" -> withFuzz(supplierExtra(k), _.supplierExtra(k, 12)),
+      "nation" -> nationExtra(k),
       "region" -> regionExtra(k))
     val replaced = Set("documents", "events", "embeddings")
     graft.Tables.names.filterNot(t => replaced(t) || appended.contains(t)).foreach { t =>
@@ -364,9 +594,14 @@ object AdversarialCorpus {
       writeSingleFile(appendRows(spark, s"$baseDir/$t.parquet", extra),
         s"$outDir/$t.parquet")
     }
-    writeSingleFile(docs.toDF(), s"$outDir/documents.parquet")
-    writeSingleFile(events.toDF(), s"$outDir/events.parquet")
-    writeSingleFile(embeddings.toDF(), s"$outDir/embeddings.parquet")
+    // fuzz ids start well above the curated block (ids only need to be
+    // unique WITHIN these tables — they replace, not append)
+    val allDocs = docs ++ fuzz.map(_.docs(200, 1000L)).getOrElse(Seq.empty)
+    val allEvents = events ++ fuzz.map(_.events(300, 1000L)).getOrElse(Seq.empty)
+    val allEmbs = embeddings ++ fuzz.map(_.embeddings(100, 1000L)).getOrElse(Seq.empty)
+    writeSingleFile(allDocs.toDF(), s"$outDir/documents.parquet")
+    writeSingleFile(allEvents.toDF(), s"$outDir/events.parquet")
+    writeSingleFile(allEmbs.toDF(), s"$outDir/embeddings.parquet")
 
     // print the shapes so a sweep log self-documents
     (Seq("documents", "events", "embeddings") ++ appended.keys.toSeq.sorted).foreach { t =>

@@ -116,4 +116,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.toLowerCase.contains("rangepartitioning"), p.take(3000))
   }
+
+  // The round-10 null-contract filters were verified to prune AT THE SCAN
+  // by a hand-run ExplainAll audit; this pins that audit as a regression
+  // spec (round-11 verdict item 2). At 100 TB a contract that slips to a
+  // post-scan Filter stage is the difference between free row-group
+  // pruning and a full-table pass. pagerank_bipartite's src/dst contract
+  // is NOT here: its result frame is driver-local (the rank-vector path),
+  // so the lineitem scan never appears in the result's plan — its
+  // contract is pinned semantically in NullContractsSpec instead.
+  private val contractPushdowns: Seq[(String, Seq[String])] = Seq(
+    "events_hourly" -> Seq("IsNotNull(ts)"),
+    "events_sliding" -> Seq("IsNotNull(ts)"),
+    "session_window_agg" -> Seq("IsNotNull(ts)"),
+    "sessionize" -> Seq("IsNotNull(ts)"),
+    "event_transitions" -> Seq("IsNotNull(ts)"),
+    "topp_nucleus" -> Seq("IsNotNull(ts)"),
+    "time_weighted_avg" -> Seq("IsNotNull(ts)"),
+    "exact_percentile_profile" -> Seq("IsNotNull(event_type)", "IsNotNull(value)"),
+    "quantile_normalize" -> Seq("IsNotNull(event_type)", "IsNotNull(value)"),
+    "source_kl_divergence" -> Seq("IsNotNull(source)"),
+    "knn_bruteforce" -> Seq("IsNotNull(embedding)"),
+    "embedding_neardup" -> Seq("IsNotNull(embedding)"),
+    "map_funcs" -> Seq("IsNotNull(p_type)"),
+    "weighted_sample" -> Seq("GreaterThan(o_totalprice,0.0)"))
+
+  test("null-contract filters reach the parquet scan as PushedFilters") {
+    val misses = contractPushdowns.flatMap { case (name, tokens) =>
+      val run = QueryCatalog.all.find(_.name == name)
+        .getOrElse(fail(s"unknown catalog entry $name")).run
+      val formatted = run(spark, sf()).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // only PushedFilters lines count — the same token in a post-scan
+      // Filter node must NOT satisfy the assertion
+      val pushed = formatted.linesIterator
+        .filter(_.contains("PushedFilters:")).mkString("\n")
+      tokens.filterNot(pushed.contains).map(t => s"$name missing pushed $t")
+    }
+    assert(misses.isEmpty, misses.mkString("; "))
+  }
 }

@@ -112,6 +112,12 @@ class NullContractsSpec extends SparkSpec {
     val parent = Seq(1L, 2L).toDF("pk")
     val bad = DataQuality.orphans(child, "fk", parent, "pk").collect()
     assert(bad.map(_.getAs[Long]("fk")).toSeq === Seq(99L))
+    // opt-in restoration of the pre-r10 behavior (ADVICE r10): null FKs
+    // flagged alongside true orphans
+    val legacy = DataQuality.orphans(child, "fk", parent, "pk",
+      nullsAsOrphans = true).collect()
+    assert(legacy.map(r => Option(r.get(0))).toSet ===
+      Set(Some(99L), None))
   }
 
   test("pageRank excludes edges with a null endpoint") {
