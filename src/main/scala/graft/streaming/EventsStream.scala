@@ -39,6 +39,17 @@ object EventsStream {
   def hourlyCounts(spark: SparkSession, sfDir: String): DataFrame = {
     // hour buckets trunc the NTZ→LTZ-cast ts: UTC-only (ADVICE r9)
     graft.Tables.requireUtcSession(spark, "EventsStream.hourlyCounts")
+    // state-store count = shuffle partitions at query start (ROUNDLOG
+    // lesson 8): the session-wide 32 meant 32 stores paying open/commit
+    // per batch for a |hours×types|-row state — 4 is plenty locally; a
+    // real cluster sizes this to |executors|
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try hourlyCountsImpl(spark, sfDir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def hourlyCountsImpl(spark: SparkSession, sfDir: String): DataFrame = {
     // the file-stream source requires a directory: stream the sf dir with a
     // glob pinned to the events table (explicit schema, no inference pass)
     val stream = spark.readStream
@@ -61,6 +72,11 @@ object EventsStream {
       .outputMode("complete")
       .format("memory")
       .queryName(sinkName)
+      // explicit throwaway checkpoint on tmpfs — the default lands on
+      // disk-backed java.io.tmpdir and its per-batch WAL fsyncs are pure
+      // fixed cost for a single-shot harness query
+      .option("checkpointLocation",
+        new java.io.File(scratchDir("hourly_ckpt"), "ckpt").getAbsolutePath)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -103,7 +119,7 @@ object EventsStream {
   def dedupedCounts(spark: SparkSession, sfDir: String): DataFrame = {
     // see purchaseClickJoin: fewer state stores for the bounded local run
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try StreamingConf.withStateBackend(spark)(dedupedCountsImpl(spark, sfDir))
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
@@ -128,6 +144,8 @@ object EventsStream {
       .outputMode("complete")
       .format("memory")
       .queryName(sinkName)
+      .option("checkpointLocation", // tmpfs scratch, see hourlyCounts
+        new java.io.File(scratchDir("dedup_ckpt"), "ckpt").getAbsolutePath)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -291,11 +309,21 @@ object EventsStream {
     q
   }
 
+  /** Fresh per-invocation scratch dir on [[StreamingConf.scratchBase]]
+    * (tmpfs when available — the throwaway checkpoint's WAL fsyncs were
+    * part of the streaming entries' fixed ~1.7 s floor), registered for
+    * recursive cleanup at JVM exit.
+    */
+  private def scratchDir(tag: String): java.io.File = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(StreamingConf.scratchBase, s"graft_${tag}_").toFile
+    tempDirsForCleanup.add(dir)
+    dir
+  }
+
   private def detachAppendResult(result: DataFrame, tag: String): DataFrame = {
     val spark = result.sparkSession
-    val dir = java.nio.file.Files
-      .createTempDirectory(s"graft_${tag}_").toFile
-    tempDirsForCleanup.add(dir)
+    val dir = scratchDir(tag)
     val out = new java.io.File(dir, "out").getAbsolutePath
     val q = result.writeStream
       .outputMode("append")
@@ -314,6 +342,14 @@ object EventsStream {
     * Oracle: the equivalent batch join SQL.
     */
   def segmentTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    // 4 state stores, not the session-wide 32 — see hourlyCounts
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try segmentTotalsImpl(spark, sfDir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def segmentTotalsImpl(spark: SparkSession, sfDir: String): DataFrame = {
     val stream = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -330,6 +366,8 @@ object EventsStream {
       .outputMode("complete")
       .format("memory")
       .queryName(sinkName)
+      .option("checkpointLocation", // tmpfs scratch, see hourlyCounts
+        new java.io.File(scratchDir("segment_ckpt"), "ckpt").getAbsolutePath)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
