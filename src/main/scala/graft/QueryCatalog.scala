@@ -186,12 +186,16 @@ object QueryCatalog {
     * MIN(extendedprice/quantity) — a pure-double division, IEEE-identical in
     * both engines, so the correlated-MIN equality is exact. Plan shape is
     * the original's: a derived supply table joined to dims, filtered by a
-    * correlated scalar MIN over the same derived table.
+    * correlated scalar MIN over the same derived table. A zero-quantity
+    * line has no unit cost: NULLIF makes the division NULL (skipped by
+    * MIN) in both engines — under ANSI Spark a bare /0 throws while
+    * DuckDB's double division yields inf, silently corrupting the MIN
+    * (fuzz sweep, round 11).
     */
   val tpchQ2Sql: String =
     """WITH ps AS (
       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-      |         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      |         MIN(l_extendedprice / NULLIF(l_quantity, 0)) AS ps_supplycost
       |  FROM lineitem GROUP BY 1, 2)
       |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
       |FROM part JOIN ps ON p_partkey = ps_partkey
@@ -1438,17 +1442,23 @@ object QueryCatalog {
         val errors = ev.filter(col("event_type") === "error")
         ops.AsOf.join(purchases, errors, "user_id", "ts_us", "event_id", "value")
       },
+      // ts IS NOT NULL mirrors AsOf.join's null-time exclusion; the
+      // carried marker replays the engine's STRUCT wrap — a null-VALUE
+      // error row is still the most recent observation (asof_value NULL),
+      // where a bare-value IGNORE NULLS would skip it and resurface an
+      // older, stale value (fuzz sweep, round 11)
       Some("""WITH e AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events WHERE ts IS NOT NULL
         |), u AS (
         |  SELECT event_id, user_id, ts_us, value, event_type,
-        |    last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS) OVER (
+        |    last_value(CASE WHEN event_type = 'error' THEN {'v': value} END IGNORE NULLS) OVER (
         |      PARTITION BY user_id
         |      ORDER BY ts_us, CASE WHEN event_type = 'error' THEN 0 ELSE 1 END, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_struct
         |  FROM e WHERE event_type IN ('purchase', 'error')
         |)
-        |SELECT event_id, user_id, ts_us, value, asof_value
+        |SELECT event_id, user_id, ts_us, value, struct_extract(asof_struct, 'v') AS asof_value
         |FROM u WHERE event_type = 'purchase'""".stripMargin)),
 
     CatalogEntry("events_hourly_stream",
@@ -2128,10 +2138,19 @@ object QueryCatalog {
         greatest(col("c_acctbal"), lit(0.0)).as("nonneg_bal"),
         least(col("c_nationkey"), lit(10L)).as("capped_nation"),
         levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist")),
+      // the reverse oracle replays CODE-POINT reversal explicitly
+      // (regexp '.' = one code point; identical to reverse() on ASCII):
+      // Spark reverse() reverses code points while DuckDB reverse() keeps
+      // grapheme clusters together — 'e'+U+0301 stays 'é' in DuckDB but
+      // splits to U+0301,'e' in Spark (fuzz sweep, round 11). The engine
+      // pins the code-point contract; a grapheme-aware reverse would need
+      // ICU segmentation on both sides.
       Some("""SELECT c_custkey,
         |  lpad(c_name, 25, '.') AS padded,
         |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
-        |  reverse(c_name) AS reversed,
+        |  CASE WHEN c_name IS NULL THEN NULL
+        |       ELSE coalesce(array_to_string(list_reverse(regexp_extract_all(c_name, '.')), ''), '')
+        |  END AS reversed,
         |  repeat('ab', 3) AS repeated,
         |  greatest(c_acctbal, 0e0) AS nonneg_bal,
         |  least(c_nationkey, 10) AS capped_nation,
@@ -2636,7 +2655,12 @@ object QueryCatalog {
         T(s, d, "orders")
           .withColumn("xs", array_sort(collect_list(col("o_totalprice")).over(w)))
           .select(col("o_orderkey"), col("o_custkey"),
-            when(n % 2 === 1, element_at(col("xs"), ((n + 1) / 2).cast("int")))
+            // collect_list skips NULLs, so an all-null frame is EMPTY:
+            // n=0 must yield NULL (DuckDB median of an all-null frame)
+            // — the even branch's element_at(xs, 0) is an ANSI crash
+            // (fuzz sweep, round 11)
+            when(n === 0, lit(null).cast("double"))
+              .when(n % 2 === 1, element_at(col("xs"), ((n + 1) / 2).cast("int")))
               .otherwise((lo + hi) * lit(0.5)).as("rolling_median"))
       },
       Some("""SELECT o_orderkey, o_custkey,
@@ -3401,12 +3425,37 @@ object QueryCatalog {
     // The gate pins exact values + a tolerance flag on the sketched ones
     // (sketch output is deterministic for fixed data but engine-specific, so
     // the oracle asserts the tolerance, not the sketch).
+    // within_tol pins the sketch's REAL guarantee — approx_percentile
+    // returns an element whose rank covers the middle of the group — not
+    // a value distance: |approx − median| ≤ 1.0 is false for a tiny
+    // even-sized group with a wide middle gap (median interpolates
+    // between the two middle elements, the sketch returns one of them —
+    // fuzz sweep, round 11). The membership check is a broadcast-join
+    // second pass counting ranks below/at the approx value: the value's
+    // rank interval [lt+1, le] must cover a middle order statistic, give
+    // or take the sketch's guaranteed rank error n/accuracy (n div
+    // 10000 — zero for groups under the accuracy, where the sketch is
+    // exact). An all-null group (both aggregates NULL) passes.
     CatalogEntry("median_pcts_approx",
-      (s, d) => T(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
-        expr("median(CAST(l_quantity AS DOUBLE))").as("med_qty"),
-        expr("approx_percentile(CAST(l_quantity AS DOUBLE), 0.5, 10000)").as("approx_med"))
-        .select(col("l_returnflag"), col("med_qty"),
-          (abs(col("approx_med") - col("med_qty")) <= lit(1.0)).as("within_tol")),
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"))
+        val agg = li.groupBy(col("l_returnflag")).agg(
+          expr("median(q)").as("med_qty"),
+          expr("approx_percentile(q, 0.5, 10000)").as("approx_med"))
+        li.as("l")
+          .join(broadcast(agg).as("a"),
+            col("l.l_returnflag") <=> col("a.l_returnflag"))
+          .groupBy(col("a.l_returnflag"), col("a.med_qty"), col("a.approx_med"))
+          .agg(count(col("l.q")).as("n"),
+            count(when(col("l.q") < col("a.approx_med"), 1)).as("lt"),
+            count(when(col("l.q") <= col("a.approx_med"), 1)).as("le"))
+          .select(col("l_returnflag"), col("med_qty"),
+            ((col("approx_med").isNull && col("med_qty").isNull) ||
+              (col("lt") <= expr("n div 2 + n div 10000") &&
+                col("le") >= expr("(n + 1) div 2 - n div 10000")))
+              .as("within_tol"))
+      },
       Some("""SELECT l_returnflag,
         |  median(CAST(l_quantity AS DOUBLE)) AS med_qty,
         |  TRUE AS within_tol

@@ -22,10 +22,21 @@ object AsOf {
     * the right row first (its value is visible to the left row); `seqCol`
     * breaks remaining ties deterministically. Times are longs (any unit).
     *
+    * Rows with a NULL time are EXCLUDED on both sides: "most recent
+    * at-or-before" is undefined against a missing instant (pandas
+    * merge_asof rejects null keys outright), and leaving them in
+    * diverges engines — Spark windows sort NULLs first ascending, SQL
+    * dialects last, so a null-time row silently becomes the "earliest"
+    * or "latest" observation depending on the engine (fuzz sweep, round
+    * 11; same contract as the events-family window queries). Oracles
+    * mirror with `WHERE ts IS NOT NULL`.
+    *
     * Output: all left columns + `asof_<valueCol>` (null if no prior row).
     */
-  def join(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+  def join(left0: DataFrame, right0: DataFrame, keyCol: String, timeCol: String,
       seqCol: String, valueCol: String): DataFrame = {
+    val left = left0.filter(col(timeCol).isNotNull)
+    val right = right0.filter(col(timeCol).isNotNull)
     val vType = right.schema(valueCol).dataType
     val outCols = left.columns.toSeq
     // the carried marker is a STRUCT wrapping the value, not the bare

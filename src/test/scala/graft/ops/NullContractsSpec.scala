@@ -120,6 +120,24 @@ class NullContractsSpec extends SparkSpec {
       Set(Some(99L), None))
   }
 
+  test("AsOf.join excludes null-time rows on both sides; null right VALUES still carry") {
+    import graft.ops.AsOf
+    val left = Seq(
+      (1L, 10L, java.lang.Long.valueOf(100L)),
+      (2L, 10L, null.asInstanceOf[java.lang.Long])) // null time: excluded
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (91L, 10L, java.lang.Long.valueOf(50L), java.lang.Double.valueOf(1.5)),
+      (92L, 10L, java.lang.Long.valueOf(90L), null.asInstanceOf[java.lang.Double]), // null VALUE: most recent observation
+      (93L, 10L, null.asInstanceOf[java.lang.Long], java.lang.Double.valueOf(9.9))) // null time: excluded
+      .toDF("id", "k", "t", "v")
+    val out = AsOf.join(left, right, "k", "t", "id", "v").collect()
+    // the null-time left row is gone; the survivor sees the null-VALUE
+    // observation at t=90 (not the stale 1.5, not the null-time 9.9)
+    assert(out.map(_.getAs[Long]("id")).toSeq === Seq(1L))
+    assert(out.head.isNullAt(out.head.fieldIndex("asof_v")))
+  }
+
   test("pageRank excludes edges with a null endpoint") {
     val edges = Seq(
       (Some(1L), Some(2L)), (Some(2L), Some(3L)),
