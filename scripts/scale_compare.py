@@ -21,8 +21,12 @@ base = json.load(open(base_f))["queries"]
 scaled = json.load(open(scaled_f))["queries"]
 
 rows = []
+missing = []
 for name, t1 in sorted(base.items()):
     if name not in scaled:
+        # a query with no scaled timing is the MOST interesting row (it
+        # crashed or was dropped at scale) — never skip it silently
+        missing.append(name)
         continue
     t8 = scaled[name]
     factor = t8 / t1 if t1 > 0 else float("inf")
@@ -37,6 +41,10 @@ for factor, name, t1, t8 in rows:
         flag = "  << SUPERLINEAR?"
         outliers += 1
     print(f"{name:34s} {t1:7.2f} {t8:8.2f} {factor:6.1f}x{flag}")
+if missing:
+    # deliberate exclusions (e.g. the O(n^2) ground-truth twin) show up
+    # here too — the point is visibility, so exit stays keyed to outliers
+    print(f"\nMISSING from scaled run ({len(missing)}): {', '.join(missing)}")
 print(f"\n{outliers} outlier(s) above {rep * 1.5:.0f}x with 1x-time >= {floor}s "
       f"(rep={rep:.0f})")
 sys.exit(1 if outliers else 0)

@@ -2139,7 +2139,8 @@ object QueryCatalog {
         least(col("c_nationkey"), lit(10L)).as("capped_nation"),
         levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist")),
       // the reverse oracle replays CODE-POINT reversal explicitly
-      // (regexp '.' = one code point; identical to reverse() on ASCII):
+      // ((?s) so '.' also matches newlines — Spark reverse() keeps them;
+      // regexp '.' = one code point; identical to reverse() on ASCII):
       // Spark reverse() reverses code points while DuckDB reverse() keeps
       // grapheme clusters together — 'e'+U+0301 stays 'é' in DuckDB but
       // splits to U+0301,'e' in Spark (fuzz sweep, round 11). The engine
@@ -2149,7 +2150,7 @@ object QueryCatalog {
         |  lpad(c_name, 25, '.') AS padded,
         |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
         |  CASE WHEN c_name IS NULL THEN NULL
-        |       ELSE coalesce(array_to_string(list_reverse(regexp_extract_all(c_name, '.')), ''), '')
+        |       ELSE coalesce(array_to_string(list_reverse(regexp_extract_all(c_name, '(?s).')), ''), '')
         |  END AS reversed,
         |  repeat('ab', 3) AS repeated,
         |  greatest(c_acctbal, 0e0) AS nonneg_bal,

@@ -988,8 +988,10 @@ object QueryCatalogR7 {
           .option("checkpointLocation", ckpt.getAbsolutePath)
           .trigger(Trigger.ProcessingTime(0)).start()
         try q.processAllAvailable() finally {
-          q.stop()
-          org.apache.hadoop.fs.FileUtil.fullyDelete(ckpt)
+          // the delete must run even when stop() itself throws — a leaked
+          // checkpoint on tmpfs is RAM held past the JVM
+          try q.stop()
+          finally org.apache.hadoop.fs.FileUtil.fullyDelete(ckpt)
         }
         val out = s.table(sink)
         val copied = s.createDataFrame(

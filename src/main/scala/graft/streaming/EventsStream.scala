@@ -43,10 +43,7 @@ object EventsStream {
     // lesson 8): the session-wide 32 meant 32 stores paying open/commit
     // per batch for a |hours×types|-row state — 4 is plenty locally; a
     // real cluster sizes this to |executors|
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try hourlyCountsImpl(spark, sfDir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    StreamingConf.withShufflePartitions(spark, 4)(hourlyCountsImpl(spark, sfDir))
   }
 
   private def hourlyCountsImpl(spark: SparkSession, sfDir: String): DataFrame = {
@@ -118,10 +115,8 @@ object EventsStream {
     */
   def dedupedCounts(spark: SparkSession, sfDir: String): DataFrame = {
     // see purchaseClickJoin: fewer state stores for the bounded local run
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try StreamingConf.withStateBackend(spark)(dedupedCountsImpl(spark, sfDir))
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    StreamingConf.withShufflePartitions(spark, 4)(
+      StreamingConf.withStateBackend(spark)(dedupedCountsImpl(spark, sfDir)))
   }
 
   private def dedupedCountsImpl(spark: SparkSession, sfDir: String): DataFrame = {
@@ -170,10 +165,8 @@ object EventsStream {
     // partition for a symmetric hash join). Profiling the left-join twin
     // showed 8 → 2 saves ~0.6 s at this data scale with the join nowhere
     // near CPU-bound; a real cluster sizes this to |executors|
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try StreamingConf.withStateBackend(spark)(purchaseClickJoinImpl(spark, sfDir))
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    StreamingConf.withShufflePartitions(spark, 2)(
+      StreamingConf.withStateBackend(spark)(purchaseClickJoinImpl(spark, sfDir)))
   }
 
   private def purchaseClickJoinImpl(spark: SparkSession, sfDir: String): DataFrame = {
@@ -227,8 +220,6 @@ object EventsStream {
     // cluster sizes this to |executors| like the other streaming entries.
     // emits unix_micros epochs from the NTZ column: UTC-only (ADVICE r9)
     graft.Tables.requireUtcSession(spark, "EventsStream.purchaseClickLeftJoin")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     // the completeness cutoff only needs the raw batch side, so its 1-row
     // agg job runs CONCURRENTLY with the streaming query (local[32] has
     // idle cores while the 2-partition join drains) instead of serially
@@ -243,7 +234,8 @@ object EventsStream {
         .select(expr("unix_micros(CAST(least(maxp, maxc) AS TIMESTAMP)) - 5400000000").as("cutoff"))
         .head.getLong(0)
     }(scala.concurrent.ExecutionContext.global)
-    try StreamingConf.withStateBackend(spark) {
+    StreamingConf.withShufflePartitions(spark, partitions) {
+      StreamingConf.withStateBackend(spark) {
       def side(tpe: String, prefix: String) = spark.readStream
         .schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
@@ -269,7 +261,8 @@ object EventsStream {
       val cutoffUs = scala.concurrent.Await.result(
         cutoffFut, scala.concurrent.duration.Duration.Inf)
       res.filter(col("purchase_us") < cutoffUs).drop("purchase_us")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+    }
   }
 
   /** Copy the memory sink's (small, aggregated) result out and drop the
@@ -343,10 +336,7 @@ object EventsStream {
     */
   def segmentTotals(spark: SparkSession, sfDir: String): DataFrame = {
     // 4 state stores, not the session-wide 32 — see hourlyCounts
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try segmentTotalsImpl(spark, sfDir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    StreamingConf.withShufflePartitions(spark, 4)(segmentTotalsImpl(spark, sfDir))
   }
 
   private def segmentTotalsImpl(spark: SparkSession, sfDir: String): DataFrame = {

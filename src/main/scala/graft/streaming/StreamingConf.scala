@@ -23,12 +23,33 @@ object StreamingConf {
     * offset/commit WAL and state snapshots per batch, and on this box
     * /tmp is disk-backed — that IO is a fixed per-batch tax the query
     * semantics never need for a throwaway checkpoint (round-11 verdict
-    * item 5). Falls back to java.io.tmpdir.
+    * item 5). Falls back to java.io.tmpdir — also when /dev/shm is a
+    * small mount (Docker's default shm is 64 MB; state snapshots plus an
+    * append-sink staging dir at sf0.1 would ENOSPC mid-query even though
+    * the writability probe passes), requiring ≥1 GiB usable.
     */
   lazy val scratchBase: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+    val usable =
+      java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm) &&
+        shm.toFile.getUsableSpace >= (1L << 30)
+    if (usable) shm
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` set to `n`, restoring
+    * the previous value afterwards. State-store count = shuffle partitions
+    * AT QUERY START (ROUNDLOG lesson 8), so every harness streaming entry
+    * wraps its whole impl — one shared helper instead of a per-entry
+    * save/set/try/finally copy, where one forgotten `finally` would
+    * silently change state-store counts for every later query.
+    */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally spark.conf.set(key, prev)
   }
 
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"

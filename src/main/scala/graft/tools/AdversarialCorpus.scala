@@ -427,8 +427,8 @@ object AdversarialCorpus {
           else if (roll < 0.08) Array.fill(dim)(0.0f)
           else if (roll < 0.16 && prev.nonEmpty) pick(prev).clone()
           else if (roll < 0.22 && prev.nonEmpty) {       // 1-ulp twin
-            val t = pick(prev).clone(); t(rnd.nextInt(dim)) =
-              Math.nextUp(t(rnd.nextInt(dim))); t
+            val t = pick(prev).clone(); val j = rnd.nextInt(dim)
+            t(j) = Math.nextUp(t(j)); t
           } else {
             val scale = math.pow(10, rnd.nextInt(7) - 3)  // 1e-3 .. 1e3
             Array.fill(dim)(((rnd.nextDouble() * 2 - 1) * scale).toFloat)

@@ -158,6 +158,22 @@ class StreamingSpec extends SparkSpec {
       !spark.conf.get("spark.sql.streaming.stateStore.providerClass").contains("RocksDB"))
   }
 
+  test("withShufflePartitions restores the session value even when body throws") {
+    // every streaming entry wraps its impl in this helper; a restore miss
+    // would silently change state-store counts for every later query
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    var inside = ""
+    intercept[RuntimeException] {
+      StreamingConf.withShufflePartitions(spark, 7) {
+        inside = spark.conf.get(key)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(inside === "7")
+    assert(spark.conf.get(key) === before)
+  }
+
   test("batch sessionize agrees with stateful fold on the same events") {
     import spark.implicits._
     val events = Seq(
