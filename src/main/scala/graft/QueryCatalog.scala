@@ -1497,7 +1497,7 @@ object QueryCatalog {
         |), p AS (SELECT * FROM e WHERE event_type = 'purchase'
         |), c AS (SELECT * FROM e WHERE event_type = 'click'
         |), cut AS (SELECT least((SELECT max(ts_us) FROM p),
-        |                        (SELECT max(ts_us) FROM c)) - 5400000000 AS cutoff)
+        |                        (SELECT max(ts_us) FROM c)) - 9000000000 AS cutoff)
         |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
         |  (p.ts_us // 1000000) - (c.ts_us // 1000000) AS lag_secs
         |FROM p LEFT JOIN c
@@ -2848,12 +2848,19 @@ object QueryCatalog {
           .filter(col("jw") > 0.85)
           .select(col("key_a"), col("key_b"), round(col("jw"), 6).as("jw_sim"))
       },
+      // the CASE replays the engine kernel's identical-strings short
+      // circuit for the one input class where DuckDB disagrees: both
+      // sides EMPTY, where jaro_winkler_similarity returns 0.0 (its empty
+      // guard precedes its equality check) but the kernel scores two
+      // identical strings 1.0 (fuzz seed 13, round 11)
       Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_sim
+        |  round(CASE WHEN a.p_name = '' AND b.p_name = '' THEN 1.0
+        |        ELSE jaro_winkler_similarity(a.p_name, b.p_name) END, 6) AS jw_sim
         |FROM part a, part b
         |WHERE a.p_partkey % 37 = 0 AND b.p_partkey % 41 = 0
         |  AND a.p_partkey < b.p_partkey
-        |  AND jaro_winkler_similarity(a.p_name, b.p_name) > 0.85""".stripMargin)),
+        |  AND (CASE WHEN a.p_name = '' AND b.p_name = '' THEN 1.0
+        |       ELSE jaro_winkler_similarity(a.p_name, b.p_name) END) > 0.85""".stripMargin)),
 
     // Integer PageRank over the part↔supplier bipartite graph (ops.Graph):
     // 5 iterations of shuffle-join + aggregate with scaled-integer ranks,
@@ -3226,6 +3233,11 @@ object QueryCatalog {
     // engine-managed merge of overlapping [ts, ts+gap) intervals, vs the
     // lag/cumsum islands idiom in `sessionize`. Boundary differs from the
     // gap idiom: a gap of EXACTLY 30min starts a new session here.
+    // Gap comparison is STRICT (> gap splits): Spark's native
+    // session_window merges sessions that touch exactly (next.ts ==
+    // last.ts + gap extends the session — fuzz seed 1 caught the oracle's
+    // >= splitting there), the same inclusive-touch convention
+    // Sessions.sessionize pins for the custom twin.
     CatalogEntry("session_window_agg",
       (s, d) => eventsTable(s, d)
         .where(col("ts").isNotNull) // the events_hourly no-event-time contract
@@ -3242,7 +3254,7 @@ object QueryCatalog {
         |  SELECT user_id, ts_us, value,
         |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
         |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
-        |              >= 1800000000
+        |              > 1800000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM e
         |), s AS (

@@ -173,9 +173,11 @@ object QueryCatalogR7 {
         |  CAST(base_seats + extra AS BIGINT) AS seats
         |FROM r""".stripMargin)),
 
-    // Per-group mode with a stated tie policy (count desc, then value asc)
-    // — the deterministic argmax-of-counts, NOT engine-native mode() whose
-    // tie-breaking is unspecified
+    // Per-group mode with a stated tie policy (count desc, then value asc,
+    // NULLS FIRST — Spark's ascending default, pinned in the oracle per
+    // the r10 null-ordering convention; fuzz seed 6 hit a NULL-vs-value
+    // count tie) — the deterministic argmax-of-counts, NOT engine-native
+    // mode() whose tie-breaking is unspecified
     CatalogEntry("mode_per_group",
       (s, d) => {
         val counts = T(s, d, "orders")
@@ -190,7 +192,7 @@ object QueryCatalogR7 {
       Some("""SELECT o_custkey, o_orderpriority AS mode_priority, cnt FROM (
         |  SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt,
         |    row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        |      ORDER BY COUNT(*) DESC, o_orderpriority NULLS FIRST) AS rn
         |  FROM orders GROUP BY 1, 2) t
         |WHERE rn = 1""".stripMargin)),
 
@@ -861,6 +863,7 @@ object QueryCatalogR7 {
         |  FROM orders GROUP BY 1
         |), r AS (
         |  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i FROM spend
+        |  WHERE cents IS NOT NULL
         |), m AS (
         |  SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_x,
         |    CAST(SUM(i * cents) AS BIGINT) AS sum_ix
@@ -1287,10 +1290,14 @@ object QueryCatalogR7 {
       (s, d) => {
         val wc = Window.orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // a customer whose every order is null-priced has NO defined spend:
+        // excluded from n AND the ranks (groupedRanks drops null values by
+        // contract — an unfiltered nTot would silently shift every decile)
         val spend = T(s, d, "orders")
           .groupBy(col("o_custkey"))
           .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
             .cast("long").as("cents"))
+          .filter(col("cents").isNotNull)
         val nTot = spend.agg(count(lit(1)).as("n"))
         val deciles = ops.Distribution.groupedRanks(
             spend.withColumn("one", lit("all")), "one", col("cents"),
@@ -1311,6 +1318,7 @@ object QueryCatalogR7 {
         |  SELECT o_custkey,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
         |  FROM orders GROUP BY 1
+        |  HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) IS NOT NULL
         |), r AS (
         |  SELECT cents,
         |    row_number() OVER (ORDER BY cents, o_custkey) - 1 AS rank0,

@@ -54,7 +54,10 @@ object JaroWinkler {
 
   /** Jaro-Winkler similarity in [0, 1]. Identical strings are 1.0 by
     * definition (short-circuit, like every reference implementation);
-    * either side empty scores 0.0.
+    * either side empty scores 0.0. The one cross-engine divergence this
+    * implies: ''-vs-'' is 1.0 here (identical wins) but 0.0 in DuckDB,
+    * whose empty guard precedes its equality check — the catalog oracle
+    * replays this contract with an explicit CASE (fuzz seed 13).
     *
     * Units are UTF-8 BYTES, not characters — probed to be exactly what
     * DuckDB's jaro_winkler_similarity does ('née' vs 'nee' = 0.75, the

@@ -205,11 +205,19 @@ object EventsStream {
     * Determinism: purchases above the final watermark are withheld by
     * design (their match set is still open), so the result — and the batch
     * oracle — keep only purchases BELOW a conservative cutoff,
-    * min(max purchase ts, max click ts) − 90 min (watermark delay + 30 min
-    * margin; exact integer µs arithmetic both engines). Below the cutoff
-    * streaming output provably equals the batch left join; at the boundary
-    * the eviction edge cases are excluded from BOTH sides by the same
-    * integer compare.
+    * min(max purchase ts, max click ts) − 150 min (watermark delay 1 h +
+    * JOIN-RANGE SPAN 1 h + 30 min margin; exact integer µs arithmetic both
+    * engines). The range-span term is load-bearing: Spark's left-outer
+    * state eviction uses the state-VALUE watermark derived from the
+    * condition, so an unmatched purchase null-emits only once the global
+    * watermark passes p_ts + 1 h — not p_ts itself. A corpus with an
+    * unmatched purchase in the (wm − span, wm) band proves it (fuzz seed
+    * 8: emitted unmatched max 20:59, withheld 21:44, wm − 1 h = 21:18).
+    * Dense-click corpora never see the band — matches emit on arrival,
+    * no eviction needed — which is why the 90-min cutoff survived every
+    * earlier sweep. Below the cutoff streaming output provably equals the
+    * batch left join; at the boundary the eviction edge cases are
+    * excluded from BOTH sides by the same integer compare.
     */
   def purchaseClickLeftJoin(spark: SparkSession, sfDir: String,
       partitions: Int = 2): DataFrame = {
@@ -231,7 +239,7 @@ object EventsStream {
         .agg(
           max(when(col("event_type") === "purchase", col("ts"))).as("maxp"),
           max(when(col("event_type") === "click", col("ts"))).as("maxc"))
-        .select(expr("unix_micros(CAST(least(maxp, maxc) AS TIMESTAMP)) - 5400000000").as("cutoff"))
+        .select(expr("unix_micros(CAST(least(maxp, maxc) AS TIMESTAMP)) - 9000000000").as("cutoff"))
         .head.getLong(0)
     }(scala.concurrent.ExecutionContext.global)
     StreamingConf.withShufflePartitions(spark, partitions) {

@@ -355,7 +355,7 @@ object AdversarialCorpus {
       Vector("\"q\"", "line\nbreak", "tab\tsep", "back\\slash", "'sq'"))
 
     private def fuzzText(): String = {
-      val shape = rnd.nextInt(10)
+      val shape = rnd.nextInt(12)
       if (shape == 0) ""                               // empty
       else if (shape == 1) pick(Vector(" ", "  \t", "\n")) // whitespace-only
       else if (shape == 2) {                           // sub-shingle soup
@@ -363,6 +363,18 @@ object AdversarialCorpus {
         pick(pool).take(1 + rnd.nextInt(3))
       } else if (shape == 3) {                         // CJK, no spaces
         Seq.fill(3 + rnd.nextInt(40))(pick(pools(2))).mkString
+      } else if (shape == 4) {                         // degenerate long doc:
+        // ONE token repeated — minimal entropy, maximal repetition ratio,
+        // every shingle identical (gram kernels, minhash banding,
+        // bigram-LM/perplexity smoothing all hit their floor cases)
+        val w = pick(pick(pools.take(7)))
+        Seq.fill(300 + rnd.nextInt(1200))(w).mkString(" ")
+      } else if (shape == 5) {                         // long mixed doc
+        // ~1-8k chars: an order of magnitude beyond every other fuzz doc —
+        // length-normalized scores (BM25, quality ratios), gram counts,
+        // and token packing see a genuinely long document
+        val ps = Seq.fill(2)(pick(pools))
+        Seq.fill(200 + rnd.nextInt(1200))(pick(pick(ps.toIndexedSeq))).mkString(" ")
       } else {                                         // 1-3 mixed pools
         val ps = Seq.fill(1 + rnd.nextInt(3))(pick(pools))
         val n = 1 + rnd.nextInt(60)
@@ -372,10 +384,16 @@ object AdversarialCorpus {
 
     def docs(n: Int, firstId: Long): Seq[Doc] = {
       val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      // null RUNS, not just isolated nulls: consecutive null texts in id
+      // order are what produce all-null frames/partitions downstream —
+      // the shape class that caught the rolling_median empty-frame crash
+      var nullRun = 0
       (0 until n).map { i =>
         val roll = rnd.nextDouble()
+        if (nullRun == 0 && roll < 0.015) nullRun = 3 + rnd.nextInt(10)
         val text =
-          if (roll < 0.03) null
+          if (nullRun > 0) { nullRun -= 1; null }
+          else if (roll < 0.03) null
           else if (roll < 0.13 && texts.nonEmpty) pick(texts) // exact dup
           else if (roll < 0.20 && texts.exists(_.length > 3)) { // near-dup
             val t = pick(texts.filter(_.length > 3))
@@ -395,7 +413,12 @@ object AdversarialCorpus {
       val t0 = LocalDateTime.of(2024, 2, 1, 0, 0, 0)
       val types = Vector("view", "click", "purchase", "signup", "error", "fuzz")
       val seen = scala.collection.mutable.ArrayBuffer.empty[(java.lang.Long, LocalDateTime)]
+      // runs of null VALUES (see docs): consecutive null measures within a
+      // user's timeline are what fill a whole ordered window frame
+      var nullValRun = 0
       (0 until n).map { i =>
+        if (nullValRun == 0 && rnd.nextDouble() < 0.015)
+          nullValRun = 4 + rnd.nextInt(12)
         val user: java.lang.Long = mask(0.05, Long.box(rnd.nextInt(10).toLong))
         val ts0: LocalDateTime =
           if (rnd.nextDouble() < 0.04) null
@@ -407,11 +430,13 @@ object AdversarialCorpus {
         val (u, ts) = if (rnd.nextDouble() < 0.05 && seen.nonEmpty) pick(seen)
           else (user, ts0)
         if (ts != null && u != null) seen += ((u, ts))
-        Ev(firstId + i, ts, u, mask(0.04, pick(types)),
+        val value: java.lang.Double =
+          if (nullValRun > 0) { nullValRun -= 1; null }
           // explicit 0.0, never `negative * 0` — that mints -0.0, whose
           // cross-engine repr in a hash compare is noise, not signal
-          mask(0.05, Double.box(
-            if (rnd.nextDouble() < 0.05) 0.0 else money(-100, 10000))),
+          else mask(0.05, Double.box(
+            if (rnd.nextDouble() < 0.05) 0.0 else money(-100, 10000)))
+        Ev(firstId + i, ts, u, mask(0.04, pick(types)), value,
           mask(0.05, pick(Vector("{}", s"""{"k": ${rnd.nextInt(100) - 20}}""",
             s"""{"k": ${rnd.nextInt(9)}, "note": "café 数据"}"""))))
       }
@@ -453,9 +478,18 @@ object AdversarialCorpus {
         val cust: Any = if (rnd.nextDouble() < 0.04) null
           else if (rnd.nextDouble() < 0.06) k.orphanCust
           else Long.box(rnd.nextInt(15).toLong)
-        Seq(key, cust, mask(0.04, pick(status)),
-          mask(0.05, Double.box(money(-500, 500000))),
-          mask(0.05, randDate()), mask(0.04, pick(prio)))
+        // a customer whose ONLY order is null-priced: SUM(price) per
+        // custkey is NULL for a whole group — the shape that separates
+        // "excludes null values" rank machinery from an unfiltered
+        // COUNT(*) (gini/lorenz audit, round 11). The unique custkey
+        // guarantees no other order repairs the group's sum.
+        if (rnd.nextDouble() < 0.03)
+          Seq(key, Long.box(900000L + i), mask(0.04, pick(status)),
+            null, mask(0.05, randDate()), mask(0.04, pick(prio)))
+        else
+          Seq(key, cust, mask(0.04, pick(status)),
+            mask(0.05, Double.box(money(-500, 500000))),
+            mask(0.05, randDate()), mask(0.04, pick(prio)))
       }
     }
 

@@ -35,7 +35,7 @@ object StreamProf {
         .agg(
           max(when(col("event_type") === "purchase", col("ts"))).as("maxp"),
           max(when(col("event_type") === "click", col("ts"))).as("maxc"))
-        .select(expr("unix_micros(CAST(least(maxp, maxc) AS TIMESTAMP)) - 5400000000").as("cutoff"))
+        .select(expr("unix_micros(CAST(least(maxp, maxc) AS TIMESTAMP)) - 9000000000").as("cutoff"))
         .head
     }
 

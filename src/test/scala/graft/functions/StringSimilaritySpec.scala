@@ -19,6 +19,10 @@ class StringSimilaritySpec extends SparkSpec {
     ("abc", "abc", 1.0),
     ("abc", "xyz", 0.0),
     ("a", "", 0.0),
+    // identical wins over empty: 1.0 here, where DuckDB's empty guard
+    // precedes its equality check and yields 0.0 — the catalog oracle
+    // replays this contract with an explicit CASE (fuzz seed 13)
+    ("", "", 1.0),
     ("CRATE economy", "CRATE standard", 0.6794871794871794),
     ("PROMO burnished", "PROMO brushed", 0.9579487179487179),
     // non-ASCII: DuckDB's jaro_winkler_similarity works over UTF-8 BYTES

@@ -25,8 +25,11 @@ class LeftOuterJoinSpec extends SparkSpec {
       val c = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
           col("ts_us").as("c_us"))
+      // 150 min = watermark delay 1 h + join-range span 1 h + 30 min
+      // margin — the span term mirrors Spark's state-VALUE watermark
+      // eviction of unmatched left rows (see purchaseClickLeftJoin doc)
       val cutoff = p.agg(max("p_us")).head.getLong(0)
-        .min(c.agg(max("c_us")).head.getLong(0)) - 5400000000L
+        .min(c.agg(max("c_us")).head.getLong(0)) - 9000000000L
       val batch = p
         .join(c, col("user_id") === col("c_user") &&
           col("c_us") >= col("p_us") - 3600000000L && col("c_us") <= col("p_us"),
