@@ -3231,8 +3231,7 @@ object QueryCatalog {
 
     // Native session windows: groupBy(session_window(ts, gap)) — the
     // engine-managed merge of overlapping [ts, ts+gap) intervals, vs the
-    // lag/cumsum islands idiom in `sessionize`. Boundary differs from the
-    // gap idiom: a gap of EXACTLY 30min starts a new session here.
+    // lag/cumsum islands idiom in `sessionize` (same boundary convention).
     // Gap comparison is STRICT (> gap splits): Spark's native
     // session_window merges sessions that touch exactly (next.ts ==
     // last.ts + gap extends the session — fuzz seed 1 caught the oracle's

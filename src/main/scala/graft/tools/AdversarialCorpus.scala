@@ -413,25 +413,37 @@ object AdversarialCorpus {
       val t0 = LocalDateTime.of(2024, 2, 1, 0, 0, 0)
       val types = Vector("view", "click", "purchase", "signup", "error", "fuzz")
       val seen = scala.collection.mutable.ArrayBuffer.empty[(java.lang.Long, LocalDateTime)]
-      // runs of null VALUES (see docs): consecutive null measures within a
-      // user's timeline are what fill a whole ordered window frame
+      // runs of null VALUES: to fill a whole ORDERED window frame the run
+      // must be consecutive within one user's ts-sorted timeline, so a
+      // run pins ONE user and emits back-to-back timestamps (independent
+      // user/ts draws would scatter the nulls across every frame — review
+      // r11 caught the first version doing exactly that)
       var nullValRun = 0
+      var runUser: java.lang.Long = null
+      var runTs: LocalDateTime = t0
       (0 until n).map { i =>
-        if (nullValRun == 0 && rnd.nextDouble() < 0.015)
+        if (nullValRun == 0 && rnd.nextDouble() < 0.015) {
           nullValRun = 4 + rnd.nextInt(12)
-        val user: java.lang.Long = mask(0.05, Long.box(rnd.nextInt(10).toLong))
+          runUser = Long.box(rnd.nextInt(10).toLong)
+          runTs = t0.plusSeconds(rnd.nextInt(259200).toLong)
+        }
+        val inRun = nullValRun > 0
+        val user: java.lang.Long =
+          if (inRun) runUser
+          else mask(0.05, Long.box(rnd.nextInt(10).toLong))
         val ts0: LocalDateTime =
-          if (rnd.nextDouble() < 0.04) null
+          if (inRun) { runTs = runTs.plusSeconds(7 + rnd.nextInt(50).toLong); runTs }
+          else if (rnd.nextDouble() < 0.04) null
           else if (rnd.nextDouble() < 0.06 && seen.nonEmpty) pick(seen)._2 // shared ts
           else if (rnd.nextDouble() < 0.10)                 // window-boundary exact
             t0.plusMinutes(rnd.nextInt(4320).toLong)
           else t0.plusSeconds(rnd.nextInt(259200).toLong)
         // duplicate (user, ts) pair with a different payload
-        val (u, ts) = if (rnd.nextDouble() < 0.05 && seen.nonEmpty) pick(seen)
+        val (u, ts) = if (!inRun && rnd.nextDouble() < 0.05 && seen.nonEmpty) pick(seen)
           else (user, ts0)
         if (ts != null && u != null) seen += ((u, ts))
         val value: java.lang.Double =
-          if (nullValRun > 0) { nullValRun -= 1; null }
+          if (inRun) { nullValRun -= 1; null }
           // explicit 0.0, never `negative * 0` — that mints -0.0, whose
           // cross-engine repr in a hash compare is noise, not signal
           else mask(0.05, Double.box(
