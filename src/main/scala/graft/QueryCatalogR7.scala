@@ -971,7 +971,10 @@ object QueryCatalogR7 {
     // and every extra complete-mode batch re-emits full state (~0.7 s of
     // pure trigger overhead on the local harness).
     CatalogEntry("dsv2_stream_agg",
-      (s, d) => {
+      (s, d) => graft.streaming.StreamingConf.withShufflePartitions(s, 4) {
+        // 4 state stores, not the session-wide 32 (ROUNDLOG lesson 8 —
+        // the last harness streaming entry still paying 32 stores'
+        // open/commit × 3 batches for a 16-group state)
         import org.apache.spark.sql.streaming.Trigger
         val sink = "dsv2_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
         val ckpt = java.nio.file.Files.createTempDirectory(

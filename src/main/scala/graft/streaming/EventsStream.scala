@@ -42,8 +42,13 @@ object EventsStream {
     // state-store count = shuffle partitions at query start (ROUNDLOG
     // lesson 8): the session-wide 32 meant 32 stores paying open/commit
     // per batch for a |hours×types|-row state — 4 is plenty locally; a
-    // real cluster sizes this to |executors|
-    StreamingConf.withShufflePartitions(spark, 4)(hourlyCountsImpl(spark, sfDir))
+    // real cluster sizes this to |executors|. No-data finalization batch
+    // skipped: complete mode re-emits every group from state, so the
+    // watermark-advance batch cannot change the output (see
+    // StreamingConf.withNoDataBatches for the safety argument).
+    StreamingConf.withShufflePartitions(spark, 4)(
+      StreamingConf.withNoDataBatches(spark, enabled = false)(
+        hourlyCountsImpl(spark, sfDir)))
   }
 
   private def hourlyCountsImpl(spark: SparkSession, sfDir: String): DataFrame = {
@@ -114,9 +119,13 @@ object EventsStream {
     * evicted beyond it — bounded memory at any stream length.
     */
   def dedupedCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    // see purchaseClickJoin: fewer state stores for the bounded local run
+    // see purchaseClickJoin: fewer state stores for the bounded local run.
+    // No-data batch skipped: the dedup state eviction it runs cannot
+    // change the complete-mode counts (withNoDataBatches scaladoc).
     StreamingConf.withShufflePartitions(spark, 4)(
-      StreamingConf.withStateBackend(spark)(dedupedCountsImpl(spark, sfDir)))
+      StreamingConf.withStateBackend(spark)(
+        StreamingConf.withNoDataBatches(spark, enabled = false)(
+          dedupedCountsImpl(spark, sfDir))))
   }
 
   private def dedupedCountsImpl(spark: SparkSession, sfDir: String): DataFrame = {
@@ -165,8 +174,13 @@ object EventsStream {
     // partition for a symmetric hash join). Profiling the left-join twin
     // showed 8 → 2 saves ~0.6 s at this data scale with the join nowhere
     // near CPU-bound; a real cluster sizes this to |executors|
+    // No-data finalization batch skipped: INNER join matches emit in the
+    // data batch that produces them — the extra trigger only evicts state
+    // (withNoDataBatches scaladoc). The left-outer twin MUST keep it.
     StreamingConf.withShufflePartitions(spark, 2)(
-      StreamingConf.withStateBackend(spark)(purchaseClickJoinImpl(spark, sfDir)))
+      StreamingConf.withStateBackend(spark)(
+        StreamingConf.withNoDataBatches(spark, enabled = false)(
+          purchaseClickJoinImpl(spark, sfDir))))
   }
 
   private def purchaseClickJoinImpl(spark: SparkSession, sfDir: String): DataFrame = {

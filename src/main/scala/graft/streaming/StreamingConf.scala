@@ -52,6 +52,34 @@ object StreamingConf {
     finally spark.conf.set(key, prev)
   }
 
+  /** Run `body` with no-data micro-batches disabled, restoring the conf
+    * afterwards. The no-data finalization batch exists to advance the
+    * watermark and run eviction with no new input — a FULL extra trigger
+    * execution (incremental re-plan + state-store open/commit on every
+    * partition), which for a single-shot harness query is pure fixed cost
+    * whenever the output cannot depend on eviction:
+    *
+    *   - complete-mode aggregates: every group re-emits from state each
+    *     batch; eviction never adds or removes output rows;
+    *   - INNER stream-stream joins in append mode: matches emit in the
+    *     data batch that produces them; eviction only drops state.
+    *
+    * It must stay ENABLED for left-outer stream-stream joins (null-side
+    * rows emit ON eviction — skipping the batch silently withholds every
+    * end-of-stream unmatched row) and any append-mode windowed aggregate
+    * (windows emit when the watermark passes them). On a real cluster the
+    * default stays on: continuous streams need watermark-only progress
+    * between bursts; this knob is about not paying that machinery 2× for
+    * a bounded replay.
+    */
+  def withNoDataBatches[T](spark: SparkSession, enabled: Boolean)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, enabled.toString)
+    try body
+    finally spark.conf.set(key, prev)
+  }
+
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"

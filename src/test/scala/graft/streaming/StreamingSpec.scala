@@ -174,6 +174,23 @@ class StreamingSpec extends SparkSpec {
     assert(spark.conf.get(key) === before)
   }
 
+  test("withNoDataBatches restores the session value even when body throws") {
+    // a restore miss would silently skip finalization batches for every
+    // later streaming query in the session — including the left-outer
+    // join, whose null-side rows only emit on the no-data eviction batch
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val before = spark.conf.get(key)
+    var inside = ""
+    intercept[RuntimeException] {
+      StreamingConf.withNoDataBatches(spark, enabled = false) {
+        inside = spark.conf.get(key)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(inside === "false")
+    assert(spark.conf.get(key) === before)
+  }
+
   test("batch sessionize agrees with stateful fold on the same events") {
     import spark.implicits._
     val events = Seq(
