@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
@@ -791,6 +791,24 @@ object QueryCatalog {
       .drop("ts")
   }
 
+  /** Exact integer FLOOR-division time bucket of a µs epoch column.
+    *
+    * The bucket contract is CALENDAR semantics — floor toward the past —
+    * the convention `date_trunc`/`window()` already pin for the rest of
+    * the events family. A bare `div` (and DuckDB's integer `//`) truncates
+    * toward ZERO instead, which agrees with floor only for ts ≥ epoch; a
+    * pre-epoch (negative-µs) event would land one bucket too late, and
+    * worse, `(-b, b)` would collapse into one double-width bucket 0.
+    * `x - pmod(x, b)` is the largest multiple of b ≤ x (pmod ≥ 0 at any
+    * sign), so the `div` is exact — all integer ops, codegen-friendly,
+    * no double-division boundary misrounding (adjacent day-bucket
+    * quotients are ~1e-11 apart at µs scale, inside double error).
+    * Oracles replay it as `epoch_us(date_trunc(unit, ts)) // b` —
+    * date_trunc floors, making the `//` exact on a multiple.
+    */
+  private[graft] def usBucket(c: String, bucketUs: Long): Column =
+    expr(s"($c - pmod($c, $bucketUs)) div $bucketUs")
+
   /** Query embedding: the vector of vec_id = 0 (driver-side 1-row lookup). */
   private def queryVec(s: SparkSession, d: String): Seq[Float] =
     embs(s, d).filter(col("vec_id") === 0).select("embedding")
@@ -1479,6 +1497,7 @@ object QueryCatalog {
       (s, d) => streaming.EventsStream.purchaseClickJoin(s, d),
       Some("""WITH e AS (
         |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events
+        |  WHERE ts >= TIMESTAMP '1970-01-01'
         |)
         |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
         |  (p.ts_us // 1000000) - (c.ts_us // 1000000) AS lag_secs
@@ -1494,6 +1513,7 @@ object QueryCatalog {
       (s, d) => streaming.EventsStream.purchaseClickLeftJoin(s, d),
       Some("""WITH e AS (
         |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events
+        |  WHERE ts >= TIMESTAMP '1970-01-01'
         |), p AS (SELECT * FROM e WHERE event_type = 'purchase'
         |), c AS (SELECT * FROM e WHERE event_type = 'click'
         |), cut AS (SELECT least((SELECT max(ts_us) FROM p),
@@ -2104,11 +2124,15 @@ object QueryCatalog {
 
     // Streaming exactly-once dedup: doubled delivery collapsed by
     // dropDuplicatesWithinWatermark; oracle = single-delivery batch counts
+    // Epoch contract (see EventsStream scaladoc): watermarked streaming
+    // state lifetimes are measured against an initial watermark of epoch
+    // 0, so a pre-epoch event's dedup state is expired-on-arrival and its
+    // redelivery would double-count — both sides exclude ts < epoch.
     CatalogEntry("events_stream_dedup",
       (s, d) => streaming.EventsStream.dedupedCounts(s, d),
       Some("""SELECT event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1""".stripMargin)),
+        |FROM events WHERE ts >= TIMESTAMP '1970-01-01' GROUP BY 1""".stripMargin)),
 
     // Date arithmetic suite: calendar-clamped month add, month/quarter
     // boundaries, day distances
@@ -2174,7 +2198,7 @@ object QueryCatalog {
     CatalogEntry("cohort_retention",
       (s, d) => {
         val e = eventsRaw(s, d)
-          .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+          .select(col("user_id"), usBucket("ts_us", 86400000000L).as("day"))
         val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
         e.join(first, "user_id")
           .select(col("user_id"), col("cohort_day"),
@@ -2184,7 +2208,7 @@ object QueryCatalog {
           .agg(countDistinct(col("user_id")).as("n_users"))
       },
       Some("""WITH e AS (
-        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |  SELECT user_id, epoch_us(date_trunc('day', ts)) // 86400000000 AS day FROM events
         |), f AS (
         |  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1
         |), a AS (
@@ -2198,11 +2222,11 @@ object QueryCatalog {
     // variant in agg_approx; one Expand-free distinct aggregate)
     CatalogEntry("events_hourly_users",
       (s, d) => eventsRaw(s, d)
-        .select(expr("ts_us div 3600000000").as("hour"), col("user_id"))
+        .select(usBucket("ts_us", 3600000000L).as("hour"), col("user_id"))
         .groupBy(col("hour"))
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events")),
-      Some("""SELECT epoch_us(ts) // 3600000000 AS hour,
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour,
         |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin)),
 

@@ -33,7 +33,12 @@ object QueryCatalogR7 {
     */
   private def coActivityEdges(s: SparkSession, d: String): DataFrame = {
     val b = QueryCatalog.eventsRaw(s, d)
-      .select(expr("ts_us div 60000000").as("h"), col("event_type"), col("user_id"))
+      // FLOOR bucket, not `div`: the oracles replay this as
+      // date_trunc('minute', ts), which floors — a truncating div would
+      // silently shift pre-epoch events one minute late (QueryCatalog
+      // .usBucket scaladoc)
+      .select(QueryCatalog.usBucket("ts_us", 60000000L).as("h"),
+        col("event_type"), col("user_id"))
       .distinct()
     b.select(col("h"), col("event_type"), col("user_id").as("src"))
       .join(b.select(col("h"), col("event_type"), col("user_id").as("dst")),
@@ -643,7 +648,8 @@ object QueryCatalogR7 {
     CatalogEntry("forecast_baseline_mae",
       (s, d) => {
         val hourly = QueryCatalog.eventsRaw(s, d)
-          .groupBy(col("event_type"), expr("ts_us div 3600000000").as("h"))
+          .groupBy(col("event_type"),
+            QueryCatalog.usBucket("ts_us", 3600000000L).as("h"))
           .agg(count(lit(1)).as("cnt"))
         hourly.join(
             hourly.select(col("event_type"), (col("h") + 24).as("h"),
@@ -656,7 +662,7 @@ object QueryCatalogR7 {
             (col("abs_err").cast("double") / col("n_hours")).as("mae"))
       },
       Some("""WITH hourly AS (
-        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS cnt
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, COUNT(*) AS cnt
         |  FROM events GROUP BY 1, 2
         |), j AS (
         |  SELECT a.event_type, a.cnt, p.cnt AS prev_cnt

@@ -12,8 +12,30 @@ import org.apache.spark.sql.types._
   * The reference is batch-only (SURVEY.md §2.11); this is the extension the
   * events table exists for. Streaming and batch share the same transform, so
   * the streaming result is oracle-verifiable against the batch GROUP BY.
+  *
+  * ==Epoch contract for watermarked state==
+  * Spark's event-time watermark starts at epoch 0, and per-key state
+  * lifetimes are measured against it: a PRE-EPOCH event's dedup state
+  * (`ts + delay < 0`) is expired-on-arrival — its redelivered copy finds
+  * no state and double-counts — and a pre-epoch unmatched outer-join row
+  * can be evicted without its null-side emission. These are machinery
+  * semantics, not tunables, so the watermarked entries (dedup and both
+  * stream-stream joins) EXCLUDE `ts < 1970-01-01` on every stream side,
+  * and their oracles mirror the filter (fuzz boundary-date wave, round
+  * 11). Complete-mode aggregates are structurally immune — group state is
+  * never expired-on-arrival and complete output re-emits all of it — so
+  * they keep pre-epoch rows (oracle parity with the batch twin pins it).
   */
 object EventsStream {
+
+  /** The watermarked-entry input contract: see "Epoch contract" above.
+    * Stated on the RAW NTZ column (not through the LTZ cast) so it pushes
+    * to the parquet scan as a plain GreaterThanOrEqual — a cast-wrapped
+    * predicate is a post-scan Filter, which at 100 TB is a full-table
+    * pass. UTC session pins NTZ '1970-01-01' == epoch (requireUtcSession
+    * guards every entry).
+    */
+  private val epochOk = expr("ts >= TIMESTAMP_NTZ '1970-01-01'")
 
   /** Raw parquet schema of events.parquet — ts is TIMESTAMP(MICROS), no-tz
     * → TIMESTAMP_NTZ (the r9 driver corpus; same as the batch path).
@@ -119,6 +141,8 @@ object EventsStream {
     * evicted beyond it — bounded memory at any stream length.
     */
   def dedupedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    // the NTZ epochOk filter is epoch-aligned only in UTC (epochOk scaladoc)
+    graft.Tables.requireUtcSession(spark, "EventsStream.dedupedCounts")
     // see purchaseClickJoin: fewer state stores for the bounded local run.
     // No-data batch skipped: the dedup state eviction it runs cannot
     // change the complete-mode counts (withNoDataBatches scaladoc).
@@ -133,6 +157,7 @@ object EventsStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
+      .filter(epochOk) // pre-epoch dedup state is expired-on-arrival
       .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
     // dropDuplicatesWithinWatermark (not plain dropDuplicates): eviction by
     // watermark needs either the event-time column in the key set or this
@@ -169,6 +194,8 @@ object EventsStream {
     * itself — RocksDB state backend + more shuffle partitions is the knob.
     */
   def purchaseClickJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // the NTZ epochOk filter is epoch-aligned only in UTC (epochOk scaladoc)
+    graft.Tables.requireUtcSession(spark, "EventsStream.purchaseClickJoin")
     // state-store count = shuffle partitions at query start; each store pays
     // open/commit per micro-batch on BOTH join sides (4 stores per
     // partition for a symmetric hash join). Profiling the left-join twin
@@ -188,7 +215,7 @@ object EventsStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .filter(col("event_type") === tpe)
+      .filter(col("event_type") === tpe && epochOk) // epoch contract
       .select(
         col("event_id").as(s"${prefix}_id"),
         col("user_id").as(s"${prefix}_user"),
@@ -250,11 +277,15 @@ object EventsStream {
     val cutoffFut = scala.concurrent.Future {
       spark.read.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .filter(epochOk) // same epoch contract as the stream sides
         .agg(
           max(when(col("event_type") === "purchase", col("ts"))).as("maxp"),
           max(when(col("event_type") === "click", col("ts"))).as("maxc"))
         .select(expr("unix_micros(CAST(least(maxp, maxc) AS TIMESTAMP)) - 9000000000").as("cutoff"))
-        .head.getLong(0)
+        // least() skips nulls, so this is null only when BOTH sides have
+        // zero post-epoch rows — the joined stream is empty then, and the
+        // MinValue cutoff keeps the filter a no-op instead of an NPE
+        .head.getAs[java.lang.Long](0)
     }(scala.concurrent.ExecutionContext.global)
     StreamingConf.withShufflePartitions(spark, partitions) {
       StreamingConf.withStateBackend(spark) {
@@ -262,7 +293,7 @@ object EventsStream {
         .schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sfDir)
-        .filter(col("event_type") === tpe)
+        .filter(col("event_type") === tpe && epochOk) // epoch contract
         .select(
           col("event_id").as(s"${prefix}_id"),
           col("user_id").as(s"${prefix}_user"),
@@ -280,8 +311,9 @@ object EventsStream {
           (col("purchase_ts").cast("long") - col("click_ts").cast("long")).as("lag_secs"),
           col("purchase_us"))
       val res = detachAppendResult(joined, "purchase_click_left")
-      val cutoffUs = scala.concurrent.Await.result(
-        cutoffFut, scala.concurrent.duration.Duration.Inf)
+      val cutoffUs = Option(scala.concurrent.Await.result(
+        cutoffFut, scala.concurrent.duration.Duration.Inf))
+        .fold(Long.MinValue)(_.longValue)
       res.filter(col("purchase_us") < cutoffUs).drop("purchase_us")
       }
     }

@@ -434,6 +434,15 @@ object AdversarialCorpus {
         val ts0: LocalDateTime =
           if (inRun) { runTs = runTs.plusSeconds(7 + rnd.nextInt(50).toLong); runTs }
           else if (rnd.nextDouble() < 0.04) null
+          else if (rnd.nextDouble() < 0.03)                 // PRE-EPOCH event time:
+            // negative unix_micros is where truncating division (Spark
+            // `div`, toward zero) and floor division (DuckDB `//`,
+            // date_trunc) part ways — every ts_us-bucketing site must use
+            // exact floor division or its pre-1970 buckets shift by one
+            LocalDateTime.of(1969, 12, 31, 23, 59, 59)
+              .minusSeconds(rnd.nextInt(259200).toLong)
+          else if (rnd.nextDouble() < 0.015)                // far-future (2224)
+            t0.plusYears(200).plusSeconds(rnd.nextInt(259200).toLong)
           else if (rnd.nextDouble() < 0.06 && seen.nonEmpty) pick(seen)._2 // shared ts
           else if (rnd.nextDouble() < 0.10)                 // window-boundary exact
             t0.plusMinutes(rnd.nextInt(4320).toLong)
@@ -505,12 +514,32 @@ object AdversarialCorpus {
       }
     }
 
+    /** Calendar boundary dates: leap days (clamping in add_months /
+      * last_day), month-ends (the add_months Jan-31 → Feb-28 clamp), year
+      * boundaries, the epoch edge (datediff day keys go NEGATIVE pre-1970
+      * — RANGE frames and day arithmetic must hold on negative integers),
+      * and far past/future (both engines are proleptic Gregorian; any
+      * hybrid-calendar shortcut would diverge here).
+      */
+    private val boundaryDates = Vector(
+      LocalDateTime.of(1969, 12, 31, 0, 0, 0), // pre-epoch: negative day key
+      LocalDateTime.of(1970, 1, 1, 0, 0, 0),   // epoch itself
+      LocalDateTime.of(1996, 2, 29, 0, 0, 0),  // leap day
+      LocalDateTime.of(2000, 2, 29, 0, 0, 0),  // century leap day
+      LocalDateTime.of(1995, 1, 31, 0, 0, 0),  // month-end (add_months clamp)
+      LocalDateTime.of(1998, 12, 31, 0, 0, 0), // year boundary
+      LocalDateTime.of(1900, 1, 1, 0, 0, 0),   // far past, proleptic range
+      LocalDateTime.of(2100, 12, 31, 0, 0, 0)) // far future (2100 is NOT leap)
+
     private def randDate(): LocalDateTime = {
-      val d = LocalDateTime.of(1995, 1, 1, 0, 0, 0)
-        .plusDays(rnd.nextInt(2500).toLong)
-      if (rnd.nextDouble() < 0.2)
-        d.plusSeconds(rnd.nextInt(86400).toLong) // time-of-day component
-      else d
+      if (rnd.nextDouble() < 0.15) pick(boundaryDates)
+      else {
+        val d = LocalDateTime.of(1995, 1, 1, 0, 0, 0)
+          .plusDays(rnd.nextInt(2500).toLong)
+        if (rnd.nextDouble() < 0.2)
+          d.plusSeconds(rnd.nextInt(86400).toLong) // time-of-day component
+        else d
+      }
     }
 
     private def fuzzName(): String = {

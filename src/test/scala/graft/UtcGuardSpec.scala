@@ -37,6 +37,14 @@ class UtcGuardSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         streaming.EventsStream.purchaseClickLeftJoin(spark, sf())
       }
+      // the epochOk NTZ filter (r11 epoch contract) is epoch-aligned only
+      // in UTC — the other two watermarked entries must refuse too
+      intercept[IllegalArgumentException] {
+        streaming.EventsStream.dedupedCounts(spark, sf())
+      }
+      intercept[IllegalArgumentException] {
+        streaming.EventsStream.purchaseClickJoin(spark, sf())
+      }
     }
   }
 }
