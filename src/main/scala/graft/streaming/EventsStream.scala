@@ -30,10 +30,13 @@ object EventsStream {
 
   /** The watermarked-entry input contract: see "Epoch contract" above.
     * Stated on the RAW NTZ column (not through the LTZ cast) so it pushes
-    * to the parquet scan as a plain GreaterThanOrEqual — a cast-wrapped
-    * predicate is a post-scan Filter, which at 100 TB is a full-table
-    * pass. UTC session pins NTZ '1970-01-01' == epoch (requireUtcSession
-    * guards every entry).
+    * to the parquet scan as a plain GreaterThanOrEqual without depending
+    * on a cast-unwrapping optimizer rule or the session timezone (Spark
+    * 4.1 unwraps the cast-wrapped spelling too in UTC — both spellings'
+    * pushdown is pinned by PlanShapeSpec; a predicate that fell back to a
+    * post-scan Filter would be a full-table pass at 100 TB). UTC session
+    * pins NTZ '1970-01-01' == epoch (requireUtcSession guards every
+    * entry).
     */
   private val epochOk = expr("ts >= TIMESTAMP_NTZ '1970-01-01'")
 

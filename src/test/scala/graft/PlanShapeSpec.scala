@@ -141,6 +141,37 @@ class PlanShapeSpec extends SparkSpec {
     "map_funcs" -> Seq("IsNotNull(p_type)"),
     "weighted_sample" -> Seq("GreaterThan(o_totalprice,0.0)"))
 
+  test("streaming epochOk contract pushes to the scan on the raw NTZ column") {
+    // EventsStream.epochOk promises its `ts >= TIMESTAMP_NTZ '1970-01-01'`
+    // predicate is stated on the RAW NTZ column so it reaches the parquet
+    // scan as a plain GreaterThanOrEqual without depending on any
+    // cast-unwrapping optimizer rule. (Spark 4.1 happens to unwrap the
+    // cast-wrapped spelling too in a UTC session — asserted below so a
+    // regression of EITHER spelling to a post-scan Filter, a full-table
+    // pass at 100 TB, fails loudly.) The streaming file source reuses the
+    // same FileFormat scan machinery, so pinning the batch relation pins
+    // the contract.
+    import org.apache.spark.sql.types._
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("source", StringType)))
+    def pushedOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        .linesIterator.filter(_.contains("PushedFilters:")).mkString("\n")
+    def scan = spark.read.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf())
+    val raw = pushedOf(
+      scan.filter(org.apache.spark.sql.functions
+        .expr("ts >= TIMESTAMP_NTZ '1970-01-01'")))
+    assert(raw.contains("GreaterThanOrEqual(ts,"), raw)
+    val castWrapped = pushedOf(
+      scan.filter(org.apache.spark.sql.functions
+        .expr("CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01'")))
+    assert(castWrapped.contains("GreaterThanOrEqual(ts,"), castWrapped)
+  }
+
   test("null-contract filters reach the parquet scan as PushedFilters") {
     val misses = contractPushdowns.flatMap { case (name, tokens) =>
       val run = QueryCatalog.all.find(_.name == name)
