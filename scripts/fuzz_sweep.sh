@@ -10,7 +10,9 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 BASE="${FUZZ_BASE:-/root/testdata/sf0.001}"
 SEEDS=("$@")
-[ ${#SEEDS[@]} -eq 0 ] && SEEDS=(1 2 3 4 5)
+# seed 12 is a permanent regression fixture: its corpus produces the
+# NULL-source remainder tie in quotaAllocation (round 11)
+[ ${#SEEDS[@]} -eq 0 ] && SEEDS=(1 2 3 4 5 12)
 fail=0
 for s in "${SEEDS[@]}"; do
   echo "=== fuzz seed $s ==="

@@ -168,7 +168,7 @@ object QueryCatalogR7 {
         |), l AS (SELECT CAST(1000 - SUM(base_seats) AS BIGINT) AS leftover FROM b
         |), r AS (
         |  SELECT n_name, w, base_seats,
-        |    CASE WHEN row_number() OVER (ORDER BY rem DESC, n_name)
+        |    CASE WHEN row_number() OVER (ORDER BY rem DESC, n_name NULLS FIRST)
         |              <= (SELECT leftover FROM l)
         |         THEN 1 ELSE 0 END AS extra
         |  FROM b
@@ -747,7 +747,7 @@ object QueryCatalogR7 {
         |), l AS (SELECT CAST(50 - SUM(base_seats) AS BIGINT) AS leftover FROM b
         |), q AS (
         |  SELECT source, CAST(base_seats
-        |    + (CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+        |    + (CASE WHEN row_number() OVER (ORDER BY rem DESC, source NULLS FIRST)
         |              <= (SELECT leftover FROM l) THEN 1 ELSE 0 END) AS BIGINT) AS seats
         |  FROM b
         |), r AS (

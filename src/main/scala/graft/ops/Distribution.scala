@@ -375,8 +375,12 @@ object Distribution {
     * Exactness: quota arithmetic is integer cross-multiplication —
     * `base = (seats·w) div W`, remainder `seats·w − base·W` — so there is
     * no floating-point anywhere and any engine allocates identically. The
-    * `extra` ranking breaks remainder ties by key ascending (a stated
-    * policy, not an accident). Requires `seats·max(w)` to fit in a long.
+    * `extra` ranking breaks remainder ties by key ascending with a NULL
+    * key FIRST (a stated policy, not an accident — Spark's ascending
+    * default; any SQL replay must spell `NULLS FIRST`, since
+    * DuckDB/Postgres default ascending NULLS LAST and a NULL stratum
+    * tying a named one on remainder would be seated differently — fuzz
+    * seed 12, round 11). Requires `seats·max(w)` to fit in a long.
     *
     * Scale shape: weights aggregate map-side; the allocation itself runs
     * over |keys| rows (tiny). The grand total is a 1-row broadcast.

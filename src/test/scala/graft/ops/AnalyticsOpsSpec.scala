@@ -139,6 +139,19 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === Map("a" -> 5L, "b" -> 2L, "c" -> 1L, "d" -> 1L, "e" -> 1L, "f" -> 0L))
   }
 
+  test("quotaAllocation: a NULL key tying a named key on remainder is seated first") {
+    // fuzz seed 12 (round 11): null and "b" both have remainder 2 of 5;
+    // the stated tie policy is key ascending NULLS FIRST (Spark's
+    // ascending default), so the single leftover seat goes to the NULL
+    // stratum — an oracle replaying the ranking must pin NULLS FIRST or
+    // DuckDB/Postgres (ascending NULLS LAST) seat "b" instead
+    val w = Seq((Option.empty[String], 6L), (Some("b"), 6L), (Some("a"), 8L))
+      .toDF("k", "w")
+    val got = Distribution.quotaAllocation(w, "k", "w", seats = 5L)
+      .select("key", "seats").as[(Option[String], Long)].collect().toMap
+    assert(got === Map(None -> 2L, Some("b") -> 1L, Some("a") -> 2L))
+  }
+
   test("quotaAllocation: seats always sum to the target") {
     val w = Seq(("x", 1L), ("y", 1L), ("z", 1L)).toDF("k", "w")
     val total = Distribution.quotaAllocation(w, "k", "w", seats = 100L)
