@@ -436,7 +436,11 @@ object QueryCatalogR7 {
 
     // Native ntile() window over the nation dim — the one place an
     // unpartitioned window is the RIGHT call (25 rows; dims stay dim-sized
-    // at any corpus scale). Total order via (revenue desc, name).
+    // at any corpus scale). Total order via (revenue desc, name). The
+    // name tie-break needs NULLS FIRST in the oracle (Spark ascending
+    // default vs DuckDB's NULLS LAST): a null-named nation whose revenue
+    // exactly ties a named one would otherwise ntile differently — the
+    // quotaAllocation seed-12 class, pinned here before a seed finds it.
     CatalogEntry("ntile_nations",
       (s, d) => {
         val rev = T(s, d, "orders")
@@ -456,7 +460,7 @@ object QueryCatalogR7 {
         |  GROUP BY 1
         |)
         |SELECT n_name, revenue,
-        |  CAST(ntile(4) OVER (ORDER BY revenue DESC, n_name) AS BIGINT) AS quartile
+        |  CAST(ntile(4) OVER (ORDER BY revenue DESC, n_name NULLS FIRST) AS BIGINT) AS quartile
         |FROM rev""".stripMargin)),
 
     // Bloom-prefilter join: the fact side is pruned MAP-SIDE against a

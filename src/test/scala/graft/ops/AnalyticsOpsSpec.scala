@@ -152,6 +152,21 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === Map(None -> 2L, Some("b") -> 1L, Some("a") -> 2L))
   }
 
+  test("window tie-break: a NULL key tying on the DESC measure sorts first") {
+    // the same class at the window level (ntile_nations): Spark's
+    // ascending secondary key puts NULL before every name, so on an exact
+    // revenue tie the null-named row takes the earlier ntile bucket — any
+    // SQL oracle replaying `ORDER BY revenue DESC, name` must pin
+    // NULLS FIRST or DuckDB buckets the named row first instead
+    val rev = Seq((Option.empty[String], 10.0), (Some("a"), 10.0),
+      (Some("b"), 5.0), (Some("c"), 1.0)).toDF("name", "revenue")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("revenue").desc, col("name"))
+    val got = rev.withColumn("q", ntile(2).over(w))
+      .select("name", "q").as[(Option[String], Int)].collect().toMap
+    assert(got === Map(None -> 1, Some("a") -> 1, Some("b") -> 2, Some("c") -> 2))
+  }
+
   test("quotaAllocation: seats always sum to the target") {
     val w = Seq(("x", 1L), ("y", 1L), ("z", 1L)).toDF("k", "w")
     val total = Distribution.quotaAllocation(w, "k", "w", seats = 100L)
