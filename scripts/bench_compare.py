@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Drift-normalized bench comparison (round-11 verdict item 6): compare two
+bench_out.json artifacts per-query, dividing the new run's times by the
+host-drift ratio (new calib / ref calib) first, so a flagged ratio is a
+code regression, not a slower host-day. Bench totals on this box drift
+~10% between days while same-day runs agree within 1% (ROUNDLOG lesson
+15) — raw cross-day ratios are noise below ~1.15x.
+
+Queries sitting at a declared structural floor (the artifact's "floors"
+map) are exempt below floor * slack: their cost is machinery semantics
+(e.g. the left-outer stream-stream join's two mandatory trigger
+executions), not a tunable.
+
+Usage: scripts/bench_compare.py REF.json NEW.json [flag_ratio]
+Exit 1 iff any non-floor query regresses above flag_ratio (default 1.5)
+after normalization AND by more than an absolute 0.3 s (sub-floor
+absolute deltas are planning/codegen jitter).
+"""
+import json
+import sys
+
+ref_f, new_f = sys.argv[1], sys.argv[2]
+flag_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+
+ref = json.load(open(ref_f))
+new = json.load(open(new_f))
+
+calib_ref = ref.get("calib")
+calib_new = new.get("calib")
+drift = (calib_new / calib_ref) if calib_ref and calib_new else 1.0
+floors = new.get("floors", {}) or {}
+
+print(f"calib ref={calib_ref} new={calib_new} host_drift={drift:.3f}")
+print(f"total ref={ref['value']:.1f}s new={new['value']:.1f}s "
+      f"raw={new['value']/ref['value']:.3f}x "
+      f"normalized={new['value']/drift/ref['value']:.3f}x")
+
+rows = []
+for name, t_ref in sorted(ref["queries"].items()):
+    if name not in new["queries"]:
+        rows.append((float("inf"), name, t_ref, None))
+        continue
+    t_new_norm = new["queries"][name] / drift
+    rows.append((t_new_norm / t_ref if t_ref > 0 else float("inf"),
+                 name, t_ref, t_new_norm))
+
+rows.sort(reverse=True)
+regressions = 0
+print(f"\n{'query':34s} {'ref':>7s} {'new/drift':>9s} {'ratio':>7s}")
+for ratio, name, t_ref, t_new in rows[:25]:
+    if t_new is None:
+        print(f"{name:34s} {t_ref:7.2f}  MISSING")
+        regressions += 1
+        continue
+    at_floor = name in floors and t_new <= floors[name] * 1.3
+    flag = ""
+    if ratio > flag_ratio and (t_new - t_ref) > 0.3 and not at_floor:
+        flag = "  << REGRESSION?"
+        regressions += 1
+    elif at_floor:
+        flag = "  (structural floor)"
+    print(f"{name:34s} {t_ref:7.2f} {t_new:9.2f} {ratio:6.2f}x{flag}")
+print(f"\n{regressions} normalized regression(s) above {flag_ratio}x")
+sys.exit(1 if regressions else 0)

@@ -6,21 +6,26 @@
 #
 # Usage: scripts/fuzz_sweep.sh [seed...]        (default: 1 2 3 4 5)
 #        FUZZ_BASE=/root/testdata/sf0.001       (base tables)
+#        FUZZ_SKEW=1  hot-key axis: one key owns ~50% of each fuzz wave
+#                     (round-11 verdict item 4; Fuzz scaladoc)
 set -uo pipefail
 cd "$(dirname "$0")/.."
 BASE="${FUZZ_BASE:-/root/testdata/sf0.001}"
+SKEW=()
+TAG=""
+if [ "${FUZZ_SKEW:-0}" = "1" ]; then SKEW=(--skew); TAG="_skew"; fi
 SEEDS=("$@")
 # seed 12 is a permanent regression fixture: its corpus produces the
 # NULL-source remainder tie in quotaAllocation (round 11)
 [ ${#SEEDS[@]} -eq 0 ] && SEEDS=(1 2 3 4 5 12)
 fail=0
 for s in "${SEEDS[@]}"; do
-  echo "=== fuzz seed $s ==="
-  ./scripts/run_main.sh graft.tools.AdversarialCorpus "/tmp/fuzz_sf_$s" "$BASE" --fuzz "$s" \
+  echo "=== fuzz seed $s${TAG} ==="
+  ./scripts/run_main.sh graft.tools.AdversarialCorpus "/tmp/fuzz_sf_$s$TAG" "$BASE" --fuzz "$s" "${SKEW[@]}" \
     >/dev/null 2>&1 || { echo "seed $s: corpus generation FAILED"; fail=1; continue; }
-  ./scripts/run_main.sh graft.Verify "/tmp/fuzz_sf_$s" "/tmp/fuzz_verify_$s" \
+  ./scripts/run_main.sh graft.Verify "/tmp/fuzz_sf_$s$TAG" "/tmp/fuzz_verify_$s$TAG" \
     >/dev/null 2>&1 || { echo "seed $s: Verify FAILED"; fail=1; continue; }
-  python3 scripts/check_oracle.py "/tmp/fuzz_sf_$s" "/tmp/fuzz_verify_$s" | tail -2
+  python3 scripts/check_oracle.py "/tmp/fuzz_sf_$s$TAG" "/tmp/fuzz_verify_$s$TAG" | tail -2
   [ "${PIPESTATUS[0]}" -ne 0 ] && fail=1
 done
 exit $fail

@@ -79,6 +79,28 @@ object Bench {
     val acc = scala.collection.mutable.LinkedHashMap[String, (Vector[Double], Boolean)]()
     names.foreach(n => acc(n) = (Vector.empty, true))
 
+    // Host-speed calibration anchor (r11 verdict item 6): bench totals on
+    // this box drift ~10% BETWEEN days while same-day runs agree within 1%
+    // (ROUNDLOG lesson 15) — r11 burned a whole adjudication on a 1.12×
+    // total that was pure host drift. Each fresh session times one fixed,
+    // data-independent query (range → map-side modulo → 1024-group hash
+    // aggregate → tiny shuffle: the same codegen/AQE/exchange path a real
+    // catalog query takes, but zero IO and a fixed input), and the artifact
+    // records all samples plus the min. A cross-round comparison divides
+    // per-query times by the calib ratio first; a per-query ratio that
+    // survives normalization is a code regression, one that doesn't is
+    // host drift. The anchor is measured AFTER the JIT warmup collect and
+    // never charged to any query.
+    val calibSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def calibrate(spark: SparkSession): Unit = {
+      spark.range(1000000).selectExpr("sum(id)").collect() // JIT/codegen warm
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("id % 1024 AS k", "id")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("id"))
+        .write.mode("overwrite").format("noop").save()
+      calibSamples += (System.nanoTime() - t0) / 1e9
+    }
+
     // Streaming queries live in their OWN chunk (r9 verdict item 1): a
     // streaming entry leaves loaded state-store providers whose maintenance
     // churn bleeds into whatever runs next in the same session —
@@ -149,7 +171,7 @@ object Bench {
       }
       for (chunk <- chunks) {
         val spark = newSession()
-        spark.range(1000000).selectExpr("sum(id)").collect()
+        calibrate(spark)
         warmChunk(spark, chunk, s"pass $pass")
         chunk.foreach(measure(spark, _, s"pass $pass"))
         spark.stop()
@@ -170,7 +192,7 @@ object Bench {
     val soloFailed = scala.collection.mutable.LinkedHashSet[String]()
     val solo = results.sortBy(-_._2).take(soloCount).flatMap { case (name, _, _, _) =>
       val spark = newSession()
-      spark.range(1000000).selectExpr("sum(id)").collect()
+      calibrate(spark)
       warmChunk(spark, Seq(name), "solo")
       val before = acc(name)
       // a FAILED solo run's duration is a fast crash, not a timing — a
@@ -206,11 +228,44 @@ object Bench {
       .mkString("{", ",", "}")
     val soloFailedJson = soloFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val calibJson =
+      if (calibSamples.isEmpty) "null" else fmt(calibSamples.min)
+    val calibSamplesJson = calibSamples.map(fmt).mkString("[", ",", "]")
+    // Structural floors (r11 verdict item 5): per-query lower bounds that
+    // are machinery semantics, not tunables — regression adjudication must
+    // not flag a sample that sits at its floor. The left-outer stream-
+    // stream join's null sides emit ON WATERMARK EVICTION, which requires
+    // the no-data finalization micro-batch: two full trigger executions
+    // (incremental re-plan + per-partition state open/commit each) ≈ 1.7 s
+    // on this box regardless of data volume. Measured r11: disabling the
+    // no-data batch silently DROPS the unmatched rows, so the floor is the
+    // price of correctness. Rationale in SCALE.md "Streaming fixed-cost
+    // floor".
+    val floorsJson = """{"events_stream_left_join":1.7}"""
+    // Drift-normalized comparison (r11 verdict item 6): when
+    // SPARK_GRAFT_BENCH_REF names a prior bench_out.json, divide this
+    // run's total by the calib ratio (this host-day's speed vs the
+    // reference run's) so the headline comparison is code-vs-code, not
+    // host-day-vs-host-day. Regex extraction, not a JSON dep: the two
+    // fields are flat numbers written by this same program.
+    val refFields = for {
+      refPath <- sys.env.get("SPARK_GRAFT_BENCH_REF")
+      text <- scala.util.Try(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refPath)),
+        "UTF-8")).toOption
+      calibRef <- """"calib":([0-9.]+)""".r.findFirstMatchIn(text).map(_.group(1).toDouble)
+      valueRef <- """"value":([0-9.]+)""".r.findFirstMatchIn(text).map(_.group(1).toDouble)
+      if calibSamples.nonEmpty && calibRef > 0
+    } yield {
+      val drift = calibSamples.min / calibRef
+      s""","calib_ref":${fmt(calibRef)},"host_drift":${fmt(drift)},"value_ref":${fmt(valueRef)},"value_drift_normalized":${fmt(total / drift)}"""
+    }
+    val refJson = refFields.getOrElse("")
     // "warm" records whether an unmeasured steady-state warmup ran, so
     // consumers can tell warm timings from cold-start ones (ADVICE r2)
     def line(withSamples: Boolean) = {
       val samples = if (withSamples) s""","samples":$spread""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"passes":$passes,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"queries":$qs$samples,"solo":$soloJson,"solo_failed":$soloFailedJson,"failed":$failed,"warm_failed":$warmFailedJson,"sf":"$sfDir","warm":$warmed,"warm_dir":"$warmDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"passes":$passes,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"calib":$calibJson,"calib_samples":$calibSamplesJson,"floors":$floorsJson$refJson,"queries":$qs$samples,"solo":$soloJson,"solo_failed":$soloFailedJson,"failed":$failed,"warm_failed":$warmFailedJson,"sf":"$sfDir","warm":$warmed,"warm_dir":"$warmDir"}"""
     }
     // stdout gets captured-and-truncated by the harness (the r3 tail lost
     // the "value" field; r5/r6 lost the whole parse) — keep stdout compact

@@ -386,6 +386,48 @@ object EventsStream {
     spark.read.schema(result.schema).parquet(out)
   }
 
+  /** Production deployment shape of the hourly aggregate: APPEND-mode
+    * watermarked windowed counts over a caller-owned streaming frame (file
+    * inbox, Kafka — any source with `ts`/`event_type`/`value`) into a
+    * parquet sink with a DURABLE caller-owned checkpoint, returning the
+    * running [[org.apache.spark.sql.streaming.StreamingQuery]].
+    *
+    * This is the restartable twin of [[hourlyCounts]] (whose
+    * complete-mode-to-memory + throwaway scratch checkpoint is the
+    * one-shot oracle harness): append mode emits each window exactly once,
+    * when the watermark proves it complete, so the sink is incrementally
+    * consumable and state is evicted per window — bounded by
+    * |open windows × event types| at any stream length. Exactly-once
+    * across crashes is the source-offset WAL + state-store commit in the
+    * checkpoint plus the file sink's `_spark_metadata` log: a query killed
+    * between (or during) micro-batches and restarted from the same
+    * checkpoint resurrects partially-filled window counts and re-runs the
+    * uncommitted batch — CrashRestartStreamingSpec proves kill+resume
+    * output is row-identical to an uninterrupted run. Callers pick the
+    * trigger: AvailableNow drains a backlog and stops; a processing-time
+    * trigger tails a live inbox.
+    */
+  def hourlyCountsToSink(events: DataFrame, outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val agg = events
+      .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("total_value"))
+    agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Stream-static join: streaming events enriched against the static
     * customer dimension (broadcast per micro-batch — the standard pattern
     * for dimension lookup in a stream), aggregated per market segment.

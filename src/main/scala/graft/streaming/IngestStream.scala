@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.model.Schemas
@@ -33,25 +33,43 @@ object IngestStream {
     * not knowable cheaply — callers read the output table.
     */
   def runOnce(spark: SparkSession, inboxDir: String, outDir: String,
-      checkpointDir: String): Unit = {
-    val raw = spark.readStream
+      checkpointDir: String): Unit =
+    start(spark, inboxDir, outDir, checkpointDir).awaitTermination()
+
+  /** Start the ingest query and hand the [[StreamingQuery]] back to the
+    * caller — the long-running deployment shape ([[runOnce]] is the
+    * drive-to-completion wrapper). `maxFilesPerTrigger` bounds each
+    * micro-batch's file count: at 100 TB an inbox burst of thousands of
+    * files must not become one giant batch (a single batch is the unit of
+    * retry AND of sink commit latency), and AvailableNow respects the
+    * bound while still draining the backlog. Crash safety is the file
+    * sink's `_spark_metadata` transaction log + the source checkpoint: a
+    * query killed mid-batch re-runs that batch on restart and readers
+    * never see the uncommitted files (CrashRestartStreamingSpec kills a
+    * run between micro-batches and proves restart output equals an
+    * uninterrupted run's).
+    */
+  def start(spark: SparkSession, inboxDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val reader = spark.readStream
       .schema(ingestSchema)
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .option("pathGlobFilter", "*.csv")
-      .csv(inboxDir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val raw = reader.csv(inboxDir)
     val conformed = raw
       .filter(col("_corrupt").isNull)
       .drop("_corrupt")
       .withColumn("additional_column", lit(null).cast(StringType))
-    val q = conformed.writeStream
+    conformed.writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
-    q.awaitTermination()
   }
 }

@@ -333,8 +333,28 @@ object AdversarialCorpus {
     * 'Σ'→'σ' — the İ-expansion trick cannot replay a contextual mapping
     * in SQL, so that class is excluded rather than half-tested).
     */
-  final class Fuzz(seed: Long) {
+  /** `skew = true` adds the hot-key axis (round-11 verdict item 4): one
+    * key owns ~50% of every fuzz table's rows — the shape that dominates
+    * real 100 TB corpora (one power user, one viral document, one
+    * mega-customer) and that uniform draws can never produce. Hot rows are
+    * the EVEN indices (a deterministic post-transform, no extra rnd draws),
+    * so a (seed, skew) pair is as reproducible as a bare seed and the
+    * non-skew stream for the same seed is unchanged. Targets: events'
+    * hot user (sessionize's one giant ts-sorted timeline, the stream
+    * aggregates' hot state key), lineitem's hot suppkey/orderkey
+    * (salted_join_agg's exact salting scenario, order-join fan-out),
+    * orders' hot custkey (tpch_q13-class fan-out), documents' single
+    * viral text (the minhash/simhash maxBucket cap — both engines replay
+    * the cap, `HAVING COUNT(*) BETWEEN 2 AND 100` in the oracle, so a
+    * giant band bucket is a parity test of the cap itself, not noise).
+    */
+  final class Fuzz(seed: Long, skew: Boolean = false) {
     private val rnd = new Random(seed)
+    private def hot(i: Int): Boolean = skew && i % 2 == 0
+    // ~8 normalized tokens so 5-gram shingles and simhash tokens exist;
+    // identical for every hot doc — ONE exact-dup group of ~half the wave
+    private val hotText =
+      "viral doc replica shard stream token merge spark"
 
     private def mask[T >: Null <: AnyRef](p: Double, v: => T): T =
       if (rnd.nextDouble() < p) null else v
@@ -403,9 +423,13 @@ object AdversarialCorpus {
             else t.updated(at, if (t.charAt(at) == 'x') 'y' else 'x')
           } else fuzzText()
         if (text != null) texts += text
-        Doc(firstId + i, text,
+        // hot-key axis: even indices collapse onto the one viral text
+        // (after the draw machinery, so the rnd stream — and with it the
+        // odd-index rows — matches the non-skew corpus for this seed)
+        val outText = if (hot(i)) hotText else text
+        Doc(firstId + i, outText,
           mask(0.05, pick(Vector("en", "fr", "zh", "de", "es", "xx"))),
-          mask(0.05, s"src${rnd.nextInt(8)}"), cp(text))
+          mask(0.05, s"src${rnd.nextInt(8)}"), cp(outText))
       }
     }
 
@@ -448,8 +472,12 @@ object AdversarialCorpus {
             t0.plusMinutes(rnd.nextInt(4320).toLong)
           else t0.plusSeconds(rnd.nextInt(259200).toLong)
         // duplicate (user, ts) pair with a different payload
-        val (u, ts) = if (!inRun && rnd.nextDouble() < 0.05 && seen.nonEmpty) pick(seen)
+        val (u0, ts) = if (!inRun && rnd.nextDouble() < 0.05 && seen.nonEmpty) pick(seen)
           else (user, ts0)
+        // hot-key axis: one user owns every even-indexed event — sessionize
+        // gets one giant ts-sorted timeline, streaming aggregates one hot
+        // state key (override after the draws: odd rows match non-skew)
+        val u: java.lang.Long = if (hot(i)) Long.box(7L) else u0
         if (ts != null && u != null) seen += ((u, ts))
         val value: java.lang.Double =
           if (inRun) { nullValRun -= 1; null }
@@ -508,7 +536,11 @@ object AdversarialCorpus {
           Seq(key, Long.box(900000L + i), mask(0.04, pick(status)),
             null, mask(0.05, randDate()), mask(0.04, pick(prio)))
         else
-          Seq(key, cust, mask(0.04, pick(status)),
+          // hot-key axis: one customer owns half the wave's orders
+          // (tpch_q13-class fan-out); the null-priced-unique-customer
+          // branch above keeps its contract (it NEEDS a fresh custkey)
+          Seq(key, if (hot(i)) Long.box(4L) else cust,
+            mask(0.04, pick(status)),
             mask(0.05, Double.box(money(-500, 500000))),
             mask(0.05, randDate()), mask(0.04, pick(prio)))
       }
@@ -562,12 +594,16 @@ object AdversarialCorpus {
 
     def lineitemExtra(k: Keys, n: Int): Seq[Seq[Any]] = {
       (0 until n).map { i =>
-        val okey: Any = if (rnd.nextDouble() < 0.06) k.orphanOrder
+        val okey0: Any = if (rnd.nextDouble() < 0.06) k.orphanOrder
           else Long.box(rnd.nextInt(20).toLong)
         val pkey: Any = if (rnd.nextDouble() < 0.04) null
           else if (rnd.nextDouble() < 0.06) k.orphanPart
           else Long.box(rnd.nextInt(60).toLong)
-        val skey: Any = mask(0.04, Long.box(rnd.nextInt(10).toLong))
+        val skey0: Any = mask(0.04, Long.box(rnd.nextInt(10).toLong))
+        // hot-key axis: half the wave's lineitems hit ONE supplier (the
+        // salted_join_agg scenario: big-side join-key skew) and ONE order
+        val okey: Any = if (hot(i)) Long.box(5L) else okey0
+        val skey: Any = if (hot(i)) Long.box(3L) else skey0
         Seq(okey, pkey, skey, Int.box(1 + rnd.nextInt(7)),
           mask(0.04, Double.box((rnd.nextInt(101) - 10).toDouble)),
           mask(0.04, Double.box(money(-100, 100000))),
@@ -624,9 +660,12 @@ object AdversarialCorpus {
     val baseDir = if (positional.length > 1) positional(1) else "/root/testdata/sf0.001"
     // --fuzz <seed>: ADD the seeded random wave on top of the curated rows
     // (scripts/fuzz_sweep.sh loops seeds; a failing seed reproduces exactly)
+    // --skew: hot-key axis — one key owns ~50% of each fuzz wave (Fuzz
+    // scaladoc; FUZZ_SKEW=1 in fuzz_sweep.sh)
     val fuzz: Option[Fuzz] = {
       val ix = args.indexOf("--fuzz")
-      if (ix >= 0 && ix + 1 < args.length) Some(new Fuzz(args(ix + 1).toLong))
+      if (ix >= 0 && ix + 1 < args.length)
+        Some(new Fuzz(args(ix + 1).toLong, skew = args.contains("--skew")))
       else None
     }
     val spark = SparkSession.builder()
