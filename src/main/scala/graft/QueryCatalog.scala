@@ -597,13 +597,24 @@ object QueryCatalog {
 
     // Argument-max aggregate: which order carried the group's max price
     // (deterministic here — max price is unique per status group)
+    // arg-max with an EXPLICIT tie-break: bare max_by/arg_max pick an
+    // arbitrary row when the measure ties, and at scale ties are the
+    // common case, not the corner (the 8× pseudo-scale corpus mints 8
+    // equal-price twins of every 1× maximum and the bare spelling
+    // diverged immediately — round 12). Contract: smallest key among the
+    // max-price rows. The CASE keeps bare-max_by's null semantics (a
+    // null-price row can never win; all-null group → null top_order) —
+    // a bare struct(price, -key) is non-null even when price is null and
+    // would have CHANGED which rows participate.
     CatalogEntry("arg_max",
       (s, d) => T(s, d, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(max(col("o_totalprice")).as("max_price"),
-          expr("max_by(o_orderkey, o_totalprice)").as("top_order")),
+          expr("max_by(o_orderkey, CASE WHEN o_totalprice IS NOT NULL" +
+            " THEN struct(o_totalprice, -o_orderkey) END)").as("top_order")),
       Some("""SELECT o_orderstatus, max(o_totalprice) AS max_price,
-        |  arg_max(o_orderkey, o_totalprice) AS top_order
+        |  first(o_orderkey ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC)
+        |    FILTER (WHERE o_totalprice IS NOT NULL) AS top_order
         |FROM orders GROUP BY 1""".stripMargin)),
 
     // Cube — the full grouping lattice (rollup's sibling)

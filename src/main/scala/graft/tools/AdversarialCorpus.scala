@@ -371,7 +371,21 @@ object AdversarialCorpus {
       Vector("بيانات", "استعلام", "محرك", "معالجة"),
       Vector("данные", "запрос", "движок", "обработка"),
       Vector("δεδομένα", "μηχανή", "ερώτημα"),
-      Vector("🚀", "😀", "👨‍👩‍👧", "🎉", "🧪", "é́"),
+      // grapheme-cluster pool (round-12 wave extends it): emoji, a ZWJ
+      // family, double-combining "é́", plus NFD "café" (decomposed twin of
+      // pool 1's NFC — neither engine normalizes, so byte-compare must
+      // hold), astral-plane musical symbols (surrogate pairs: a char-level
+      // uppercase/reverse would corrupt them), a triple-stacked combining
+      // run, a flag+VS16+ZWJ sequence, and a skin-tone-modified emoji.
+      // All code-point-safe: a divergence means one engine went
+      // grapheme-aware (or byte-level) on a function the oracle replays
+      // as code points — exactly the class this pool hunts.
+      Vector("🚀", "😀", "👨‍👩‍👧", "🎉", "🧪", "é́",
+        "cafe\u0301",               // NFD cafe (e + combining acute)
+        "\ud834\udd1e\ud834\udd22\u97f3", // astral musical symbols + CJK
+        "a\u0300\u0316\u0301z",       // triple-stacked combining run
+        "\ud83c\udff3\ufe0f\u200d\ud83c\udf08", // flag+VS16+ZWJ+rainbow
+        "\ud83d\udc4d\ud83c\udffd"), // thumbs-up + skin-tone modifier
       Vector("\"q\"", "line\nbreak", "tab\tsep", "back\\slash", "'sq'"))
 
     private def fuzzText(): String = {

@@ -174,6 +174,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("arg-max tie-break: smallest key wins a measure tie; null measures never win") {
+    // the exact expression the arg_max catalog entry uses — a scale corpus
+    // mints equal-measure twins (8x replicas of every 1x maximum, round
+    // 12), so bare max_by's arbitrary-pick-under-tie is a divergence, not
+    // a don't-care: the contract is (max price, then MIN key), null
+    // prices excluded, all-null group → null
+    import spark.implicits._
+    val df = Seq[(String, Long, java.lang.Double)](
+      ("a", 9L, 10.0), ("a", 2L, 10.0), ("a", 5L, 10.0), ("a", 1L, 3.0),
+      ("b", 4L, null), ("b", 7L, 1.0),
+      ("c", 6L, null), ("c", 3L, null)
+    ).toDF("g", "k", "p")
+    val got = df.groupBy($"g")
+      .agg(expr("max_by(k, CASE WHEN p IS NOT NULL THEN struct(p, -k) END)").as("top"))
+      .as[(String, java.lang.Long)].collect().toMap
+    assert(got("a") === 2L)   // tie on 10.0 → smallest key, not 9 or 5
+    assert(got("b") === 7L)   // null price can't win even with larger key
+    assert(got("c") === null) // all-null group stays null
+  }
+
   test("∀ weights: Hamilton allocation sums to seats and stays within 1 of quota") {
     val weightsGen = Gen.listOfN(8, Gen.choose(1L, 1000000L))
     (1 to 5).foreach { i =>
