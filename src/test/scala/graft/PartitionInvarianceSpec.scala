@@ -1,0 +1,54 @@
+package graft
+
+import graft.streaming.StreamingConf
+
+/** Partition-count invariance, pinned as a permanent spec (round 12).
+  *
+  * A distributed engine's RESULTS must not depend on how the data is
+  * partitioned — at 100 TB the shuffle partition count is a tuning knob
+  * (AQE re-plans it per stage), so any query whose answer shifts with it
+  * is nondeterministic in production. The failure modes this catches:
+  * order-sensitive accumulation (float folds picking up partition order),
+  * per-partition "first/last" winners without a total tie-break, and
+  * custom operators (TopKPerGroup's per-partition heaps) whose merge step
+  * assumes a particular layout.
+  *
+  * The round-12 sweep ran the FULL catalog at partitions=5/101 vs the
+  * default 32 (200/200 green both, ROUNDLOG session 3); this spec keeps
+  * the most order-sensitive entries under the same check in `sbt test`,
+  * at 3 vs 17 partitions (both ≠ the session default 4, both primes on
+  * either side of it, so neither run degenerates to the baseline layout).
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  /** Entries whose semantics lean hardest on ordering/merge determinism:
+    * sequential folds (ewma), ordered aggs, keep-first winners, window
+    * buffers, session gap-folds, the salted join, and the custom
+    * physical top-k operator.
+    */
+  private val sensitive = Seq(
+    "ewma_trailing",          // sequential left fold over event time
+    "arg_max",                // max_by with the round-12 tie-break contract
+    "string_agg_sorted",      // ordered listagg
+    "rolling_median",         // window sort buffer
+    "sessionize",             // gap-based session fold
+    "forward_fill",           // last-non-null over ordering
+    "dedup_exact_keep_first", // per-key winner needs a total order
+    "salted_join_agg",        // salt must not leak into results
+    "topk_per_group"          // custom SparkPlan: per-partition heaps + merge
+  )
+
+  private def run(name: String, parts: Int): Seq[String] =
+    StreamingConf.withShufflePartitions(spark, parts) {
+      SparkEntry.queries(name)(spark, sf())
+        .collect().map(_.toString).sorted.toSeq
+    }
+
+  for (name <- sensitive)
+    test(s"$name is invariant across shuffle partition counts (3 vs 17)") {
+      val at3 = run(name, 3)
+      val at17 = run(name, 17)
+      assert(at3 === at17)
+      assert(at3.nonEmpty, s"$name returned no rows — vacuous invariance")
+    }
+}
