@@ -45,20 +45,30 @@ for name, t_ref in sorted(ref["queries"].items()):
                  name, t_ref, t_new_norm))
 
 rows.sort(reverse=True)
+# Flag over ALL rows; the 25-row cap limits only the PRINTOUT (plus any
+# flagged row beyond it). Capping the flag loop itself would let a real
+# regression hide behind 25 high-ratio/low-delta fast queries and exit 0.
 regressions = 0
-print(f"\n{'query':34s} {'ref':>7s} {'new/drift':>9s} {'ratio':>7s}")
-for ratio, name, t_ref, t_new in rows[:25]:
+lines = []
+for ratio, name, t_ref, t_new in rows:
     if t_new is None:
-        print(f"{name:34s} {t_ref:7.2f}  MISSING")
+        lines.append((True, f"{name:34s} {t_ref:7.2f}  MISSING"))
         regressions += 1
         continue
     at_floor = name in floors and t_new <= floors[name] * 1.3
     flag = ""
+    flagged = False
     if ratio > flag_ratio and (t_new - t_ref) > 0.3 and not at_floor:
         flag = "  << REGRESSION?"
+        flagged = True
         regressions += 1
     elif at_floor:
         flag = "  (structural floor)"
-    print(f"{name:34s} {t_ref:7.2f} {t_new:9.2f} {ratio:6.2f}x{flag}")
+    lines.append((flagged,
+                  f"{name:34s} {t_ref:7.2f} {t_new:9.2f} {ratio:6.2f}x{flag}"))
+print(f"\n{'query':34s} {'ref':>7s} {'new/drift':>9s} {'ratio':>7s}")
+for i, (flagged, line) in enumerate(lines):
+    if i < 25 or flagged:
+        print(line)
 print(f"\n{regressions} normalized regression(s) above {flag_ratio}x")
 sys.exit(1 if regressions else 0)

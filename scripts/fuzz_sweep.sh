@@ -21,7 +21,7 @@ SEEDS=("$@")
 fail=0
 for s in "${SEEDS[@]}"; do
   echo "=== fuzz seed $s${TAG} ==="
-  ./scripts/run_main.sh graft.tools.AdversarialCorpus "/tmp/fuzz_sf_$s$TAG" "$BASE" --fuzz "$s" "${SKEW[@]}" \
+  ./scripts/run_main.sh graft.tools.AdversarialCorpus "/tmp/fuzz_sf_$s$TAG" "$BASE" --fuzz "$s" ${SKEW[@]+"${SKEW[@]}"} \
     >/dev/null 2>&1 || { echo "seed $s: corpus generation FAILED"; fail=1; continue; }
   ./scripts/run_main.sh graft.Verify "/tmp/fuzz_sf_$s$TAG" "/tmp/fuzz_verify_$s$TAG" \
     >/dev/null 2>&1 || { echo "seed $s: Verify FAILED"; fail=1; continue; }

@@ -37,7 +37,10 @@ export SPARK_GRAFT_EXTRA_CONF="spark.memory.fraction=0.05;spark.shuffle.spill.nu
 LOG="$(mktemp /tmp/spill_sweep.XXXX.log)"
 scripts/run_main.sh graft.Verify "$SF_DIR" "$OUT_DIR" 2>&1 | tee "$LOG" | grep -E '^\[verify\]' || true
 
-EVIDENCE=$(grep -o 'spilled_bytes_memory=[0-9]* spilled_bytes_disk=[0-9]*' "$LOG" | tail -1)
+# `|| true`: a missing evidence line (Verify crashed before printing it)
+# must reach the explicit FAIL branch below, not die silently here via
+# set -e + pipefail on grep's exit 1
+EVIDENCE=$(grep -o 'spilled_bytes_memory=[0-9]* spilled_bytes_disk=[0-9]*' "$LOG" | tail -1 || true)
 echo "spill evidence: ${EVIDENCE:-NONE}"
 MEM=$(echo "$EVIDENCE" | grep -o 'memory=[0-9]*' | cut -d= -f2)
 if [ -z "${MEM:-}" ] || [ "$MEM" -eq 0 ]; then

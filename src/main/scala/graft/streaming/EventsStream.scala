@@ -76,24 +76,31 @@ object EventsStream {
         hourlyCountsImpl(spark, sfDir)))
   }
 
+  /** The hourly windowed aggregation shared by the complete-mode oracle
+    * harness ([[hourlyCounts]]) and the append-mode deployment shape
+    * ([[hourlyCountsToSink]]): ONE definition, so the shape the oracle
+    * checks is by construction the shape that deploys — a fix applied to
+    * either path cannot silently diverge the other. Watermarks want
+    * TIMESTAMP (with-tz); session tz is UTC so the wall clock matches the
+    * batch NTZ path (callers cast `hour_start` back to NTZ where needed).
+    */
+  private def hourlyAgg(events: DataFrame): DataFrame = events
+    .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+    .withWatermark("ts", "1 hour")
+    .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+    .agg(
+      count(lit(1)).as("cnt"),
+      sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+    .select(col("window.start").as("hour_start"), col("event_type"),
+      col("cnt"), col("total_value"))
+
   private def hourlyCountsImpl(spark: SparkSession, sfDir: String): DataFrame = {
     // the file-stream source requires a directory: stream the sf dir with a
     // glob pinned to the events table (explicit schema, no inference pass)
-    val stream = spark.readStream
+    val agg = hourlyAgg(spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      // watermarks want TIMESTAMP (with-tz); session tz is UTC so the
-      // wall clock matches the batch NTZ path — cast back to NTZ on output
-      .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
-    val agg = stream
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(
-        count(lit(1)).as("cnt"),
-        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
-      .select(col("window.start").as("hour_start"), col("event_type"),
-        col("cnt"), col("total_value"))
+      .parquet(sfDir))
     val sinkName = "events_hourly_stream_" + UUID.randomUUID().toString.replace("-", "")
     val q = agg.writeStream
       .outputMode("complete")
@@ -410,16 +417,7 @@ object EventsStream {
   def hourlyCountsToSink(events: DataFrame, outDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
-    val agg = events
-      .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(
-        count(lit(1)).as("cnt"),
-        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
-      .select(col("window.start").as("hour_start"), col("event_type"),
-        col("cnt"), col("total_value"))
-    agg.writeStream
+    hourlyAgg(events).writeStream
       .outputMode("append")
       .format("parquet")
       .option("path", outDir)

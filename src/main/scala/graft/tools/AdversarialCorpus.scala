@@ -492,7 +492,11 @@ object AdversarialCorpus {
         // gets one giant ts-sorted timeline, streaming aggregates one hot
         // state key (override after the draws: odd rows match non-skew)
         val u: java.lang.Long = if (hot(i)) Long.box(7L) else u0
-        if (ts != null && u != null) seen += ((u, ts))
+        // record the DRAWN user, not the skew override: `seen` feeds the
+        // duplicate-pair and shared-ts draws on later (odd, non-hot) rows,
+        // so recording 7L would make odd rows diverge from the non-skew
+        // corpus for the same seed and break the invariant above
+        if (ts != null && u0 != null) seen += ((u0, ts))
         val value: java.lang.Double =
           if (inRun) { nullValRun -= 1; null }
           // explicit 0.0, never `negative * 0` — that mints -0.0, whose
