@@ -66,4 +66,6 @@ with ThreadPoolExecutor(max_workers=args.jobs) as ex:
         else:
             fails += 1
 print(f"{ok}/{len(names)} OK, {fails} FAIL, {timeouts} TIMEOUT")
-sys.exit(0 if fails == 0 and timeouts == 0 else 1)
+# ok > 0 mirrors the serial gate: an empty/truncated oracle_sql.json must
+# not report green on zero checks (ADVICE r12)
+sys.exit(0 if fails == 0 and timeouts == 0 and ok > 0 else 1)

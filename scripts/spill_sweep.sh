@@ -42,7 +42,9 @@ scripts/run_main.sh graft.Verify "$SF_DIR" "$OUT_DIR" 2>&1 | tee "$LOG" | grep -
 # set -e + pipefail on grep's exit 1
 EVIDENCE=$(grep -o 'spilled_bytes_memory=[0-9]* spilled_bytes_disk=[0-9]*' "$LOG" | tail -1 || true)
 echo "spill evidence: ${EVIDENCE:-NONE}"
-MEM=$(echo "$EVIDENCE" | grep -o 'memory=[0-9]*' | cut -d= -f2)
+# `|| true` again: with EVIDENCE empty this grep exits 1, and set -e would
+# kill the script before the explicit FAIL diagnostic below (ADVICE r12)
+MEM=$(echo "$EVIDENCE" | grep -o 'memory=[0-9]*' | cut -d= -f2 || true)
 if [ -z "${MEM:-}" ] || [ "$MEM" -eq 0 ]; then
   echo "FAIL: sweep ran without spilling — evidence line zero/missing" >&2
   exit 2

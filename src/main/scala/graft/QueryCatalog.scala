@@ -864,7 +864,38 @@ object QueryCatalog {
   private[graft] val lowerTextSql: String =
     "lower(replace(text, 'İ', 'i' || chr(775)))"
 
-  private val verifiedPairsCtes: String =
+  /** DuckDB replay of [[ops.Replay.minhashCandidates]] (k=64, 16 bands,
+    * 5-shingles, maxBucket 100, est ≥ 0.25) — the full-recompute oracle.
+    * Shared verbatim by `dedup_minhash` AND the `dedup_incremental*`
+    * entries: the incremental store's contract is exact equivalence with
+    * the full recompute over base ∪ batches, so its oracle IS this SQL.
+    */
+  private[graft] val minhashCandidatesSql: String =
+    raw"""WITH t AS (SELECT doc_id, trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')) AS norm
+      |      FROM documents),
+      |ga AS (SELECT doc_id, list_distinct([substr(norm, i, 5) FOR i IN range(1, len(norm) - 3)]) AS grams
+      |       FROM t WHERE len(norm) >= 5),
+      |gh AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+      |       FROM (SELECT doc_id, unnest(grams) AS gram FROM ga)),
+      |seeds AS (SELECT i, ('0x' || substr(md5('mixa:' || i), 1, 15))::BIGINT AS a,
+      |                 ('0x' || substr(md5('mixb:' || i), 1, 15))::BIGINT AS b
+      |          FROM range(64) ii(i)),
+      |sigv AS (SELECT doc_id, i, MIN(CAST((a::HUGEINT * h + b) % 2305843009213693951 AS BIGINT)) AS m
+      |         FROM gh, seeds GROUP BY 1, 2),
+      |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigv GROUP BY 1),
+      |banded AS (SELECT doc_id, sig, b, array_to_string(sig[(b*4+1):(b*4+4)], ',') AS bk
+      |           FROM sig, range(16) bb(b)),
+      |buck AS (SELECT b, bk FROM banded GROUP BY b, bk HAVING COUNT(*) BETWEEN 2 AND 100),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a, b2.doc_id AS doc_b, b2.sig AS sig_b
+      |         FROM banded a JOIN buck USING (b, bk) JOIN banded b2 USING (b, bk)
+      |         WHERE a.doc_id < b2.doc_id)
+      |SELECT doc_a, doc_b, est_jaccard FROM (
+      |  SELECT doc_a, doc_b,
+      |    len(list_filter([sig_a[i] = sig_b[i] FOR i IN range(1, 65)], x -> x)) / 64 AS est_jaccard
+      |  FROM cand)
+      |WHERE est_jaccard >= 0.25""".stripMargin
+
+  private[graft] val verifiedPairsCtes: String =
     raw"""t AS (
       |  SELECT doc_id, trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')) AS norm
       |  FROM documents
@@ -1111,29 +1142,7 @@ object QueryCatalog {
     CatalogEntry("dedup_minhash",
       (s, d) => ops.Replay.minhashCandidates(docs(s, d),
         k = 64, bands = 16, shingleLen = 5, maxBucket = 100, minEstJaccard = 0.25),
-      Some(raw"""WITH t AS (SELECT doc_id, trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')) AS norm
-        |      FROM documents),
-        |ga AS (SELECT doc_id, list_distinct([substr(norm, i, 5) FOR i IN range(1, len(norm) - 3)]) AS grams
-        |       FROM t WHERE len(norm) >= 5),
-        |gh AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
-        |       FROM (SELECT doc_id, unnest(grams) AS gram FROM ga)),
-        |seeds AS (SELECT i, ('0x' || substr(md5('mixa:' || i), 1, 15))::BIGINT AS a,
-        |                 ('0x' || substr(md5('mixb:' || i), 1, 15))::BIGINT AS b
-        |          FROM range(64) ii(i)),
-        |sigv AS (SELECT doc_id, i, MIN(CAST((a::HUGEINT * h + b) % 2305843009213693951 AS BIGINT)) AS m
-        |         FROM gh, seeds GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigv GROUP BY 1),
-        |banded AS (SELECT doc_id, sig, b, array_to_string(sig[(b*4+1):(b*4+4)], ',') AS bk
-        |           FROM sig, range(16) bb(b)),
-        |buck AS (SELECT b, bk FROM banded GROUP BY b, bk HAVING COUNT(*) BETWEEN 2 AND 100),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a, b2.doc_id AS doc_b, b2.sig AS sig_b
-        |         FROM banded a JOIN buck USING (b, bk) JOIN banded b2 USING (b, bk)
-        |         WHERE a.doc_id < b2.doc_id)
-        |SELECT doc_a, doc_b, est_jaccard FROM (
-        |  SELECT doc_a, doc_b,
-        |    len(list_filter([sig_a[i] = sig_b[i] FOR i IN range(1, 65)], x -> x)) / 64 AS est_jaccard
-        |  FROM cand)
-        |WHERE est_jaccard >= 0.25""".stripMargin)),
+      Some(minhashCandidatesSql)),
 
     // LSH candidates verified by exact gram-set Jaccard, via the REPLAYABLE
     // kernel (r8 verdict item 4): the oracle recomputes candidates AND the
@@ -3624,7 +3633,7 @@ object QueryCatalog {
         |FROM f WHERE frame_idx % 2 = 0""".stripMargin)),
   )
 
-  def all: Seq[CatalogEntry] = parity ++ extensions ++ QueryCatalogR7.entries
+  def all: Seq[CatalogEntry] = parity ++ extensions ++ QueryCatalogR7.entries ++ QueryCatalogR13.entries
 
   /** Entries that execute a Structured Streaming query (micro-batches +
     * state stores), as opposed to batch plans. The bench isolates these in

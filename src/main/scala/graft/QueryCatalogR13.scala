@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.IncrementalDedup
+
+/** Round-13 catalog additions: incremental dedup against a persisted
+  * signature store ([[graft.ops.IncrementalDedup]] — r12 verdict item 1,
+  * the daily-ingest shape at 100 TB).
+  *
+  * Oracle design: the store's contract is EXACT equivalence with the full
+  * recompute over base ∪ batches, so each entry's DuckDB oracle is the
+  * existing full-recompute SQL over the whole `documents` table
+  * ([[QueryCatalog.minhashCandidatesSql]] / the verified-pairs CTEs) — the
+  * gate thereby pins the incremental machinery (generation deltas,
+  * touched-bucket recompute, latest-wins supersession) against an
+  * independent engine that never sees the store at all.
+  */
+object QueryCatalogR13 {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
+
+  /** Build a store under a fresh temp directory, materialize the result
+    * frame (persist + count — the returned frame is the one persisted
+    * handle, per the [[ops.Dedup.materializeAndRelease]] contract), then
+    * remove the store files. Materializing first is what makes the delete
+    * safe: the downstream consumer (Verify's parquet write, Bench's count)
+    * reads the MEMORY_AND_DISK cache, never the deleted parquet. A real
+    * pipeline keeps the store, of course — the temp lifecycle exists only
+    * because catalog entries must be self-contained per invocation.
+    */
+  private def withTempStore(f: String => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incstore-")
+    def deleteRec(): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val out = f(dir.toString)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try out.count()
+    catch { case e: Throwable => try out.unpersist() finally deleteRec(); throw e }
+    deleteRec()
+    out
+  }
+
+  val entries: Seq[CatalogEntry] = Seq(
+
+    // Base load (doc_id % 7 != 0) + one incremental batch (% 7 == 0):
+    // gen=0 sketches the base and emits its pairs; gen=1 sketches ONLY the
+    // batch, recomputes pairs for the buckets it touches, and supersedes
+    // those buckets' gen=0 pairs (latest-wins). The oracle is the full
+    // recompute over ALL documents — equivalence, not shape, is the gate.
+    CatalogEntry("dedup_incremental",
+      (s, d) => withTempStore { root =>
+        val dd = docs(s, d)
+        val st = IncrementalDedup.store(s, root)
+        st.append(dd.filter(pmod(col("doc_id"), lit(7)) =!= 0))
+        st.append(dd.filter(pmod(col("doc_id"), lit(7)) === 0))
+        st.candidates(minEstJaccard = 0.25)
+      },
+      Some(QueryCatalog.minhashCandidatesSql)),
+
+    // Three sequential appends (doc_id % 3 = 0 / 1 / 2) — multi-generation
+    // supersession: a bucket touched by gens 0 and 2 must resolve to gen
+    // 2's pairs; one touched by all three to gen 2's; cap transitions may
+    // happen at either step. Same full-recompute oracle.
+    CatalogEntry("dedup_incremental_multi",
+      (s, d) => withTempStore { root =>
+        val dd = docs(s, d)
+        val st = IncrementalDedup.store(s, root)
+        (0 to 2).foreach(r => st.append(dd.filter(pmod(col("doc_id"), lit(3)) === r)))
+        st.candidates(minEstJaccard = 0.25)
+      },
+      Some(QueryCatalog.minhashCandidatesSql)),
+
+    // Incremental VERIFIED pairs: the store persists gram-hash sets
+    // alongside signatures (withGrams), so the exact-Jaccard verify runs
+    // entirely from the store — no document text is re-read for either
+    // side of a new-vs-old pair. Oracle = the deterministic replayable
+    // verified-pairs SQL (dedup_minhash_verified's), over all documents.
+    CatalogEntry("dedup_incremental_verified",
+      (s, d) => withTempStore { root =>
+        val dd = docs(s, d)
+        val st = IncrementalDedup.store(s, root,
+          IncrementalDedup.Config(withGrams = true))
+        st.append(dd.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+        st.append(dd.filter(pmod(col("doc_id"), lit(5)) === 0))
+        st.verifiedPairs(threshold = 0.31, minMatches = 10)
+      },
+      Some(s"""WITH ${QueryCatalog.verifiedPairsCtes}
+        |SELECT doc_a, doc_b, shared / (na + nb - shared) AS jaccard
+        |FROM vj WHERE shared / (na + nb - shared) >= 3.1e-1""".stripMargin)))
+}

@@ -1,0 +1,334 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PortableSketches, TextSketches}
+
+/** Incremental MinHash+LSH deduplication against a PERSISTED signature
+  * store — the daily-ingest shape at 100 TB (r12 verdict item 1).
+  *
+  * The full-recompute family ([[Dedup]]/[[Replay]]) re-sketches the whole
+  * corpus per run. A production pipeline instead dedups each NEW batch
+  * against yesterday's corpus: only the batch's text is ever scanned, and
+  * the store contributes pre-computed sketches. The reference has exactly
+  * this incremental per-file-drop design for ingest (staging A/I ledger,
+  * /root/reference/src/main/transformations/main.py:196-225,428-448); this
+  * module applies the same append-only, latest-wins, crash-safe ledger
+  * discipline to the dedup signature store.
+  *
+  * == Exact equivalence contract ==
+  *
+  * The store's candidate-pair set after appending batches B1..Bn to base B0
+  * is EXACTLY `Replay.minhashCandidates(B0 ∪ … ∪ Bn)` (and likewise the
+  * verified pairs vs [[Replay.verifiedNearDupPairs]]). The argument:
+  * bucket membership is a pure function of (band_idx, band_key), and pairs
+  * are generated per bucket from its FULL membership under the
+  * `[2, maxBucket]` cap. Appends never remove members, so a bucket's
+  * membership changes only when a batch TOUCHES it (contributes a row).
+  * Each append therefore recomputes pairs only for touched buckets — from
+  * store-members ∪ batch-members, i.e. the complete membership at that
+  * point — and records which buckets it touched. The read side takes, per
+  * bucket, the pairs from the LATEST generation that touched it
+  * (latest-wins, like [[graft.meta.Staging]]), which by induction equals
+  * the full recompute. This also gets the cap transitions right: a bucket
+  * that overflows `maxBucket` only after an append has its stale pairs
+  * superseded by the (empty) recomputed set, exactly as a full recompute
+  * would drop them; conversely a base singleton that gains a second member
+  * starts emitting its pair. The correctness gate states this contract
+  * directly: the incremental entries' DuckDB oracle IS the full-recompute
+  * SQL over the whole corpus.
+  *
+  * == Store layout (generation deltas + commit markers) ==
+  *
+  * {{{
+  * store/
+  *   gen=N/sigs/     (doc_id, sig[, grams])   — the BATCH's sketches only
+  *   gen=N/bands/    (doc_id, band_idx, band_key)  — batch's bands only
+  *   gen=N/touched/  (band_idx, band_key)     — buckets recomputed by N
+  *   gen=N/pairs/    (band_idx, band_key, doc_a, doc_b) — their new pairs
+  *   _commits/gen=N  (empty marker, written LAST)
+  * }}}
+  *
+  * Every generation directory is an O(batch + touched-membership) DELTA —
+  * an append never rewrites the corpus. Readers union committed
+  * generations; `pairs` resolves latest-wins per bucket. Crash safety is
+  * the classic marker dance: data files first, marker last, so a crash
+  * mid-append leaves an uncommitted `gen=N` directory that readers ignore
+  * and the retry overwrites (append() re-derives N = maxCommitted+1).
+  * Single writer per store, like the reference's staging table; concurrent
+  * appends to ONE store are out of contract (two writers would mint the
+  * same generation). [[compact]] folds all generations into one, bounding
+  * read amplification for stores with many appends.
+  *
+  * == 100 TB design notes ==
+  *
+  *  - only the BATCH's text is scanned; the store contributes (doc_id,
+  *    sig) rows — never documents;
+  *  - `touched` is tiny (≤ batch × bands rows), so the semi-join selecting
+  *    store members of touched buckets and the anti-join masking stale
+  *    pairs both broadcast; the O(corpus) store sides stream past them
+  *    without a shuffle;
+  *  - at real scale the store's bands should be written bucketed/sorted by
+  *    (band_idx, band_key) so the touched-bucket semi-join prunes file
+  *    groups instead of scanning all bands; the layout here is plain
+  *    parquet because the semantics (and the gate) don't depend on it;
+  *  - the per-bucket pair expansion is capped by `maxBucket`, so an
+  *    append's cost is O(batch sketching + touched-bucket membership²
+  *    bounded by maxBucket²·buckets-touched) — independent of corpus size.
+  */
+object IncrementalDedup {
+
+  /** Sketch/banding parameters, fixed per store (mixing parameters across
+    * generations would change band keys and silently break bucket
+    * identity — [[SignatureStore.append]] re-asserts them against the
+    * store's persisted config).
+    *
+    * `portable = true` uses the md5-based replayable kernels
+    * ([[PortableSketches]]) so results are DuckDB-oracle-checkable;
+    * `false` uses the xxhash64 scale kernels ([[TextSketches]]).
+    * `withGrams` additionally persists each doc's sorted distinct gram
+    * hashes, enabling [[SignatureStore.verifiedPairs]] (exact-Jaccard
+    * verification without re-reading any text).
+    */
+  final case class Config(k: Int = 64, bands: Int = 16, shingleLen: Int = 5,
+      maxBucket: Int = 100, portable: Boolean = true, withGrams: Boolean = false) {
+    require(k % bands == 0,
+      s"k=$k must be divisible by bands=$bands — otherwise the trailing " +
+        s"${k % bands} signature positions are never banded and recall drops silently")
+    def rowsPerBand: Int = k / bands
+  }
+
+  /** (doc_id, sig[, grams]) for one batch — ONE text scan, portable or
+    * scale kernel per the config. Mirrors [[Replay.minhashCandidates]]'s
+    * sketch stage (same normalize, same length drop-out).
+    */
+  private[ops] def sketch(docs: DataFrame, cfg: Config,
+      textCol: String, idCol: String): DataFrame = {
+    val base = docs
+      .repartition(col(idCol))
+      .withColumn("norm", Shingles.normalize(col(textCol)))
+    val sig =
+      if (cfg.portable) PortableSketches.portableMinhashSig(col("norm"), cfg.shingleLen, cfg.k)
+      else TextSketches.minhashSig(col("norm"), cfg.shingleLen, cfg.k)
+    val cols = Seq(col(idCol).as("doc_id"), sig.as("sig")) ++
+      (if (cfg.withGrams) Seq(
+        (if (cfg.portable) PortableSketches.portableGramHashes(col("norm"), cfg.shingleLen)
+         else TextSketches.charShingleHashes(col("norm"), cfg.shingleLen)).as("grams"))
+       else Seq.empty)
+    base.select(cols: _*).filter(size(col("sig")) > 0)
+  }
+
+  /** (doc_id, band_idx, band_key) — band_key is the raw signature slice
+    * (injective, zero-conversion; Replay lesson 28).
+    */
+  private[ops] def bandsOf(sigs: DataFrame, cfg: Config): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      explode(array((0 until cfg.bands).map(b =>
+        struct(
+          lit(b).as("band_idx"),
+          slice(col("sig"), b * cfg.rowsPerBand + 1, cfg.rowsPerBand).as("band_key"))): _*))
+        .as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+
+  /** In-bucket unordered pair expansion KEEPING the bucket key (the
+    * provenance that makes latest-wins supersession possible) —
+    * [[Dedup.bucketPairs]]'s collect_list shape, minus payloads (sigs are
+    * joined back from the store at read time rather than duplicated into
+    * every pair row).
+    */
+  private[ops] def bucketPairsKeyed(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(col("band_idx"), col("band_key"),
+        explode(flatten(transform(col("ids"), x =>
+          transform(filter(col("ids"), y => y > x), y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("band_idx"), col("band_key"), col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+
+  /** Open (or create on first [[SignatureStore.append]]) a signature store
+    * rooted at `path`.
+    */
+  def store(spark: SparkSession, path: String, cfg: Config = Config()): SignatureStore =
+    new SignatureStore(spark, path, cfg)
+
+  /** A persisted, generation-versioned MinHash signature store. See the
+    * companion scaladoc for layout, crash-safety and the equivalence
+    * contract.
+    */
+  final class SignatureStore(spark: SparkSession, root: String, val cfg: Config) {
+
+    private def fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private def commitDir = new org.apache.hadoop.fs.Path(root, "_commits")
+    private def genPath(gen: Int, part: String) =
+      new org.apache.hadoop.fs.Path(root, s"gen=$gen/$part").toString
+    private def marker(gen: Int) = new org.apache.hadoop.fs.Path(commitDir, s"gen=$gen")
+
+    private def configPath = new org.apache.hadoop.fs.Path(root, "_config")
+    private def configLine =
+      s"k=${cfg.k};bands=${cfg.bands};shingleLen=${cfg.shingleLen};" +
+        s"maxBucket=${cfg.maxBucket};portable=${cfg.portable};withGrams=${cfg.withGrams}"
+
+    /** Mixing sketch parameters across generations would change band keys
+      * and silently break bucket identity, so the FIRST append persists the
+      * config and every later open must match it.
+      */
+    private def assertOrPersistConfig(): Unit = {
+      if (fs.exists(configPath)) {
+        val in = fs.open(configPath)
+        val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        require(stored == configLine,
+          s"signature store at $root was built with [$stored] but opened with " +
+            s"[$configLine] — sketch parameters are fixed per store")
+      } else {
+        val out = fs.create(configPath, true)
+        try out.write(configLine.getBytes("UTF-8")) finally out.close()
+      }
+    }
+
+    /** Committed generation numbers, ascending (markers only — an
+      * uncommitted `gen=N` data directory is invisible).
+      */
+    def committedGens(): Seq[Int] = {
+      if (!fs.exists(commitDir)) return Seq.empty
+      fs.listStatus(commitDir).toSeq
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toInt }
+        .sorted
+    }
+
+    private def readPart(gens: Seq[Int], part: String): DataFrame = {
+      require(gens.nonEmpty, s"signature store at $root has no committed generation yet")
+      val paths = gens.map(g => genPath(g, part))
+      spark.read.parquet(paths: _*)
+    }
+
+    /** All stored sketches (union of committed generation deltas). */
+    def sigs(): DataFrame = readPart(committedGens(), "sigs")
+
+    /** All stored bands. */
+    def bands(): DataFrame = readPart(committedGens(), "bands")
+
+    /** The CURRENT provenance pair set: per bucket, the pairs from the
+      * latest generation that touched it. Buckets are resolved by joining
+      * each generation's pairs against the max touching generation —
+      * `touched` rows are tiny (one per recomputed bucket), so the
+      * max-aggregate and the join broadcast.
+      */
+    def pairs(): DataFrame = {
+      val gens = committedGens()
+      val touched = gens.map(g => readPart(Seq(g), "touched").withColumn("g", lit(g)))
+        .reduce(_ union _)
+      val latest = touched.groupBy("band_idx", "band_key").agg(max("g").as("g"))
+      val allPairs = gens.map(g => readPart(Seq(g), "pairs").withColumn("g", lit(g)))
+        .reduce(_ union _)
+      allPairs.join(latest, Seq("band_idx", "band_key", "g"))
+        .drop("g")
+    }
+
+    /** Append one batch of new documents (first call on an empty store =
+      * initial load). Re-sketches ONLY the batch, recomputes pairs ONLY for
+      * buckets the batch touches, and commits a new generation delta.
+      * `crashBeforeCommit` (tests only) writes all data files then stops
+      * before the marker, simulating a mid-append crash.
+      */
+    def append(batch: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+        crashBeforeCommit: Boolean = false): Unit = {
+      assertOrPersistConfig()
+      val prior = committedGens()
+      val gen = if (prior.isEmpty) 0 else prior.max + 1
+      val newSigs = sketch(batch, cfg, textCol, idCol)
+        // bands + (via bands) pairs + the parquet write read it; one compute
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newBands = bandsOf(newSigs, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val touched = newBands.select("band_idx", "band_key").distinct()
+        val members =
+          if (prior.isEmpty) newBands
+          else bands().join(broadcast(touched), Seq("band_idx", "band_key"), "left_semi")
+            .unionByName(newBands)
+        val newPairs = bucketPairsKeyed(members, cfg.maxBucket)
+        // data first (overwrite: a crashed predecessor may have left the
+        // same uncommitted gen behind), marker last
+        newSigs.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "sigs"))
+        newBands.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "bands"))
+        touched.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
+        newPairs.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
+        if (crashBeforeCommit) return
+        fs.mkdirs(commitDir)
+        fs.create(marker(gen), true).close()
+      } finally {
+        newBands.unpersist()
+        newSigs.unpersist()
+      }
+    }
+
+    /** Candidate near-duplicate pairs over the WHOLE stored corpus —
+      * equal to `Replay.minhashCandidates(all batches)` by the equivalence
+      * contract. Output: (doc_a, doc_b, est_jaccard).
+      */
+    def candidates(minEstJaccard: Double = 0.0): DataFrame = {
+      val sg = sigs()
+      pairs()
+        .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+        .join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+            .cast("double") / lit(cfg.k.toDouble)).as("est_jaccard"))
+        .filter(col("est_jaccard") >= minEstJaccard)
+    }
+
+    /** Exact-Jaccard-verified pairs over the whole stored corpus (requires
+      * `cfg.withGrams`) — equal to `Replay.verifiedNearDupPairs(all)`:
+      * same integer minMatches candidate floor, same gram-set Jaccard
+      * threshold, no text re-read (grams come from the store).
+      */
+    def verifiedPairs(threshold: Double = 0.3, minMatches: Int = 10): DataFrame = {
+      require(cfg.withGrams, "verifiedPairs needs a store built with withGrams = true")
+      val sg = sigs()
+      val cand = pairs()
+        .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+        .join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+          col("grams").as("grams_a")), "doc_a")
+        .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+          col("grams").as("grams_b")), "doc_b")
+        .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+          >= minMatches)
+      cand
+        .select(col("doc_a"), col("doc_b"),
+          TextSketches.sortedIntersectCount(col("grams_a"), col("grams_b")).as("shared"),
+          size(col("grams_a")).as("na"), size(col("grams_b")).as("nb"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
+
+    /** Fold all committed generations into a single fresh one (bounding
+      * read amplification after many appends). The compacted generation's
+      * `touched` covers every bucket, so latest-wins resolves to it alone;
+      * older generation directories and markers are then removed.
+      */
+    def compact(): Unit = {
+      val gens = committedGens()
+      if (gens.size <= 1) return
+      val gen = gens.max + 1
+      val s = sigs(); val b = bands(); val p = pairs()
+      val touchedAll = b.select("band_idx", "band_key").distinct()
+      s.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "sigs"))
+      b.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "bands"))
+      touchedAll.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
+      p.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
+      fs.create(marker(gen), true).close()
+      gens.foreach { g =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"gen=$g"), true)
+        fs.delete(marker(g), false)
+      }
+    }
+  }
+}

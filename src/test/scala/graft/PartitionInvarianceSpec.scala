@@ -38,11 +38,21 @@ class PartitionInvarianceSpec extends SparkSpec {
     "topk_per_group"          // custom SparkPlan: per-partition heaps + merge
   )
 
-  private def run(name: String, parts: Int): Seq[String] =
-    StreamingConf.withShufflePartitions(spark, parts) {
+  /** AQE coalescing is disabled for the run: the shared test session has
+    * AQE on, and on a tiny sf0.001 fixture OptimizeShuffleReader would
+    * coalesce the 3- and 17-partition shuffles toward similar effective
+    * layouts, weakening the very contrast this spec exists to exercise
+    * (ADVICE r12). The requested counts are thereby the ACTUAL counts.
+    */
+  private def run(name: String, parts: Int): Seq[String] = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try StreamingConf.withShufflePartitions(spark, parts) {
       SparkEntry.queries(name)(spark, sf())
         .collect().map(_.toString).sorted.toSeq
-    }
+    } finally spark.conf.set(key, prev)
+  }
 
   for (name <- sensitive)
     test(s"$name is invariant across shuffle partition counts (3 vs 17)") {
