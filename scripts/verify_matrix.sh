@@ -1,0 +1,204 @@
+#!/usr/bin/env bash
+# One-command verification-axis matrix (r12 verdict item 3): every SCALE.md
+# axis cell behind a single entry point, each with its own EVIDENCE gate
+# (oracle 100% green is necessary but not sufficient — spill cells must
+# show non-zero spill bytes, the RocksDB cell must show the provider
+# actually loading, the skew cells must run the skewed corpora), so cells
+# cannot silently rot as code changes resume.
+#
+# Usage:
+#   scripts/verify_matrix.sh quick            # sf0.001 cells (~15 min)
+#   scripts/verify_matrix.sh default          # + sf0.01 axes (~1-2 h)
+#   scripts/verify_matrix.sh full             # + pseudo-scale 2x/8x (hours)
+#   scripts/verify_matrix.sh cell NAME...     # run specific cells
+#   scripts/verify_matrix.sh list             # list cells and tiers
+#
+# Emits a PASS/FAIL matrix table at the end; exits non-zero if any ran
+# cell failed. Dev/CI harness — not engine code.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+SF1=/root/testdata/sf0.001
+SF2=/root/testdata/sf0.01
+RESULTS=()   # "name|tier|status|evidence"
+FAIL=0
+
+note() { echo ">>> [$(date +%H:%M:%S)] $*"; }
+
+record() { # name tier status evidence
+  RESULTS+=("$1|$2|$3|$4")
+  [ "$3" = "PASS" ] || FAIL=1
+}
+
+# run Verify (+env passed as leading VAR=val args) then the parallel oracle
+# checker; echoes "ok_count" evidence on success
+verify_cell() { # name tier sf_dir out_dir [EXTRA env pairs...]
+  local name=$1 tier=$2 sfd=$3 out=$4; shift 4
+  local log; log=$(mktemp "/tmp/matrix_${name}.XXXX.log")
+  if ! env "$@" scripts/run_main.sh graft.Verify "$sfd" "$out" >"$log" 2>&1; then
+    record "$name" "$tier" FAIL "Verify crashed (see $log)"; return
+  fi
+  local sum
+  if sum=$(python3 scripts/check_oracle_par.py "$sfd" "$out" --jobs 12 2>&1 | tail -1); then
+    record "$name" "$tier" PASS "$sum"
+  else
+    record "$name" "$tier" FAIL "$sum"
+  fi
+}
+
+cell_base_sf0001()   { verify_cell base_sf0001  quick "$SF1" /tmp/mx_base1; }
+cell_fd_sf0001()     { verify_cell fd_sf0001    quick "$SF1" /tmp/mx_fd1 SPARK_GRAFT_FORCE_DISTRIBUTED=1; }
+cell_specs()         { # the full ScalaTest suite: plan-shape pins (incl.
+                       # skew-engage, graph shapes), partition invariance,
+                       # crash/restart on the default backend, recall floors
+  local log; log=$(mktemp /tmp/matrix_specs.XXXX.log)
+  if sbt -batch test >"$log" 2>&1; then
+    record specs quick PASS "$(grep -Eo 'Tests: succeeded [0-9]+' "$log" | tail -1)"
+  else
+    record specs quick FAIL "see $log"
+  fi
+}
+
+cell_base_sf001()    { verify_cell base_sf001   default "$SF2" /tmp/mx_base2; }
+cell_fd_sf001()      { verify_cell fd_sf001     default "$SF2" /tmp/mx_fd2 SPARK_GRAFT_FORCE_DISTRIBUTED=1; }
+cell_aqe_off()       { verify_cell aqe_off      default "$SF2" /tmp/mx_aqe \
+                         SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.enabled=false"; }
+cell_parts5()        { verify_cell parts5       default "$SF2" /tmp/mx_p5 \
+                         SPARK_GRAFT_EXTRA_CONF="spark.sql.shuffle.partitions=5"; }
+cell_parts101()      { verify_cell parts101     default "$SF2" /tmp/mx_p101 \
+                         SPARK_GRAFT_EXTRA_CONF="spark.sql.shuffle.partitions=101"; }
+cell_local3()        { verify_cell local3       default "$SF2" /tmp/mx_l3 SPARK_GRAFT_CPUS=3; }
+
+cell_rocksdb() { # full catalog on RocksDB + provider-load evidence
+  local log; log=$(mktemp /tmp/matrix_rocksdb.XXXX.log)
+  if ! SPARK_GRAFT_ROCKSDB=1 SPARK_GRAFT_LOG_LEVEL=INFO \
+      scripts/run_main.sh graft.Verify "$SF2" /tmp/mx_rocks >"$log" 2>&1; then
+    record rocksdb default FAIL "Verify crashed (see $log)"; return
+  fi
+  local hits; hits=$(grep -c "RocksDBStateStoreProvider\|Creating RocksDB" "$log" || true)
+  if [ "${hits:-0}" -eq 0 ]; then
+    record rocksdb default FAIL "provider never loaded (0 RocksDB log lines)"; return
+  fi
+  local sum
+  if sum=$(python3 scripts/check_oracle_par.py "$SF2" /tmp/mx_rocks --jobs 12 2>&1 | tail -1); then
+    record rocksdb default PASS "$sum; rocksdb_lines=$hits"
+  else
+    record rocksdb default FAIL "$sum"
+  fi
+}
+
+cell_spill() { # spill_sweep self-asserts non-zero spill evidence
+  local log; log=$(mktemp /tmp/matrix_spill.XXXX.log)
+  if scripts/spill_sweep.sh "$SF2" /tmp/mx_spill >"$log" 2>&1; then
+    record spill default PASS "$(grep -o 'spilled_bytes_memory=[0-9]*' "$log" | tail -1); $(tail -1 "$log")"
+  else
+    record spill default FAIL "see $log"
+  fi
+}
+
+cell_fuzz() {
+  local log; log=$(mktemp /tmp/matrix_fuzz.XXXX.log)
+  if scripts/fuzz_sweep.sh 1 2 3 4 5 12 >"$log" 2>&1; then
+    record fuzz default PASS "seeds 1-5,12 green"
+  else
+    record fuzz default FAIL "see $log"
+  fi
+}
+
+cell_skew_fuzz() {
+  local log; log=$(mktemp /tmp/matrix_skew.XXXX.log)
+  if FUZZ_SKEW=1 scripts/fuzz_sweep.sh 1 2 3 >"$log" 2>&1; then
+    record skew_fuzz default PASS "hot-key seeds 1-3 green"
+  else
+    record skew_fuzz default FAIL "see $log"
+  fi
+}
+
+cell_rocksdb_spill_skew() { # r12 verdict item 6: prod state backend ×
+                            # memory pressure × hot-key corpus, composed
+  local corpus=/tmp/mx_skewcorpus log
+  log=$(mktemp /tmp/matrix_rss.XXXX.log)
+  if ! scripts/run_main.sh graft.tools.AdversarialCorpus "$corpus" "$SF1" --fuzz 1 --skew \
+      >"$log" 2>&1; then
+    record rocksdb_spill_skew default FAIL "corpus generation failed (see $log)"; return
+  fi
+  if ! SPARK_GRAFT_ROCKSDB=1 SPARK_GRAFT_LOG_LEVEL=INFO \
+      SPARK_GRAFT_EXTRA_CONF="spark.memory.fraction=0.05;spark.shuffle.spill.numElementsForceSpillThreshold=5000;spark.sql.objectHashAggregate.sortBased.fallbackThreshold=16" \
+      scripts/run_main.sh graft.Verify "$corpus" /tmp/mx_rss >"$log" 2>&1; then
+    record rocksdb_spill_skew default FAIL "Verify crashed (see $log)"; return
+  fi
+  local hits mem
+  hits=$(grep -c "RocksDBStateStoreProvider\|Creating RocksDB" "$log" || true)
+  mem=$(grep -o 'spilled_bytes_memory=[0-9]*' "$log" | tail -1 | cut -d= -f2 || true)
+  if [ "${hits:-0}" -eq 0 ]; then
+    record rocksdb_spill_skew default FAIL "provider never loaded"; return
+  fi
+  if [ -z "${mem:-}" ] || [ "$mem" -eq 0 ]; then
+    record rocksdb_spill_skew default FAIL "no spill evidence"; return
+  fi
+  local sum
+  if sum=$(python3 scripts/check_oracle_par.py "$corpus" /tmp/mx_rss --jobs 12 2>&1 | tail -1); then
+    record rocksdb_spill_skew default PASS "$sum; spill_mem=$mem; rocksdb_lines=$hits"
+  else
+    record rocksdb_spill_skew default FAIL "$sum"
+  fi
+}
+
+cell_crash_restart_rocksdb() { # r12 verdict item 6: prod failure mode on
+                               # the prod state backend
+  local log; log=$(mktemp /tmp/matrix_crr.XXXX.log)
+  if SPARK_GRAFT_ROCKSDB=1 sbt -batch \
+      "testOnly graft.streaming.CrashRestartStreamingSpec" >"$log" 2>&1; then
+    record crash_restart_rocksdb default PASS \
+      "$(grep -Eo 'Tests: succeeded [0-9]+' "$log" | tail -1) under RocksDB"
+  else
+    record crash_restart_rocksdb default FAIL "see $log"
+  fi
+}
+
+cell_scale2_fd() {
+  local log; log=$(mktemp /tmp/matrix_s2.XXXX.log)
+  python3 scripts/scale_smoke.py "$SF1" /tmp/mx_scale2_data 2 >"$log" 2>&1 || {
+    record scale2_fd full FAIL "scale fixture failed (see $log)"; return; }
+  verify_cell scale2_fd full /tmp/mx_scale2_data /tmp/mx_scale2 SPARK_GRAFT_FORCE_DISTRIBUTED=1
+}
+
+cell_scale8_fd() { # the heavy one: dedup_corpus's oracle replay dominates
+  local log; log=$(mktemp /tmp/matrix_s8.XXXX.log)
+  python3 scripts/scale_smoke.py "$SF1" /tmp/mx_scale8_data 8 >"$log" 2>&1 || {
+    record scale8_fd full FAIL "scale fixture failed (see $log)"; return; }
+  verify_cell scale8_fd full /tmp/mx_scale8_data /tmp/mx_scale8 SPARK_GRAFT_FORCE_DISTRIBUTED=1
+}
+
+QUICK=(base_sf0001 fd_sf0001 specs)
+DEFAULT=("${QUICK[@]}" base_sf001 fd_sf001 rocksdb spill aqe_off parts5 parts101
+         local3 fuzz skew_fuzz rocksdb_spill_skew crash_restart_rocksdb)
+FULL=("${DEFAULT[@]}" scale2_fd scale8_fd)
+
+MODE="${1:-quick}"
+case "$MODE" in
+  list)
+    echo "quick:   ${QUICK[*]}"
+    echo "default: ${DEFAULT[*]}"
+    echo "full:    ${FULL[*]}"
+    exit 0 ;;
+  quick)   CELLS=("${QUICK[@]}") ;;
+  default) CELLS=("${DEFAULT[@]}") ;;
+  full)    CELLS=("${FULL[@]}") ;;
+  cell)    shift; CELLS=("$@") ;;
+  *) echo "unknown mode: $MODE (quick|default|full|cell|list)" >&2; exit 2 ;;
+esac
+
+for c in "${CELLS[@]}"; do
+  note "cell: $c"
+  "cell_$c"
+done
+
+echo
+echo "| cell | tier | status | evidence |"
+echo "|---|---|---|---|"
+for r in "${RESULTS[@]}"; do
+  IFS='|' read -r n t s e <<<"$r"
+  echo "| $n | $t | $s | $e |"
+done
+exit $FAIL

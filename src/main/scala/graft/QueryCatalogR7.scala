@@ -982,6 +982,7 @@ object QueryCatalogR7 {
     // pure trigger overhead on the local harness).
     CatalogEntry("dsv2_stream_agg",
       (s, d) => graft.streaming.StreamingConf.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingConf.withStateBackend(s) {
         // 4 state stores, not the session-wide 32 (ROUNDLOG lesson 8 —
         // the last harness streaming entry still paying 32 stores'
         // open/commit × 3 batches for a 16-group state)
@@ -1014,6 +1015,7 @@ object QueryCatalogR7 {
           new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)), out.schema)
         s.catalog.dropTempView(sink)
         copied
+        }
       },
       Some("""WITH g AS (SELECT range AS id FROM range(0, 20000)),
         |v AS (

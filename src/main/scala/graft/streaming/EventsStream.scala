@@ -72,8 +72,9 @@ object EventsStream {
     // watermark-advance batch cannot change the output (see
     // StreamingConf.withNoDataBatches for the safety argument).
     StreamingConf.withShufflePartitions(spark, 4)(
-      StreamingConf.withNoDataBatches(spark, enabled = false)(
-        hourlyCountsImpl(spark, sfDir)))
+      StreamingConf.withStateBackend(spark)(
+        StreamingConf.withNoDataBatches(spark, enabled = false)(
+          hourlyCountsImpl(spark, sfDir))))
   }
 
   /** The hourly windowed aggregation shared by the complete-mode oracle
@@ -417,13 +418,19 @@ object EventsStream {
   def hourlyCountsToSink(events: DataFrame, outDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
-    hourlyAgg(events).writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .start()
+    // the provider conf is read at query START, so wrapping start() puts
+    // the checkpoint's state on RocksDB under SPARK_GRAFT_ROCKSDB=1 — the
+    // crash/restart × RocksDB matrix cell needs the RESTART to reopen the
+    // same RocksDB state files (a provider flip across restarts of one
+    // checkpoint is out of contract; the env is constant for a sweep)
+    StreamingConf.withStateBackend(events.sparkSession)(
+      hourlyAgg(events).writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .start())
   }
 
   /** Stream-static join: streaming events enriched against the static
@@ -433,7 +440,8 @@ object EventsStream {
     */
   def segmentTotals(spark: SparkSession, sfDir: String): DataFrame = {
     // 4 state stores, not the session-wide 32 — see hourlyCounts
-    StreamingConf.withShufflePartitions(spark, 4)(segmentTotalsImpl(spark, sfDir))
+    StreamingConf.withShufflePartitions(spark, 4)(
+      StreamingConf.withStateBackend(spark)(segmentTotalsImpl(spark, sfDir)))
   }
 
   private def segmentTotalsImpl(spark: SparkSession, sfDir: String): DataFrame = {
