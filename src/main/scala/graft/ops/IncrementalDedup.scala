@@ -90,12 +90,22 @@ object IncrementalDedup {
     * `withGrams` additionally persists each doc's sorted distinct gram
     * hashes, enabling [[SignatureStore.verifiedPairs]] (exact-Jaccard
     * verification without re-reading any text).
+    *
+    * `writePartitions` caps the files per generation part. Generation
+    * directories are batch-scale DELTAS, so inheriting the compute
+    * parallelism (e.g. 32 shuffle partitions) writes tiny fragments —
+    * profiled at 145 files / 3.4 MB per store at sf0.1, pure task+footer
+    * overhead on every later read. A 100 TB deployment sizes this to
+    * batch-bytes / target-row-group (and buckets the bands part by
+    * band_key, see the layout notes).
     */
   final case class Config(k: Int = 64, bands: Int = 16, shingleLen: Int = 5,
-      maxBucket: Int = 100, portable: Boolean = true, withGrams: Boolean = false) {
+      maxBucket: Int = 100, portable: Boolean = true, withGrams: Boolean = false,
+      writePartitions: Int = 4) {
     require(k % bands == 0,
       s"k=$k must be divisible by bands=$bands — otherwise the trailing " +
         s"${k % bands} signature positions are never banded and recall drops silently")
+    require(writePartitions >= 1, "writePartitions must be >= 1")
     def rowsPerBand: Int = k / bands
   }
 
@@ -103,7 +113,7 @@ object IncrementalDedup {
     * scale kernel per the config. Mirrors [[Replay.minhashCandidates]]'s
     * sketch stage (same normalize, same length drop-out).
     */
-  private[ops] def sketch(docs: DataFrame, cfg: Config,
+  private[graft] def sketch(docs: DataFrame, cfg: Config,
       textCol: String, idCol: String): DataFrame = {
     val base = docs
       .repartition(col(idCol))
@@ -226,6 +236,9 @@ object IncrementalDedup {
       val latest = touched.groupBy("band_idx", "band_key").agg(max("g").as("g"))
       val allPairs = gens.map(g => readPart(Seq(g), "pairs").withColumn("g", lit(g)))
         .reduce(_ union _)
+      // latest is one row per bucket ever touched — CORPUS-scale, so no
+      // broadcast hint (AQE broadcasts it when it measures small; at
+      // 100 TB this join co-partitions two bucket-keyed sides)
       allPairs.join(latest, Seq("band_idx", "band_key", "g"))
         .drop("g")
     }
@@ -246,23 +259,29 @@ object IncrementalDedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val newBands = bandsOf(newSigs, cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // three consumers (own write, members semi-join, stale-pairs mask) —
+      // persist, or the distinct shuffle re-runs per consumer
+      val touched = newBands.select("band_idx", "band_key").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val touched = newBands.select("band_idx", "band_key").distinct()
         val members =
           if (prior.isEmpty) newBands
           else bands().join(broadcast(touched), Seq("band_idx", "band_key"), "left_semi")
             .unionByName(newBands)
         val newPairs = bucketPairsKeyed(members, cfg.maxBucket)
         // data first (overwrite: a crashed predecessor may have left the
-        // same uncommitted gen behind), marker last
-        newSigs.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "sigs"))
-        newBands.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "bands"))
-        touched.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
-        newPairs.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
+        // same uncommitted gen behind), marker last. coalesce(w): deltas
+        // are batch-scale — see Config.writePartitions
+        val w = cfg.writePartitions
+        newSigs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "sigs"))
+        newBands.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "bands"))
+        touched.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
+        newPairs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
         if (crashBeforeCommit) return
         fs.mkdirs(commitDir)
         fs.create(marker(gen), true).close()
       } finally {
+        touched.unpersist()
         newBands.unpersist()
         newSigs.unpersist()
       }
