@@ -787,7 +787,7 @@ object QueryCatalog {
   // ------------------------------------------------------------ extensions
 
   private def docs(s: SparkSession, d: String): DataFrame = T(s, d, "documents")
-  private def embs(s: SparkSession, d: String): DataFrame = T(s, d, "embeddings")
+  private[graft] def embs(s: SparkSession, d: String): DataFrame = T(s, d, "embeddings")
 
   /** Raw events with ts as microsecond longs — the exact epoch unit DuckDB's
     * `epoch_us(ts)` yields, so oracle arithmetic stays in integer space.
@@ -821,7 +821,7 @@ object QueryCatalog {
     expr(s"($c - pmod($c, $bucketUs)) div $bucketUs")
 
   /** Query embedding: the vector of vec_id = 0 (driver-side 1-row lookup). */
-  private def queryVec(s: SparkSession, d: String): Seq[Float] =
+  private[graft] def queryVec(s: SparkSession, d: String): Seq[Float] =
     embs(s, d).filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0)
 
@@ -840,6 +840,38 @@ object QueryCatalog {
     * [[ops.Similarity.rademacherPlanes]].
     */
   private lazy val lshPlanes = ops.Similarity.rademacherPlanes(dim = 64, tables = 8, bitsPerTable = 4)
+
+  /** DuckDB replay of the static-centroid IVF probe (knn_ivf) — shared
+    * verbatim by `knn_ivf_incremental`: the persisted-index store's
+    * contract is exact equivalence with the one-shot assignment of the
+    * full corpus under the same frozen centroids, so its oracle IS this
+    * SQL (the incremental entry's batch split keeps the first-16-by-id
+    * centroid init identical between base-trained and corpus-trained).
+    */
+  private[graft] val knnIvfSql: String =
+    """WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE embedding IS NOT NULL),
+      |c AS (SELECT vec_id AS cid, v AS cv
+      |      FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e2)
+      |      WHERE rn <= 16),
+      |q AS (SELECT v AS qv FROM e2 WHERE vec_id = 0),
+      |assign AS (
+      |  SELECT e2.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY e2.vec_id ORDER BY
+      |      (list_dot_product(v, cv) / (sqrt(list_dot_product(v, v))
+      |        * sqrt(list_dot_product(cv, cv)))) DESC NULLS LAST, cid) AS rn
+      |  FROM e2, c),
+      |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      |probe AS (SELECT cid FROM c, q ORDER BY
+      |  (list_dot_product(cv, qv) / (sqrt(list_dot_product(cv, cv))
+      |    * sqrt(list_dot_product(qv, qv)))) DESC NULLS LAST, cid LIMIT 4),
+      |sc AS (SELECT e2.vec_id, list_dot_product(v, qv)
+      |         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS s0
+      |       FROM e2 JOIN cells USING (vec_id), q
+      |       WHERE cells.cell IN (SELECT cid FROM probe))
+      |SELECT vec_id, round(s0, 9) AS score FROM sc
+      |WHERE s0 IS NOT NULL AND NOT isnan(s0)
+      |ORDER BY s0 DESC, vec_id LIMIT 20""".stripMargin
 
   /** DuckDB CANDIDATE-ALIGNED replay of the verified near-dup pair set
     * (r8 verdict item 4): the same portable minhash signatures, 16×4
@@ -1334,29 +1366,7 @@ object QueryCatalog {
         ops.IVF.topK(e, index, queryVec(s, d), k = 20, nprobe = 4)
           .withColumn("score", round(col("score"), 9))
       },
-      Some("""WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |  WHERE embedding IS NOT NULL),
-        |c AS (SELECT vec_id AS cid, v AS cv
-        |      FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e2)
-        |      WHERE rn <= 16),
-        |q AS (SELECT v AS qv FROM e2 WHERE vec_id = 0),
-        |assign AS (
-        |  SELECT e2.vec_id, c.cid,
-        |    row_number() OVER (PARTITION BY e2.vec_id ORDER BY
-        |      (list_dot_product(v, cv) / (sqrt(list_dot_product(v, v))
-        |        * sqrt(list_dot_product(cv, cv)))) DESC NULLS LAST, cid) AS rn
-        |  FROM e2, c),
-        |cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
-        |probe AS (SELECT cid FROM c, q ORDER BY
-        |  (list_dot_product(cv, qv) / (sqrt(list_dot_product(cv, cv))
-        |    * sqrt(list_dot_product(qv, qv)))) DESC NULLS LAST, cid LIMIT 4),
-        |sc AS (SELECT e2.vec_id, list_dot_product(v, qv)
-        |         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS s0
-        |       FROM e2 JOIN cells USING (vec_id), q
-        |       WHERE cells.cell IN (SELECT cid FROM probe))
-        |SELECT vec_id, round(s0, 9) AS score FROM sc
-        |WHERE s0 IS NOT NULL AND NOT isnan(s0)
-        |ORDER BY s0 DESC, vec_id LIMIT 20""".stripMargin)),
+      Some(knnIvfSql)),
 
     CatalogEntry("sessionize",
       (s, d) => ops.Sessions.sessionize(eventsRaw(s, d), gapMicros = 1800L * 1000 * 1000),

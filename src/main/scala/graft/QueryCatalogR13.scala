@@ -91,5 +91,35 @@ object QueryCatalogR13 {
       },
       Some(s"""WITH ${QueryCatalog.verifiedPairsCtes}
         |SELECT doc_a, doc_b, shared / (na + nb - shared) AS jaccard
-        |FROM vj WHERE shared / (na + nb - shared) >= 3.1e-1""".stripMargin)))
+        |FROM vj WHERE shared / (na + nb - shared) >= 3.1e-1""".stripMargin)),
+
+    // Persisted IVF index + incremental append (ops.IVFStore): index
+    // trained once on the BASE (frozen centroids), the batch — the
+    // HIGHEST vec_ids, i.e. the new arrivals — assigned incrementally
+    // without touching stored cells; the probe reads only the nprobe
+    // pruned cell partitions. The 80/20 id split keeps the first-16-by-id
+    // centroid init identical between base-trained and corpus-trained, so
+    // the oracle is knn_ivf's SQL verbatim (exact equivalence with the
+    // one-shot full-corpus assignment).
+    CatalogEntry("knn_ivf_incremental",
+      (s, d) => withTempStore { root =>
+        val e = QueryCatalog.embs(s, d)
+        val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+        val t = (maxId + 1L) * 4L / 5L
+        val index = IncrementalAnnIndex.trainBase(e, t)
+        val st = ops.IVFStore.create(s, root, index)
+        st.append(e.filter(col("vec_id") < t))
+        st.append(e.filter(col("vec_id") >= t))
+        st.topK(QueryCatalog.queryVec(s, d), k = 20, nprobe = 4)
+          .withColumn("score", round(col("score"), 9))
+      },
+      Some(QueryCatalog.knnIvfSql)))
+
+  /** Tiny indirection so the entry reads declaratively: static-centroid
+    * training (iters = 0 → first-16-by-id init) on the base split only.
+    */
+  private object IncrementalAnnIndex {
+    def trainBase(e: DataFrame, t: Long): ops.IVF.Index =
+      ops.IVF.train(e.filter(col("vec_id") < t), c = 16, iters = 0)
+  }
 }

@@ -85,7 +85,7 @@ object EventsStream {
     * TIMESTAMP (with-tz); session tz is UTC so the wall clock matches the
     * batch NTZ path (callers cast `hour_start` back to NTZ where needed).
     */
-  private def hourlyAgg(events: DataFrame): DataFrame = events
+  private[graft] def hourlyAgg(events: DataFrame): DataFrame = events
     .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
     .withWatermark("ts", "1 hour")
     .groupBy(window(col("ts"), "1 hour"), col("event_type"))

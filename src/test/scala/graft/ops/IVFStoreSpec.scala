@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins [[IVFStore]]: incremental appends equal the one-shot full-corpus
+  * assignment under the same frozen centroids; probes PRUNE to the nprobe
+  * cell partitions (the plan must show it, not just the numbers); the
+  * generation ledger is crash-safe; a store reopens across sessions.
+  */
+class IVFStoreSpec extends SparkSpec {
+
+  private def tempRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-ivfstore-").toString
+
+  private lazy val embs = spark.read.parquet(s"${sf()}/embeddings.parquet")
+  private lazy val query: Seq[Float] =
+    embs.filter(col("vec_id") === 0).head().getSeq[Float](1).toSeq
+
+  private def ids(df: DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("append batches == one-shot assignment: identical topK") {
+    val maxId = embs.agg(max(col("vec_id"))).head().getLong(0)
+    val t = (maxId + 1) * 4 / 5
+    val index = IVF.train(embs.filter(col("vec_id") < t), c = 16, iters = 0)
+    val st = IVFStore.create(spark, tempRoot(), index)
+    st.append(embs.filter(col("vec_id") < t))
+    st.append(embs.filter(col("vec_id") >= t))
+    val incremental = ids(st.topK(query, k = 20, nprobe = 4))
+    val oneShot = ids(IVF.topK(embs, index, query, k = 20, nprobe = 4))
+    assert(incremental === oneShot)
+    assert(st.committedGens() === Seq(0, 1))
+  }
+
+  test("probe scan prunes to the nprobe cell partitions") {
+    val index = IVF.train(embs, c = 16, iters = 0)
+    val st = IVFStore.create(spark, tempRoot(), index)
+    st.append(embs)
+    val plan = st.topK(query, k = 20, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    // the isin(cell) filter must land as a PARTITION filter on the scan,
+    // not a post-scan row filter over the whole corpus
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(3000))
+    // and the store really holds multiple cells, else pruning is vacuous
+    assert(st.cells().select("cell").distinct().count() > 4)
+  }
+
+  test("crash before commit is invisible; retry lands the generation") {
+    val index = IVF.train(embs, c = 16, iters = 0)
+    val st = IVFStore.create(spark, tempRoot(), index)
+    val base = embs.filter(col("vec_id") < 100)
+    val batch = embs.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+    st.append(base)
+    st.append(batch, crashBeforeCommit = true)
+    assert(st.committedGens() === Seq(0))
+    assert(st.cells().count() === base.filter(col("embedding").isNotNull).count())
+    st.append(batch)
+    assert(st.committedGens() === Seq(0, 1))
+    assert(st.cells().count() ===
+      base.filter(col("embedding").isNotNull).count() +
+        batch.filter(col("embedding").isNotNull).count())
+  }
+
+  test("open() reloads frozen centroids bit-identically") {
+    val index = IVF.train(embs, c = 16, iters = 0)
+    val root = tempRoot()
+    val st = IVFStore.create(spark, root, index)
+    st.append(embs.filter(col("vec_id") < 100))
+    val reopened = IVFStore.open(spark, root)
+    assert(reopened.index.centroids === index.centroids)
+    // appends through the reopened handle keep the equivalence
+    reopened.append(embs.filter(col("vec_id") >= 100))
+    val viaStore = ids(reopened.topK(query, k = 10, nprobe = 4))
+    val oneShot = ids(IVF.topK(embs, index, query, k = 10, nprobe = 4))
+    assert(viaStore === oneShot)
+  }
+}
