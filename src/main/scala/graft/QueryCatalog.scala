@@ -901,10 +901,15 @@ object QueryCatalog {
     * Shared verbatim by `dedup_minhash` AND the `dedup_incremental*`
     * entries: the incremental store's contract is exact equivalence with
     * the full recompute over base ∪ batches, so its oracle IS this SQL.
+    * The `docsPred` overload restricts the corpus — the delete entry's
+    * contract is equivalence with the full recompute over the SURVIVORS,
+    * so its oracle is the same SQL over `documents WHERE <survivors>`.
     */
-  private[graft] val minhashCandidatesSql: String =
+  private[graft] val minhashCandidatesSql: String = minhashCandidatesSqlOver("TRUE")
+
+  private[graft] def minhashCandidatesSqlOver(docsPred: String): String =
     raw"""WITH t AS (SELECT doc_id, trim(regexp_replace(${lowerTextSql}, '\s+', ' ', 'g')) AS norm
-      |      FROM documents),
+      |      FROM documents WHERE $docsPred),
       |ga AS (SELECT doc_id, list_distinct([substr(norm, i, 5) FOR i IN range(1, len(norm) - 3)]) AS grams
       |       FROM t WHERE len(norm) >= 5),
       |gh AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
@@ -926,6 +931,24 @@ object QueryCatalog {
       |    len(list_filter([sig_a[i] = sig_b[i] FOR i IN range(1, 65)], x -> x)) / 64 AS est_jaccard
       |  FROM cand)
       |WHERE est_jaccard >= 0.25""".stripMargin
+
+  /** DuckDB replay of the end-to-end corpus dedup (verified pairs →
+    * transitive closure → min-id survivors). Shared verbatim by
+    * `dedup_corpus` and `dedup_incremental_corpus` (equivalence contract,
+    * as with [[minhashCandidatesSql]]).
+    */
+  private[graft] lazy val dedupCorpusSql: String =
+    s"""WITH RECURSIVE $verifiedPairsCtes,
+      |vp AS (SELECT doc_a, doc_b FROM vj WHERE shared / (na + nb - shared) >= 3.1e-1),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM vp UNION SELECT doc_b, doc_a FROM vp),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |                UNION
+      |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS doc_id, MIN(b) AS component
+      |         FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges) GROUP BY 1)
+      |SELECT d.doc_id, d.lang, d.source
+      |FROM documents d LEFT JOIN comp USING (doc_id)
+      |WHERE component IS NULL OR component = d.doc_id""".stripMargin
 
   private[graft] val verifiedPairsCtes: String =
     raw"""t AS (
@@ -1208,17 +1231,7 @@ object QueryCatalog {
           threshold = 0.31, k = 64, bands = 16, shingleLen = 5, maxBucket = 100)
         ops.Dedup.dedupCorpus(dd, pairs).select(col("doc_id"), col("lang"), col("source"))
       },
-      Some(s"""WITH RECURSIVE $verifiedPairsCtes,
-        |vp AS (SELECT doc_a, doc_b FROM vj WHERE shared / (na + nb - shared) >= 3.1e-1),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM vp UNION SELECT doc_b, doc_a FROM vp),
-        |reach(a, b) AS (SELECT a, b FROM edges
-        |                UNION
-        |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |comp AS (SELECT a AS doc_id, MIN(b) AS component
-        |         FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges) GROUP BY 1)
-        |SELECT d.doc_id, d.lang, d.source
-        |FROM documents d LEFT JOIN comp USING (doc_id)
-        |WHERE component IS NULL OR component = d.doc_id""".stripMargin)),
+      Some(dedupCorpusSql)),
 
     // SimHash near-dup pairs via the REPLAYABLE 60-bit variant (md5 token
     // hashes — ops.Replay.simhashPairs): the oracle recomputes the vote

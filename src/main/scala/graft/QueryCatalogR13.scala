@@ -93,6 +93,40 @@ object QueryCatalogR13 {
         |SELECT doc_a, doc_b, shared / (na + nb - shared) AS jaccard
         |FROM vj WHERE shared / (na + nb - shared) >= 3.1e-1""".stripMargin)),
 
+    // End-to-end incremental corpus dedup: the store's verified pairs
+    // (new-vs-old + new-vs-new, grams from the store) feed the SAME
+    // connected-components → min-id-survivor machinery as dedup_corpus,
+    // and the oracle is dedup_corpus's SQL verbatim — by the equivalence
+    // contract the incremental pair set IS the full-recompute pair set.
+    CatalogEntry("dedup_incremental_corpus",
+      (s, d) => withTempStore { root =>
+        val dd = docs(s, d)
+        val st = IncrementalDedup.store(s, root,
+          IncrementalDedup.Config(withGrams = true))
+        st.append(dd.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+        st.append(dd.filter(pmod(col("doc_id"), lit(5)) === 0))
+        val pairs = st.verifiedPairs(threshold = 0.31, minMatches = 10)
+        ops.Dedup.dedupCorpus(dd, pairs).select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(QueryCatalog.dedupCorpusSql)),
+
+    // Deletion (takedown / opt-out): base + batch appended, then every
+    // doc_id ≡ 3 (mod 7) deleted — a TOMBSTONE generation that masks the
+    // docs' sketches and recomputes their buckets from the surviving
+    // membership (including buckets falling back under the maxBucket cap).
+    // Oracle: the full-recompute SQL over `documents WHERE doc_id % 7 <> 3`
+    // — equivalence with a from-scratch run on the survivors.
+    CatalogEntry("dedup_incremental_delete",
+      (s, d) => withTempStore { root =>
+        val dd = docs(s, d)
+        val st = IncrementalDedup.store(s, root)
+        st.append(dd.filter(pmod(col("doc_id"), lit(7)) =!= 0))
+        st.append(dd.filter(pmod(col("doc_id"), lit(7)) === 0))
+        st.delete(dd.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"))
+        st.candidates(minEstJaccard = 0.25)
+      },
+      Some(QueryCatalog.minhashCandidatesSqlOver("doc_id % 7 <> 3"))),
+
     // Persisted IVF index + incremental append (ops.IVFStore): index
     // trained once on the BASE (frozen centroids), the batch — the
     // HIGHEST vec_ids, i.e. the new arrivals — assigned incrementally

@@ -47,6 +47,8 @@ import graft.functions.{PortableSketches, TextSketches}
   *   gen=N/bands/    (doc_id, band_idx, band_key)  — batch's bands only
   *   gen=N/touched/  (band_idx, band_key)     — buckets recomputed by N
   *   gen=N/pairs/    (band_idx, band_key, doc_a, doc_b) — their new pairs
+  *   gen=N/deletes/  (doc_id)                 — TOMBSTONE generations only
+  *   _tombstones/gen=N (kind marker — gen N is a delete, written before…)
   *   _commits/gen=N  (empty marker, written LAST)
   * }}}
   *
@@ -60,6 +62,25 @@ import graft.functions.{PortableSketches, TextSketches}
   * appends to ONE store are out of contract (two writers would mint the
   * same generation). [[compact]] folds all generations into one, bounding
   * read amplification for stores with many appends.
+  *
+  * == Deletion (takedown / opt-out — [[SignatureStore.delete]]) ==
+  *
+  * A delete is a TOMBSTONE generation: `deletes/` carries the doc_ids,
+  * `touched/` the buckets that ever held them, and `pairs/` those buckets
+  * recomputed from the remaining LIVE membership — so latest-wins
+  * supersession handles removal by the same induction as appends,
+  * including the reverse cap transition (a bucket that falls back to
+  * `maxBucket` after a delete starts emitting its pairs again, exactly as
+  * a full recompute over the surviving docs would). A tombstone at
+  * generation `dg` masks a doc's sig/band rows from every generation
+  * `g <= dg`; a later re-append resurrects the id (its rows carry
+  * `g > dg`). The extra `_tombstones/gen=N` kind marker is written BEFORE
+  * the commit marker, so a torn delete is wholly invisible; appends clear
+  * any orphaned kind marker at their generation before committing, so a
+  * crashed delete retried as an append cannot leave a stale tombstone.
+  * While tombstones exist, `sigs()`/`bands()` pay a per-doc latest-event
+  * join (takedown sets are tiny — AQE broadcasts); [[compact]] folds
+  * tombstones away entirely, restoring the join-free fast path.
   *
   * == 100 TB design notes ==
   *
@@ -173,9 +194,23 @@ object IncrementalDedup {
     private def fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     private def commitDir = new org.apache.hadoop.fs.Path(root, "_commits")
+    private def tombstoneDir = new org.apache.hadoop.fs.Path(root, "_tombstones")
     private def genPath(gen: Int, part: String) =
       new org.apache.hadoop.fs.Path(root, s"gen=$gen/$part").toString
     private def marker(gen: Int) = new org.apache.hadoop.fs.Path(commitDir, s"gen=$gen")
+    private def tombstoneMarker(gen: Int) =
+      new org.apache.hadoop.fs.Path(tombstoneDir, s"gen=$gen")
+    private def compactionDir = new org.apache.hadoop.fs.Path(root, "_compactions")
+    private def compactionMarker(gen: Int) =
+      new org.apache.hadoop.fs.Path(compactionDir, s"gen=$gen")
+
+    private def markerGens(dir: org.apache.hadoop.fs.Path): Seq[Int] = {
+      if (!fs.exists(dir)) return Seq.empty
+      fs.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toInt }
+        .sorted
+    }
 
     private def configPath = new org.apache.hadoop.fs.Path(root, "_config")
     private def configLine =
@@ -201,14 +236,24 @@ object IncrementalDedup {
     }
 
     /** Committed generation numbers, ascending (markers only — an
-      * uncommitted `gen=N` data directory is invisible).
+      * uncommitted `gen=N` data directory is invisible). A committed
+      * COMPACTION generation supersedes everything below it: readers drop
+      * those generations even if [[compact]]'s cleanup was interrupted, so
+      * the fold's commit point is the marker, not the deletions.
       */
     def committedGens(): Seq[Int] = {
-      if (!fs.exists(commitDir)) return Seq.empty
-      fs.listStatus(commitDir).toSeq
-        .map(_.getPath.getName)
-        .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toInt }
-        .sorted
+      val committed = markerGens(commitDir)
+      val floor = markerGens(compactionDir).filter(committed.contains)
+        .sorted.lastOption.getOrElse(Int.MinValue)
+      committed.filter(_ >= floor)
+    }
+
+    /** Committed TOMBSTONE generations, ascending (the kind marker alone
+      * is not enough — a torn delete leaves it without a commit marker).
+      */
+    def deleteGens(): Seq[Int] = {
+      val committed = committedGens().toSet
+      markerGens(tombstoneDir).filter(committed)
     }
 
     private def readPart(gens: Seq[Int], part: String): DataFrame = {
@@ -217,11 +262,39 @@ object IncrementalDedup {
       spark.read.parquet(paths: _*)
     }
 
-    /** All stored sketches (union of committed generation deltas). */
-    def sigs(): DataFrame = readPart(committedGens(), "sigs")
+    /** Per-doc latest tombstone: (doc_id, dg). */
+    private def tombstones(dels: Seq[Int]): DataFrame =
+      dels.map(g => readPart(Seq(g), "deletes").withColumn("dg", lit(g)))
+        .reduce(_ unionByName _)
+        .groupBy("doc_id").agg(max("dg").as("dg"))
 
-    /** All stored bands. */
-    def bands(): DataFrame = readPart(committedGens(), "bands")
+    /** Union of a part across committed generations, masked by tombstones:
+      * a row from generation g is live unless some tombstone at dg >= g
+      * covers its doc (a re-append at g > dg resurrects the id). With no
+      * tombstones this is the join-free multi-path read — the common
+      * append-only path pays nothing for the delete feature, and compact()
+      * restores it after takedowns.
+      */
+    private def liveRows(part: String): DataFrame = {
+      val gens = committedGens()
+      val dels = deleteGens()
+      if (dels.isEmpty) readPart(gens, part)
+      else {
+        val rows = gens.map(g => readPart(Seq(g), part).withColumn("g", lit(g)))
+          .reduce(_ unionByName _)
+        // tombstones are takedown-scale, not corpus-scale — AQE broadcasts
+        // this join when it measures small, and compact() removes it
+        rows.join(tombstones(dels), Seq("doc_id"), "left")
+          .filter(col("dg").isNull || col("g") > col("dg"))
+          .drop("g", "dg")
+      }
+    }
+
+    /** All LIVE sketches (committed generation deltas minus tombstones). */
+    def sigs(): DataFrame = liveRows("sigs")
+
+    /** All LIVE bands. */
+    def bands(): DataFrame = liveRows("bands")
 
     /** The CURRENT provenance pair set: per bucket, the pairs from the
       * latest generation that touched it. Buckets are resolved by joining
@@ -278,12 +351,81 @@ object IncrementalDedup {
         touched.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
         newPairs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
         if (crashBeforeCommit) return
+        // a crashed delete()/compact() at this generation may have left
+        // its kind marker; clear both or this append would read as one
+        fs.delete(tombstoneMarker(gen), false)
+        fs.delete(compactionMarker(gen), false)
         fs.mkdirs(commitDir)
         fs.create(marker(gen), true).close()
       } finally {
         touched.unpersist()
         newBands.unpersist()
         newSigs.unpersist()
+      }
+    }
+
+    /** Delete documents from the store (takedown / opt-out removal — see
+      * the companion scaladoc's Deletion section). Commits a TOMBSTONE
+      * generation: the ids, the buckets that ever held them, and those
+      * buckets' pairs recomputed from the remaining live membership — so
+      * the equivalence contract becomes "full recompute over the SURVIVING
+      * docs", including buckets that fall back under `maxBucket` and
+      * resume emitting pairs. O(ids + touched-bucket membership); the
+      * store's corpus-scale parts are never rewritten.
+      */
+    def delete(ids: DataFrame, idCol: String = "doc_id",
+        crashBeforeCommit: Boolean = false): Unit = {
+      assertOrPersistConfig()
+      val prior = committedGens()
+      require(prior.nonEmpty, s"signature store at $root has no committed generation yet")
+      val gen = prior.max + 1
+      val del = ids.select(col(idCol).as("doc_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var touchedHandle: Option[DataFrame] = None
+      try {
+        // every bucket that EVER held a deleted doc is recomputed. RAW
+        // (unmasked) bands are deliberate: refreshing a bucket from live
+        // membership is idempotent, so over-touching an already-masked
+        // doc's buckets is correct and skips a mask join. `del` and
+        // `touched` are takedown-scale — batch-like — so the hints hold
+        // (r13 lesson: justify a broadcast by what the frame scales WITH).
+        val touched = readPart(prior, "bands")
+          .join(broadcast(del), Seq("doc_id"), "left_semi")
+          .select("band_idx", "band_key").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        touchedHandle = Some(touched)
+        val members = bands()
+          .join(broadcast(del), Seq("doc_id"), "left_anti")
+          .join(broadcast(touched), Seq("band_idx", "band_key"), "left_semi")
+        val newPairs = bucketPairsKeyed(members, cfg.maxBucket)
+        // empty sigs/bands deltas keep the per-generation layout uniform
+        // for the multi-path readers (schema taken from the store itself);
+        // Overwrite also clears stale parts from a crashed predecessor
+        def emptyLike(part: String): DataFrame = {
+          val schema = readPart(Seq(prior.head), part).schema
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+        val w = cfg.writePartitions
+        del.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "deletes"))
+        emptyLike("sigs").coalesce(1).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "sigs"))
+        emptyLike("bands").coalesce(1).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "bands"))
+        touched.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
+        newPairs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
+        if (crashBeforeCommit) return
+        // kind marker FIRST, commit marker LAST: a crash between them
+        // leaves the generation uncommitted (invisible), never a committed
+        // delete whose tombstones would be missed. Clear any orphaned
+        // compaction marker from a crashed compact() at this number — a
+        // committed gen carrying both kinds would truncate the store.
+        fs.delete(compactionMarker(gen), false)
+        fs.mkdirs(tombstoneDir)
+        fs.create(tombstoneMarker(gen), true).close()
+        fs.mkdirs(commitDir)
+        fs.create(marker(gen), true).close()
+      } finally {
+        touchedHandle.foreach(_.unpersist())
+        del.unpersist()
       }
     }
 
@@ -332,6 +474,9 @@ object IncrementalDedup {
       * read amplification after many appends). The compacted generation's
       * `touched` covers every bucket, so latest-wins resolves to it alone;
       * older generation directories and markers are then removed.
+      * Tombstones are APPLIED by the fold (sigs/bands are the live reads)
+      * and their markers dropped, restoring the join-free read path after
+      * a run of takedowns.
       */
     def compact(): Unit = {
       val gens = committedGens()
@@ -343,10 +488,23 @@ object IncrementalDedup {
       b.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "bands"))
       touchedAll.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
       p.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
+      // orphan tombstone marker at this number (crashed delete()) would
+      // make the committed fold read as a truncating tombstone — clear it
+      fs.delete(tombstoneMarker(gen), false)
+      // compaction kind marker FIRST, commit marker LAST (the commit IS
+      // the fold — committedGens() then ignores everything below, so the
+      // cleanup is lazy-safe), then sweep superseded generations,
+      // including strays a crashed earlier cleanup left behind
+      fs.mkdirs(compactionDir)
+      fs.create(compactionMarker(gen), true).close()
+      fs.mkdirs(commitDir)
       fs.create(marker(gen), true).close()
-      gens.foreach { g =>
+      (markerGens(commitDir) ++ markerGens(tombstoneDir) ++
+        markerGens(compactionDir)).distinct.filter(_ < gen).foreach { g =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"gen=$g"), true)
         fs.delete(marker(g), false)
+        fs.delete(tombstoneMarker(g), false)
+        fs.delete(compactionMarker(g), false)
       }
     }
   }

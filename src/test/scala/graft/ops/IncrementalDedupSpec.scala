@@ -105,6 +105,76 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(candSet(st.candidates(0.25)) === candSet(full))
   }
 
+  test("delete: candidates == full recompute over the SURVIVORS (testdata)") {
+    val st = IncrementalDedup.store(spark, tempRoot())
+    st.append(testdataDocs.filter(pmod(col("doc_id"), lit(7)) =!= 0))
+    st.append(testdataDocs.filter(pmod(col("doc_id"), lit(7)) === 0))
+    st.delete(testdataDocs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"))
+    val survivors = testdataDocs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+    val full = Replay.minhashCandidates(survivors, minEstJaccard = 0.25)
+    assert(candSet(st.candidates(0.25)) === candSet(full))
+    assert(st.deleteGens() === Seq(2))
+  }
+
+  test("delete reverse cap transition: an overflowed bucket resumes emitting pairs") {
+    val cfg = IncrementalDedup.Config(maxBucket = 3)
+    val st = IncrementalDedup.store(spark, tempRoot(), cfg)
+    // 4 × textA: bucket over the cap → no pairs
+    st.append(craft(1L -> textA, 2L -> textA, 3L -> textA, 4L -> textA))
+    assert(candSet(st.candidates()).isEmpty)
+    // deleting one brings the bucket back to the cap → its 3 pairs appear,
+    // exactly as a full recompute over the survivors would emit them
+    st.delete(craft(4L -> textA).select("doc_id"))
+    assert(candSet(st.candidates()).map(p => (p._1, p._2))
+      === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // deleting another keeps the remaining pair only
+    st.delete(craft(2L -> textA).select("doc_id"))
+    assert(candSet(st.candidates()).map(p => (p._1, p._2)) === Set((1L, 3L)))
+  }
+
+  test("crash before delete commit is invisible; the retry lands it") {
+    val st = IncrementalDedup.store(spark, tempRoot())
+    val base = craft(1L -> textA, 2L -> textA, 3L -> textB)
+    st.append(base)
+    val before = candSet(st.candidates())
+    st.delete(craft(2L -> textA).select("doc_id"), crashBeforeCommit = true)
+    // half-written tombstone gen: no commit marker → nothing masked
+    assert(st.committedGens() === Seq(0))
+    assert(st.deleteGens() === Seq.empty)
+    assert(candSet(st.candidates()) === before)
+    st.delete(craft(2L -> textA).select("doc_id"))
+    assert(st.deleteGens() === Seq(1))
+    assert(candSet(st.candidates())
+      === candSet(Replay.minhashCandidates(craft(1L -> textA, 3L -> textB))))
+  }
+
+  test("re-append after delete resurrects the id (latest event wins)") {
+    val st = IncrementalDedup.store(spark, tempRoot())
+    st.append(craft(1L -> textA, 2L -> textA, 3L -> textB))
+    st.delete(craft(2L -> textA).select("doc_id"))
+    assert(candSet(st.candidates()).isEmpty)
+    st.append(craft(2L -> textA))
+    assert(candSet(st.candidates())
+      === candSet(Replay.minhashCandidates(craft(1L -> textA, 2L -> textA, 3L -> textB))))
+  }
+
+  test("compact folds tombstones away and restores the join-free path") {
+    val st = IncrementalDedup.store(spark, tempRoot())
+    st.append(testdataDocs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    st.append(testdataDocs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    st.delete(testdataDocs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"))
+    val before = candSet(st.candidates(0.25))
+    st.compact()
+    assert(st.committedGens().size === 1)
+    assert(st.deleteGens() === Seq.empty)
+    assert(candSet(st.candidates(0.25)) === before)
+    // deleted ids are gone from the folded store, not just masked
+    val deleted = testdataDocs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stored = st.sigs().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stored.intersect(deleted) === Set.empty)
+  }
+
   test("sketch parameters are fixed per store") {
     val root = tempRoot()
     IncrementalDedup.store(spark, root).append(craft(1L -> textA))
