@@ -848,9 +848,16 @@ object QueryCatalog {
     * SQL (the incremental entry's batch split keeps the first-16-by-id
     * centroid init identical between base-trained and corpus-trained).
     */
-  private[graft] val knnIvfSql: String =
-    """WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      |  WHERE embedding IS NOT NULL),
+  private[graft] val knnIvfSql: String = knnIvfSqlOver("TRUE")
+
+  /** `vecPred` restricts the corpus — the incremental-delete entry's
+    * contract is equivalence with the one-shot assignment of the
+    * SURVIVORS (its delete set avoids vec_ids < 16, so the first-16-by-id
+    * centroid init is unchanged and the frozen store centroids match).
+    */
+  private[graft] def knnIvfSqlOver(vecPred: String): String =
+    s"""WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE embedding IS NOT NULL AND ($vecPred)),
       |c AS (SELECT vec_id AS cid, v AS cv
       |      FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e2)
       |      WHERE rn <= 16),

@@ -127,6 +127,35 @@ object QueryCatalogR13 {
       },
       Some(QueryCatalog.minhashCandidatesSqlOver("doc_id % 7 <> 3"))),
 
+    // The production ingest wiring: a Structured Streaming file-drop
+    // query (one micro-batch per inbox file) appends each batch into the
+    // persisted signature store via foreachBatch, keyed by micro-batch id
+    // for exactly-once under restart (streaming.DedupIngestStream). The
+    // oracle is the full-recompute SQL over all documents — the stream,
+    // the store ledger, and the touched-bucket reconciliation must
+    // compose to exact batch-equivalence.
+    CatalogEntry("dedup_incremental_stream",
+      (s, d) => withTempStore { root =>
+        val dd = docs(s, d)
+        val inbox = s"$root/inbox"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+        (0 to 2).foreach { i =>
+          val tmp = s"$root/slice$i"
+          dd.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(inbox, f"f$i%04d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          // deterministic backlog order (ROUNDLOG r13 lesson 2)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
+        }
+        streaming.DedupIngestStream.runOnce(s, inbox, dd.schema,
+          s"$root/store", s"$root/ckpt")
+        IncrementalDedup.store(s, s"$root/store").candidates(minEstJaccard = 0.25)
+      },
+      Some(QueryCatalog.minhashCandidatesSql)),
+
     // Persisted IVF index + incremental append (ops.IVFStore): index
     // trained once on the BASE (frozen centroids), the batch — the
     // HIGHEST vec_ids, i.e. the new arrivals — assigned incrementally
@@ -147,7 +176,29 @@ object QueryCatalogR13 {
         st.topK(QueryCatalog.queryVec(s, d), k = 20, nprobe = 4)
           .withColumn("score", round(col("score"), 9))
       },
-      Some(QueryCatalog.knnIvfSql)))
+      Some(QueryCatalog.knnIvfSql)),
+
+    // IVF takedown: after both appends, every vec_id ≡ 7 (mod 10) at or
+    // above 16 is deleted — a tombstone generation that masks the vectors
+    // at read time without rewriting any cell partition (and without
+    // disturbing the first-16-by-id centroid init, so the frozen store
+    // centroids still match the oracle's). Oracle: knn_ivf's SQL over the
+    // SURVIVING embeddings — equivalence with a from-scratch index build.
+    CatalogEntry("knn_ivf_incremental_delete",
+      (s, d) => withTempStore { root =>
+        val e = QueryCatalog.embs(s, d)
+        val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+        val t = (maxId + 1L) * 4L / 5L
+        val index = IncrementalAnnIndex.trainBase(e, t)
+        val st = ops.IVFStore.create(s, root, index)
+        st.append(e.filter(col("vec_id") < t))
+        st.append(e.filter(col("vec_id") >= t))
+        st.delete(e.filter(pmod(col("vec_id"), lit(10)) === 7 && col("vec_id") >= 16)
+          .select("vec_id"))
+        st.topK(QueryCatalog.queryVec(s, d), k = 20, nprobe = 4)
+          .withColumn("score", round(col("score"), 9))
+      },
+      Some(QueryCatalog.knnIvfSqlOver("NOT (vec_id % 10 = 7 AND vec_id >= 16)"))))
 
   /** Tiny indirection so the entry reads declaratively: static-centroid
     * training (iters = 0 → first-16-by-id init) on the base split only.

@@ -36,6 +36,22 @@ import org.apache.spark.sql.functions._
   * directory is overwritten by the retry. Centroids persist once at
   * create() (`centroids/` parquet: cell, position, weight) and are
   * re-read on open, so a store survives the JVM that built it.
+  *
+  * == Deletion / compaction ==
+  *
+  * [[Store.delete]] commits a TOMBSTONE generation (`gen=N/deletes/` of
+  * vec_ids, flagged by a `_tombstones/gen=N` kind marker written BEFORE
+  * the commit marker): no cell data moves — the doc is masked at read
+  * time, with a tombstone at generation dg hiding rows from every
+  * generation g <= dg (a later re-append resurrects the id). With no
+  * tombstones the read path is the join-free multi-path union; while they
+  * exist, reads pay a per-vector latest-event join (takedown sets are
+  * tiny — AQE broadcasts), and the probe's cell filter still pushes below
+  * the join so partition pruning is preserved. [[Store.compact]] folds
+  * every generation into one — applying tombstones for real — and commits
+  * via a `_compactions/gen=N` marker that makes readers ignore all lower
+  * generations, so the old-directory sweep is lazy-safe (same dance as
+  * [[IncrementalDedup.SignatureStore.compact]]).
   */
 object IVFStore {
 
@@ -66,13 +82,36 @@ object IVFStore {
     private def fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     private def commitDir = new org.apache.hadoop.fs.Path(root, "_commits")
+    private def tombstoneDir = new org.apache.hadoop.fs.Path(root, "_tombstones")
+    private def compactionDir = new org.apache.hadoop.fs.Path(root, "_compactions")
     private def marker(gen: Int) = new org.apache.hadoop.fs.Path(commitDir, s"gen=$gen")
+    private def tombstoneMarker(gen: Int) =
+      new org.apache.hadoop.fs.Path(tombstoneDir, s"gen=$gen")
+    private def compactionMarker(gen: Int) =
+      new org.apache.hadoop.fs.Path(compactionDir, s"gen=$gen")
 
-    def committedGens(): Seq[Int] = {
-      if (!fs.exists(commitDir)) return Seq.empty
-      fs.listStatus(commitDir).toSeq.map(_.getPath.getName)
+    private def markerGens(dir: org.apache.hadoop.fs.Path): Seq[Int] = {
+      if (!fs.exists(dir)) return Seq.empty
+      fs.listStatus(dir).toSeq.map(_.getPath.getName)
         .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toInt }
         .sorted
+    }
+
+    /** Committed generations, ascending; a committed compaction supersedes
+      * everything below it (see [[IncrementalDedup]] — the fold's commit
+      * point is the marker, not the cleanup).
+      */
+    def committedGens(): Seq[Int] = {
+      val committed = markerGens(commitDir)
+      val floor = markerGens(compactionDir).filter(committed.contains)
+        .sorted.lastOption.getOrElse(Int.MinValue)
+      committed.filter(_ >= floor)
+    }
+
+    /** Committed TOMBSTONE generations, ascending. */
+    def deleteGens(): Seq[Int] = {
+      val committed = committedGens().toSet
+      markerGens(tombstoneDir).filter(committed)
     }
 
     /** Assign ONLY the batch's vectors to cells and commit them as a new
@@ -90,26 +129,101 @@ object IVFStore {
         .write.mode(SaveMode.Overwrite).partitionBy("cell")
         .parquet(s"$root/gen=$gen/cells")
       if (crashBeforeCommit) return
+      // a crashed delete()/compact() at this number may have left a kind
+      // marker; clear both or this append would read as one
+      fs.delete(tombstoneMarker(gen), false)
+      fs.delete(compactionMarker(gen), false)
       fs.mkdirs(commitDir)
       fs.create(marker(gen), true).close()
     }
 
-    /** All stored assignments (union of committed generation deltas).
-      * `cell` is a partition column — filters on it prune directories.
+    /** Delete vectors from the index (takedown / opt-out). Commits a
+      * tombstone generation carrying only the ids — O(ids), no cell data
+      * is rewritten; reads mask, [[compact]] erases.
+      */
+    def delete(ids: DataFrame, idCol: String = "vec_id",
+        crashBeforeCommit: Boolean = false): Unit = {
+      val prior = committedGens()
+      require(prior.nonEmpty, s"IVF store at $root has no committed generation yet")
+      val gen = prior.max + 1
+      ids.select(col(idCol).as("vec_id")).distinct()
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/gen=$gen/deletes")
+      if (crashBeforeCommit) return
+      // kind marker FIRST, commit marker LAST: a torn delete is wholly
+      // invisible, never a committed delete whose tombstones are missed.
+      // Clear an orphaned compaction marker (crashed compact()) — a
+      // committed gen carrying both kinds would truncate the store.
+      fs.delete(compactionMarker(gen), false)
+      fs.mkdirs(tombstoneDir)
+      fs.create(tombstoneMarker(gen), true).close()
+      fs.mkdirs(commitDir)
+      fs.create(marker(gen), true).close()
+    }
+
+    /** All LIVE assignments (union of committed generation deltas minus
+      * tombstones). `cell` is a partition column — filters on it prune
+      * directories, including through the tombstone mask join (the filter
+      * pushes below it to the scans).
       */
     def cells(): DataFrame = {
       val gens = committedGens()
       require(gens.nonEmpty, s"IVF store at $root has no committed generation yet")
+      val dels = deleteGens()
+      val dataGens = gens.filterNot(dels.toSet)
       // one read per generation root, unioned: multi-path partition
       // discovery rejects sibling gen=N roots as conflicting structures,
       // and per-root reads keep cell-partition pruning intact
-      gens.map(g => spark.read.parquet(s"$root/gen=$g/cells")).reduce(_ unionByName _)
+      if (dels.isEmpty)
+        dataGens.map(g => spark.read.parquet(s"$root/gen=$g/cells")).reduce(_ unionByName _)
+      else {
+        val rows = dataGens.map(g =>
+          spark.read.parquet(s"$root/gen=$g/cells").withColumn("g", lit(g)))
+          .reduce(_ unionByName _)
+        // per-vector latest tombstone: a row from generation g is live
+        // unless some tombstone at dg >= g covers it (re-append at
+        // g > dg resurrects). Tombstones are takedown-scale — AQE
+        // broadcasts; compact() restores the join-free path.
+        val ts = dels.map(g =>
+          spark.read.parquet(s"$root/gen=$g/deletes").withColumn("dg", lit(g)))
+          .reduce(_ unionByName _)
+          .groupBy("vec_id").agg(max("dg").as("dg"))
+        rows.join(ts, Seq("vec_id"), "left")
+          .filter(col("dg").isNull || col("g") > col("dg"))
+          .drop("g", "dg")
+      }
+    }
+
+    /** Fold all generations into one, applying tombstones for real, and
+      * commit via the compaction kind marker (readers then ignore lower
+      * generations, so the sweep below is lazy-safe).
+      */
+    def compact(): Unit = {
+      val gens = committedGens()
+      if (gens.size <= 1) return
+      val gen = gens.max + 1
+      cells()
+        .repartition(col("cell"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell")
+        .parquet(s"$root/gen=$gen/cells")
+      fs.delete(tombstoneMarker(gen), false)
+      fs.mkdirs(compactionDir)
+      fs.create(compactionMarker(gen), true).close()
+      fs.mkdirs(commitDir)
+      fs.create(marker(gen), true).close()
+      (markerGens(commitDir) ++ markerGens(tombstoneDir) ++
+        markerGens(compactionDir)).distinct.filter(_ < gen).foreach { g =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"gen=$g"), true)
+        fs.delete(marker(g), false)
+        fs.delete(tombstoneMarker(g), false)
+        fs.delete(compactionMarker(g), false)
+      }
     }
 
     /** ANN top-k over the whole stored corpus: probe the `nprobe` cells
       * nearest the query — the scan reads ONLY those cell partitions
       * (pruned, never the full corpus) — then exact-rank inside them.
-      * Equal to [[IVF.topK]] over the union of all appended batches.
+      * Equal to [[IVF.topK]] over the union of all appended batches minus
+      * deleted ids.
       */
     def topK(query: Seq[Float], k: Int, nprobe: Int = 2): DataFrame = {
       val probeCells = index.centroids.zipWithIndex

@@ -316,15 +316,43 @@ object IncrementalDedup {
         .drop("g")
     }
 
+    /** Keys of every idempotent mutation already committed (stored as the
+      * commit markers' contents — the key lands in the SAME file create as
+      * the commit, so "committed" and "key recorded" cannot tear apart).
+      * [[compact]] folds the keys into its own marker, so dedup survives
+      * compaction.
+      */
+    def appliedKeys(): Set[String] =
+      committedGens().flatMap { g =>
+        val in = fs.open(marker(g))
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        content.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      }.toSet
+
+    private def commitMarker(gen: Int, keys: Iterable[String]): Unit = {
+      fs.mkdirs(commitDir)
+      val out = fs.create(marker(gen), true)
+      try out.write(keys.mkString("\n").getBytes("UTF-8")) finally out.close()
+    }
+
     /** Append one batch of new documents (first call on an empty store =
       * initial load). Re-sketches ONLY the batch, recomputes pairs ONLY for
       * buckets the batch touches, and commits a new generation delta.
       * `crashBeforeCommit` (tests only) writes all data files then stops
       * before the marker, simulating a mid-append crash.
+      *
+      * `idempotencyKey` makes the append exactly-once under at-least-once
+      * drivers (Structured Streaming's foreachBatch replays the last
+      * uncommitted micro-batch on restart): a key already recorded in a
+      * committed generation's marker turns the call into a no-op. Pass the
+      * micro-batch id — see [[graft.streaming.DedupIngestStream]].
       */
     def append(batch: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-        crashBeforeCommit: Boolean = false): Unit = {
+        crashBeforeCommit: Boolean = false,
+        idempotencyKey: Option[String] = None): Unit = {
       assertOrPersistConfig()
+      if (idempotencyKey.exists(appliedKeys().contains)) return
       val prior = committedGens()
       val gen = if (prior.isEmpty) 0 else prior.max + 1
       val newSigs = sketch(batch, cfg, textCol, idCol)
@@ -355,8 +383,7 @@ object IncrementalDedup {
         // its kind marker; clear both or this append would read as one
         fs.delete(tombstoneMarker(gen), false)
         fs.delete(compactionMarker(gen), false)
-        fs.mkdirs(commitDir)
-        fs.create(marker(gen), true).close()
+        commitMarker(gen, idempotencyKey.toSeq)
       } finally {
         touched.unpersist()
         newBands.unpersist()
@@ -374,8 +401,10 @@ object IncrementalDedup {
       * store's corpus-scale parts are never rewritten.
       */
     def delete(ids: DataFrame, idCol: String = "doc_id",
-        crashBeforeCommit: Boolean = false): Unit = {
+        crashBeforeCommit: Boolean = false,
+        idempotencyKey: Option[String] = None): Unit = {
       assertOrPersistConfig()
+      if (idempotencyKey.exists(appliedKeys().contains)) return
       val prior = committedGens()
       require(prior.nonEmpty, s"signature store at $root has no committed generation yet")
       val gen = prior.max + 1
@@ -421,8 +450,7 @@ object IncrementalDedup {
         fs.delete(compactionMarker(gen), false)
         fs.mkdirs(tombstoneDir)
         fs.create(tombstoneMarker(gen), true).close()
-        fs.mkdirs(commitDir)
-        fs.create(marker(gen), true).close()
+        commitMarker(gen, idempotencyKey.toSeq)
       } finally {
         touchedHandle.foreach(_.unpersist())
         del.unpersist()
@@ -482,6 +510,7 @@ object IncrementalDedup {
       val gens = committedGens()
       if (gens.size <= 1) return
       val gen = gens.max + 1
+      val keys = appliedKeys() // survive the fold — idempotence outlives it
       val s = sigs(); val b = bands(); val p = pairs()
       val touchedAll = b.select("band_idx", "band_key").distinct()
       s.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "sigs"))
@@ -497,8 +526,7 @@ object IncrementalDedup {
       // including strays a crashed earlier cleanup left behind
       fs.mkdirs(compactionDir)
       fs.create(compactionMarker(gen), true).close()
-      fs.mkdirs(commitDir)
-      fs.create(marker(gen), true).close()
+      commitMarker(gen, keys)
       (markerGens(commitDir) ++ markerGens(tombstoneDir) ++
         markerGens(compactionDir)).distinct.filter(_ < gen).foreach { g =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"gen=$g"), true)

@@ -64,6 +64,48 @@ class IVFStoreSpec extends SparkSpec {
         batch.filter(col("embedding").isNotNull).count())
   }
 
+  test("delete masks vectors: topK == one-shot over the SURVIVORS; pruning survives the mask join") {
+    val maxId = embs.agg(max(col("vec_id"))).head().getLong(0)
+    val t = (maxId + 1) * 4 / 5
+    val index = IVF.train(embs.filter(col("vec_id") < t), c = 16, iters = 0)
+    val st = IVFStore.create(spark, tempRoot(), index)
+    st.append(embs.filter(col("vec_id") < t))
+    st.append(embs.filter(col("vec_id") >= t))
+    val delPred = pmod(col("vec_id"), lit(10)) === 7 && col("vec_id") >= 16
+    st.delete(embs.filter(delPred).select("vec_id"))
+    assert(st.deleteGens() === Seq(2))
+    val masked = st.topK(query, k = 20, nprobe = 4)
+    val oneShot = ids(IVF.topK(embs.filter(!delPred), index, query, k = 20, nprobe = 4))
+    assert(ids(masked) === oneShot)
+    // the cell filter must still prune partitions below the tombstone join
+    val plan = masked.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(3000))
+  }
+
+  test("crash before delete commit is invisible; re-append resurrects; compact folds tombstones") {
+    val index = IVF.train(embs, c = 16, iters = 0)
+    val st = IVFStore.create(spark, tempRoot(), index)
+    val live = embs.filter(col("vec_id") < 200 && col("embedding").isNotNull)
+    st.append(live)
+    val before = ids(st.topK(query, k = 10, nprobe = 4))
+    st.delete(live.filter(col("vec_id") >= 100).select("vec_id"), crashBeforeCommit = true)
+    assert(st.deleteGens() === Seq.empty)
+    assert(ids(st.topK(query, k = 10, nprobe = 4)) === before)
+    // retry lands; the survivors' view holds
+    st.delete(live.filter(col("vec_id") >= 100).select("vec_id"))
+    assert(st.cells().count() === live.filter(col("vec_id") < 100).count())
+    // re-appending a deleted range resurrects it (latest event wins)
+    st.append(live.filter(col("vec_id") >= 100 && col("vec_id") < 150))
+    assert(st.cells().count() === live.filter(col("vec_id") < 150).count())
+    // compact applies tombstones for real and restores the join-free path
+    st.compact()
+    assert(st.committedGens().size === 1)
+    assert(st.deleteGens() === Seq.empty)
+    assert(st.cells().count() === live.filter(col("vec_id") < 150).count())
+    assert(ids(st.topK(query, k = 10, nprobe = 4)) ===
+      ids(IVF.topK(live.filter(col("vec_id") < 150), index, query, k = 10, nprobe = 4)))
+  }
+
   test("open() reloads frozen centroids bit-identically") {
     val index = IVF.train(embs, c = 16, iters = 0)
     val root = tempRoot()
