@@ -630,15 +630,20 @@ object QueryCatalog {
 
     // Exact interpolated percentiles (median/p90) — continuous-quantile
     // semantics match DuckDB's quantile_cont
+    // round(…, 6): Spark's exact `percentile` and DuckDB's quantile_cont
+    // both interpolate lo + (hi-lo)*g in doubles but associate differently
+    // — a 5.8e-11 divergence surfaced at 2× pseudo-scale when the p90 rank
+    // landed between two close prices (invisible at 1×). 6 dp is 5 orders
+    // of magnitude above the float noise and far below the 2-dp data.
     CatalogEntry("percentiles",
       (s, d) => T(s, d, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
-          expr("percentile(o_totalprice, 0.5)").as("median_price"),
-          expr("percentile(o_totalprice, 0.9)").as("p90_price")),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_price")),
       Some("""SELECT o_orderstatus,
-        |  quantile_cont(o_totalprice, 0.5) AS median_price,
-        |  quantile_cont(o_totalprice, 0.9) AS p90_price
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
         |FROM orders GROUP BY 1""".stripMargin)),
 
     // Pivot (wide aggregation) — oracle as explicit conditional aggregation
@@ -3491,16 +3496,18 @@ object QueryCatalog {
         |FROM embeddings""".stripMargin)),
 
     // Exact interpolated percentiles per group: Spark median/percentile vs
-    // DuckDB median/quantile_cont (both linear-interpolation definitions)
+    // DuckDB median/quantile_cont (both linear-interpolation definitions).
+    // round(…, 6) guards the same last-ulp interpolation divergence the 2×
+    // sweep caught on `percentiles` (see that entry's comment).
     CatalogEntry("median_pcts",
       (s, d) => T(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
-        expr("median(CAST(l_quantity AS DOUBLE))").as("med_qty"),
-        expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)").as("q1_qty"),
-        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.75)").as("q3_price")),
+        round(expr("median(CAST(l_quantity AS DOUBLE))"), 6).as("med_qty"),
+        round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)"), 6).as("q1_qty"),
+        round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.75)"), 6).as("q3_price")),
       Some("""SELECT l_returnflag,
-        |  median(CAST(l_quantity AS DOUBLE)) AS med_qty,
-        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q1_qty,
-        |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3_price
+        |  round(median(CAST(l_quantity AS DOUBLE)), 6) AS med_qty,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS q1_qty,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6) AS q3_price
         |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // Constant-memory twin of median_pcts (same pattern as agg_approx /
@@ -3536,14 +3543,16 @@ object QueryCatalog {
           .agg(count(col("l.q")).as("n"),
             count(when(col("l.q") < col("a.approx_med"), 1)).as("lt"),
             count(when(col("l.q") <= col("a.approx_med"), 1)).as("le"))
-          .select(col("l_returnflag"), col("med_qty"),
+          .select(col("l_returnflag"),
+            // round(…, 6): same interpolation-ulp guard as median_pcts
+            round(col("med_qty"), 6).as("med_qty"),
             ((col("approx_med").isNull && col("med_qty").isNull) ||
               (col("lt") <= expr("n div 2 + n div 10000") &&
                 col("le") >= expr("(n + 1) div 2 - n div 10000")))
               .as("within_tol"))
       },
       Some("""SELECT l_returnflag,
-        |  median(CAST(l_quantity AS DOUBLE)) AS med_qty,
+        |  round(median(CAST(l_quantity AS DOUBLE)), 6) AS med_qty,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY 1""".stripMargin)),
 
@@ -3676,5 +3685,9 @@ object QueryCatalog {
   val streamingNames: Set[String] = Set(
     "events_hourly_stream", "events_stream_static_join",
     "events_stream_stream_join", "events_stream_left_join",
-    "events_stream_dedup", "dsv2_stream_agg")
+    "events_stream_dedup", "dsv2_stream_agg",
+    // stateless (foreachBatch) but still a real StreamingQuery — keep it
+    // in the isolated streaming chunk so any future provider load cannot
+    // bleed into batch neighbors
+    "dedup_incremental_stream")
 }

@@ -327,11 +327,19 @@ object Graph {
     // e is already cache-filled by it, so the edge count is a cached scan
     val nEdges = e.count()
     val nWedges: java.lang.Long = if (lim.isNullAt(4)) null else Long.box(lim.getLong(4))
+    // clustering is undefined without wedges: a graph of disjoint single
+    // edges (every degree 1, nWedges == 0 — seen on the 2× pseudo-scale
+    // fixture where each user co-occurs only with its replica twin) must
+    // yield NULL like the oracle's x/0, not an ANSI DIVIDE_BY_ZERO crash.
+    // nWedges is a driver constant, so the branch is decided here, not per
+    // row.
+    val clustering =
+      if (nWedges == null || nWedges.longValue == 0L) lit(null).cast("double")
+      else col("n_triangles").cast("double") * 3.0 / lit(nWedges.longValue)
     val out = triangles
       .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
         lit(nWedges).cast("long").as("n_wedges"), col("n_triangles"),
-        (col("n_triangles").cast("double") * 3.0 / lit(nWedges).cast("long"))
-          .as("global_clustering"))
+        clustering.as("global_clustering"))
     Dedup.materializeAndRelease(out, e, deg, oriented)
   }
 

@@ -32,6 +32,18 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_wedges") === 4) // each vertex degree 2 -> 4x1
   }
 
+  test("triangleStats: zero wedges (disjoint single edges) yields NULL clustering, not a crash") {
+    // the 2× pseudo-scale fixture produced exactly this shape (every user
+    // co-occurs only with its replica twin → all degrees 1): the ANSI
+    // divide must not fire; clustering is undefined → NULL, matching the
+    // oracle's x/0 → NULL
+    val edges = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+    val row = Graph.triangleStats(edges).head()
+    assert(row.getAs[Long]("n_wedges") === 0)
+    assert(row.getAs[Long]("n_triangles") === 0)
+    assert(row.isNullAt(row.fieldIndex("global_clustering")))
+  }
+
   test("triangleStats rejects ids that cast to null instead of corrupting counts") {
     // review r9: null ids evaded the min/max packing guard (min/max skip
     // nulls) and aggregated as a phantom node. Malformed STRINGS throw at

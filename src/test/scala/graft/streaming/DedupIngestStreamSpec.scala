@@ -97,5 +97,11 @@ class DedupIngestStreamSpec extends SparkSpec {
     // a replay of either batch after compaction is still a no-op
     st.append(a, idempotencyKey = Some("microbatch=0"))
     assert(st.committedGens().size === 1)
+    // deletes take keys too — a stream-driven takedown replays as a no-op
+    st.delete(a.select("doc_id"), idempotencyKey = Some("takedown=0"))
+    val gensAfterDelete = st.committedGens()
+    st.delete(a.select("doc_id"), idempotencyKey = Some("takedown=0"))
+    assert(st.committedGens() === gensAfterDelete)
+    assert(st.appliedKeys().contains("takedown=0"))
   }
 }
