@@ -156,6 +156,19 @@ cell_crash_restart_rocksdb() { # r12 verdict item 6: prod failure mode on
   fi
 }
 
+cell_delete_heavy() { # r13 open thread: tombstone mask join at volume —
+                      # many tombstone generations, 40%+ deleted, resurrect
+                      # appends, NO compact; the tool self-asserts exact
+                      # equivalence with from-scratch over the survivors
+  local log; log=$(mktemp /tmp/matrix_delheavy.XXXX.log)
+  if scripts/run_main.sh graft.tools.TombstoneStress >"$log" 2>&1; then
+    record delete_heavy default PASS \
+      "$(grep -o 'deletedFrac=[0-9.]*' "$log" | tail -1); $(grep -c '^\[tombstone-stress\] OK' "$log") checks"
+  else
+    record delete_heavy default FAIL "see $log"
+  fi
+}
+
 cell_scale2_fd() {
   local log; log=$(mktemp /tmp/matrix_s2.XXXX.log)
   python3 scripts/scale_smoke.py "$SF1" /tmp/mx_scale2_data 2 >"$log" 2>&1 || {
@@ -172,7 +185,8 @@ cell_scale8_fd() { # the heavy one: dedup_corpus's oracle replay dominates
 
 QUICK=(base_sf0001 fd_sf0001 specs)
 DEFAULT=("${QUICK[@]}" base_sf001 fd_sf001 rocksdb spill aqe_off parts5 parts101
-         local3 fuzz skew_fuzz rocksdb_spill_skew crash_restart_rocksdb)
+         local3 fuzz skew_fuzz rocksdb_spill_skew crash_restart_rocksdb
+         delete_heavy)
 FULL=("${DEFAULT[@]}" scale2_fd scale8_fd)
 
 MODE="${1:-quick}"

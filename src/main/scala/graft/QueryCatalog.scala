@@ -3689,5 +3689,5 @@ object QueryCatalog {
     // stateless (foreachBatch) but still a real StreamingQuery — keep it
     // in the isolated streaming chunk so any future provider load cannot
     // bleed into batch neighbors
-    "dedup_incremental_stream")
+    "dedup_incremental_stream", "knn_ivf_incremental_stream")
 }

@@ -198,7 +198,43 @@ object QueryCatalogR13 {
         st.topK(QueryCatalog.queryVec(s, d), k = 20, nprobe = 4)
           .withColumn("score", round(col("score"), 9))
       },
-      Some(QueryCatalog.knnIvfSqlOver("NOT (vec_id % 10 = 7 AND vec_id >= 16)"))))
+      Some(QueryCatalog.knnIvfSqlOver("NOT (vec_id % 10 = 7 AND vec_id >= 16)"))),
+
+    // The ANN twin of dedup_incremental_stream: embeddings stream into a
+    // pre-created IVF store (offline-trained frozen centroids — the
+    // standard deployment split: training is a batch job, ingest a
+    // stream) one micro-batch per inbox file, keyed by micro-batch id
+    // for exactly-once under restart (streaming.IvfIngestStream). Cell
+    // assignment is a pure per-vector function of the frozen centroids,
+    // so stream-order ingest equals the one-shot full-corpus assignment
+    // and the oracle is knn_ivf's SQL verbatim (training on the FULL
+    // corpus here, exactly as knn_ivf does — unlike knn_ivf_incremental,
+    // whose base-split training needed the 80/20 id trick).
+    CatalogEntry("knn_ivf_incremental_stream",
+      (s, d) => withTempStore { root =>
+        val e = QueryCatalog.embs(s, d)
+        val index = ops.IVF.train(e, c = 16, iters = 0)
+        ops.IVFStore.create(s, s"$root/store", index, defaultNprobe = 4)
+        val inbox = s"$root/inbox"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+        (0 to 2).foreach { i =>
+          val tmp = s"$root/slice$i"
+          e.filter(pmod(col("vec_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(inbox, f"f$i%04d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          // deterministic backlog order (ROUNDLOG r13 lesson 2)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
+        }
+        streaming.IvfIngestStream.runOnce(s, inbox, e.schema,
+          s"$root/store", s"$root/ckpt")
+        ops.IVFStore.open(s, s"$root/store")
+          .topK(QueryCatalog.queryVec(s, d), k = 20)
+          .withColumn("score", round(col("score"), 9))
+      },
+      Some(QueryCatalog.knnIvfSql)))
 
   /** Tiny indirection so the entry reads declaratively: static-centroid
     * training (iters = 0 → first-16-by-id init) on the base split only.

@@ -55,29 +55,73 @@ import org.apache.spark.sql.functions._
   */
 object IVFStore {
 
-  /** Create a new store at `path` with frozen `index` centroids. */
-  def create(spark: SparkSession, path: String, index: IVF.Index): Store = {
+  /** Create a new store at `path` with frozen `index` centroids.
+    *
+    * Alongside the centroids, a `_config` file persists the search
+    * conventions that otherwise live in calling code — vector dimension,
+    * cell count, metric, and the store's default `nprobe` — so a reader
+    * opening the store months later probes it the way it was built
+    * (IncrementalDedup's `_config` discipline applied to the ANN twin;
+    * r13 open thread). `open()` refuses a store whose persisted config
+    * disagrees with its centroids.
+    */
+  def create(spark: SparkSession, path: String, index: IVF.Index,
+      defaultNprobe: Int = 2): Store = {
     import spark.implicits._
+    require(index.centroids.nonEmpty, "an IVF index needs at least one centroid")
+    require(index.centroids.forall(_.size == index.dim),
+      s"ragged centroids: all must have dim=${index.dim}")
+    require(defaultNprobe >= 1 && defaultNprobe <= index.centroids.size,
+      s"defaultNprobe=$defaultNprobe must be in [1, ${index.centroids.size}]")
     val rows = index.centroids.zipWithIndex.flatMap { case (c, i) =>
       c.zipWithIndex.map { case (w, d) => (i, d, w) }
     }
     rows.toDF("cell", "dim", "weight")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    new Store(spark, path, index)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_config"), true)
+    try out.write(configLine(index, defaultNprobe).getBytes("UTF-8"))
+    finally out.close()
+    new Store(spark, path, index, defaultNprobe)
   }
 
-  /** Open an existing store, reloading its frozen centroids. */
+  private def configLine(index: IVF.Index, defaultNprobe: Int): String =
+    s"dim=${index.dim};cells=${index.centroids.size};metric=cosine;" +
+      s"defaultNprobe=$defaultNprobe"
+
+  /** Open an existing store, reloading its frozen centroids and persisted
+    * search config, and verifying they agree (a truncated or foreign
+    * centroids file must fail loudly, not probe wrongly).
+    */
   def open(spark: SparkSession, path: String): Store = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cfgPath = new org.apache.hadoop.fs.Path(path, "_config")
+    require(fs.exists(cfgPath), s"no _config at $path — not an IVF store")
+    val in = fs.open(cfgPath)
+    val cfg = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val kv = cfg.split(";").map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    require(kv.get("metric").contains("cosine"),
+      s"IVF store at $path uses metric=${kv.getOrElse("metric", "?")}; this build supports cosine")
     val rows = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
     require(rows.nonEmpty, s"no centroids at $path — not an IVF store")
     val centroids = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, ds) =>
       ds.sortBy(_._2).map(_._3).toSeq
     }
-    new Store(spark, path, IVF.Index(centroids))
+    val index = IVF.Index(centroids)
+    require(kv.get("cells").contains(centroids.size.toString) &&
+        kv.get("dim").contains(index.dim.toString),
+      s"IVF store at $path: _config says dim=${kv.getOrElse("dim", "?")}/" +
+        s"cells=${kv.getOrElse("cells", "?")} but the centroids file holds " +
+        s"dim=${index.dim}/cells=${centroids.size} — store is corrupt or mixed")
+    new Store(spark, path, index, kv("defaultNprobe").toInt)
   }
 
-  final class Store(spark: SparkSession, root: String, val index: IVF.Index) {
+  final class Store(spark: SparkSession, root: String, val index: IVF.Index,
+      val defaultNprobe: Int = 2) {
 
     private def fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -114,27 +158,78 @@ object IVFStore {
       markerGens(tombstoneDir).filter(committed)
     }
 
+    /** Keys of every idempotent mutation already committed — stored as
+      * the commit markers' contents, so "committed" and "key recorded"
+      * land in the SAME file create and cannot tear apart (the
+      * [[IncrementalDedup.SignatureStore.appliedKeys]] contract applied
+      * to the ANN store; [[compact]] folds keys into its own marker so
+      * dedup survives compaction).
+      */
+    def appliedKeys(): Set[String] =
+      committedGens().flatMap { g =>
+        val in = fs.open(marker(g))
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        content.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      }.toSet
+
+    private def commitMarker(gen: Int, keys: Iterable[String]): Unit = {
+      fs.mkdirs(commitDir)
+      val out = fs.create(marker(gen), true)
+      try out.write(keys.mkString("\n").getBytes("UTF-8")) finally out.close()
+    }
+
     /** Assign ONLY the batch's vectors to cells and commit them as a new
       * generation of cell-partitioned parquet. Null vectors drop (the
-      * [[IVF.assign]] contract). `crashBeforeCommit` for tests.
+      * [[IVF.assign]] contract), but a WRONG-DIMENSION vector fails the
+      * append loudly: its cosine vs every centroid is NaN, so it would
+      * otherwise be silently filed in cell 0 and never retrievable (probe
+      * scores are NaN-filtered) — stored-but-invisible corruption. The
+      * guard is one map-side `size()` per row. `crashBeforeCommit` for
+      * tests.
       */
     def append(embs: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
-        crashBeforeCommit: Boolean = false): Unit = {
+        crashBeforeCommit: Boolean = false,
+        idempotencyKey: Option[String] = None): Unit = {
+      if (idempotencyKey.exists(appliedKeys().contains)) return
       val prior = committedGens()
       val gen = if (prior.isEmpty) 0 else prior.max + 1
-      IVF.assign(embs, index, vecCol)
+      val guarded = embs.withColumn(vecCol,
+        when(col(vecCol).isNotNull && size(col(vecCol)) =!= lit(index.dim),
+          raise_error(concat(
+            lit(s"IVF store at $root holds dim=${index.dim} vectors; batch row has dim="),
+            size(col(vecCol)).cast("string"))))
+          .otherwise(col(vecCol)))
+      IVF.assign(guarded, index, vecCol)
         .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"), col("cell"))
         // a generation is batch-scale: a few files per cell partition
         .repartition(col("cell"))
         .write.mode(SaveMode.Overwrite).partitionBy("cell")
         .parquet(s"$root/gen=$gen/cells")
+      // a batch with zero assignable vectors (empty micro-batch, all-null
+      // embeddings) leaves a ZERO-FILE dynamic-partition dir — committing
+      // it would poison every later read with schema-inference failure.
+      // An empty append is a no-op: union with ∅ changes nothing
+      val genDir = new org.apache.hadoop.fs.Path(s"$root/gen=$gen/cells")
+      val files = fs.listFiles(genDir, true)
+      var hasData = false
+      while (!hasData && files.hasNext) {
+        val f = files.next()
+        hasData = f.isFile && !f.getPath.getName.startsWith("_")
+      }
+      if (!hasData) {
+        // NOTE: the idempotency key is deliberately NOT recorded — with no
+        // generation there is nothing a replay could duplicate, and the
+        // replayed empty batch lands here again as the same no-op
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"gen=$gen"), true)
+        return
+      }
       if (crashBeforeCommit) return
       // a crashed delete()/compact() at this number may have left a kind
       // marker; clear both or this append would read as one
       fs.delete(tombstoneMarker(gen), false)
       fs.delete(compactionMarker(gen), false)
-      fs.mkdirs(commitDir)
-      fs.create(marker(gen), true).close()
+      commitMarker(gen, idempotencyKey.toSeq)
     }
 
     /** Delete vectors from the index (takedown / opt-out). Commits a
@@ -142,7 +237,9 @@ object IVFStore {
       * is rewritten; reads mask, [[compact]] erases.
       */
     def delete(ids: DataFrame, idCol: String = "vec_id",
-        crashBeforeCommit: Boolean = false): Unit = {
+        crashBeforeCommit: Boolean = false,
+        idempotencyKey: Option[String] = None): Unit = {
+      if (idempotencyKey.exists(appliedKeys().contains)) return
       val prior = committedGens()
       require(prior.nonEmpty, s"IVF store at $root has no committed generation yet")
       val gen = prior.max + 1
@@ -156,8 +253,7 @@ object IVFStore {
       fs.delete(compactionMarker(gen), false)
       fs.mkdirs(tombstoneDir)
       fs.create(tombstoneMarker(gen), true).close()
-      fs.mkdirs(commitDir)
-      fs.create(marker(gen), true).close()
+      commitMarker(gen, idempotencyKey.toSeq)
     }
 
     /** All LIVE assignments (union of committed generation deltas minus
@@ -201,6 +297,7 @@ object IVFStore {
       val gens = committedGens()
       if (gens.size <= 1) return
       val gen = gens.max + 1
+      val keys = appliedKeys() // survive the fold — idempotence outlives it
       cells()
         .repartition(col("cell"))
         .write.mode(SaveMode.Overwrite).partitionBy("cell")
@@ -208,8 +305,7 @@ object IVFStore {
       fs.delete(tombstoneMarker(gen), false)
       fs.mkdirs(compactionDir)
       fs.create(compactionMarker(gen), true).close()
-      fs.mkdirs(commitDir)
-      fs.create(marker(gen), true).close()
+      commitMarker(gen, keys)
       (markerGens(commitDir) ++ markerGens(tombstoneDir) ++
         markerGens(compactionDir)).distinct.filter(_ < gen).foreach { g =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"gen=$g"), true)
@@ -220,12 +316,13 @@ object IVFStore {
     }
 
     /** ANN top-k over the whole stored corpus: probe the `nprobe` cells
-      * nearest the query — the scan reads ONLY those cell partitions
+      * nearest the query (defaulting to the store's persisted
+      * `defaultNprobe`) — the scan reads ONLY those cell partitions
       * (pruned, never the full corpus) — then exact-rank inside them.
       * Equal to [[IVF.topK]] over the union of all appended batches minus
       * deleted ids.
       */
-    def topK(query: Seq[Float], k: Int, nprobe: Int = 2): DataFrame = {
+    def topK(query: Seq[Float], k: Int, nprobe: Int = defaultNprobe): DataFrame = {
       val probeCells = index.centroids.zipWithIndex
         .map { case (ctr, i) =>
           i -> graft.functions.CosineSimilarity.compute(query.toArray, ctr.toArray)

@@ -48,6 +48,8 @@ import graft.functions.{PortableSketches, TextSketches}
   *   gen=N/touched/  (band_idx, band_key)     — buckets recomputed by N
   *   gen=N/pairs/    (band_idx, band_key, doc_a, doc_b) — their new pairs
   *   gen=N/deletes/  (doc_id)                 — TOMBSTONE generations only
+  *                   (which conversely carry NO sigs/bands — readers take
+  *                   those parts from append generations only)
   *   _tombstones/gen=N (kind marker — gen N is a delete, written before…)
   *   _commits/gen=N  (empty marker, written LAST)
   * }}}
@@ -273,14 +275,17 @@ object IncrementalDedup {
       * covers its doc (a re-append at g > dg resurrects the id). With no
       * tombstones this is the join-free multi-path read — the common
       * append-only path pays nothing for the delete feature, and compact()
-      * restores it after takedowns.
+      * restores it after takedowns. Tombstone generations carry no
+      * sigs/bands (they are pairs-and-deletes-only deltas), so this reads
+      * APPEND generations only — same shape as [[IVFStore.Store.cells]].
       */
     private def liveRows(part: String): DataFrame = {
       val gens = committedGens()
       val dels = deleteGens()
+      val dataGens = gens.filterNot(dels.toSet)
       if (dels.isEmpty) readPart(gens, part)
       else {
-        val rows = gens.map(g => readPart(Seq(g), part).withColumn("g", lit(g)))
+        val rows = dataGens.map(g => readPart(Seq(g), part).withColumn("g", lit(g)))
           .reduce(_ unionByName _)
         // tombstones are takedown-scale, not corpus-scale — AQE broadcasts
         // this join when it measures small, and compact() removes it
@@ -415,10 +420,12 @@ object IncrementalDedup {
         // every bucket that EVER held a deleted doc is recomputed. RAW
         // (unmasked) bands are deliberate: refreshing a bucket from live
         // membership is idempotent, so over-touching an already-masked
-        // doc's buckets is correct and skips a mask join. `del` and
-        // `touched` are takedown-scale — batch-like — so the hints hold
-        // (r13 lesson: justify a broadcast by what the frame scales WITH).
-        val touched = readPart(prior, "bands")
+        // doc's buckets is correct and skips a mask join. Prior TOMBSTONE
+        // generations carry no bands part — read append gens only. `del`
+        // and `touched` are takedown-scale — batch-like — so the hints
+        // hold (r13 lesson: justify a broadcast by what the frame scales
+        // WITH).
+        val touched = readPart(prior.filterNot(deleteGens().toSet), "bands")
           .join(broadcast(del), Seq("doc_id"), "left_semi")
           .select("band_idx", "band_key").distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -427,18 +434,14 @@ object IncrementalDedup {
           .join(broadcast(del), Seq("doc_id"), "left_anti")
           .join(broadcast(touched), Seq("band_idx", "band_key"), "left_semi")
         val newPairs = bucketPairsKeyed(members, cfg.maxBucket)
-        // empty sigs/bands deltas keep the per-generation layout uniform
-        // for the multi-path readers (schema taken from the store itself);
-        // Overwrite also clears stale parts from a crashed predecessor
-        def emptyLike(part: String): DataFrame = {
-          val schema = readPart(Seq(prior.head), part).schema
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        }
+        // no sigs/bands delta: a tombstone generation contributes no
+        // sketch rows, and liveRows() reads those parts from append
+        // generations only — two fewer write jobs per takedown and two
+        // fewer (empty) files on every later read. A crashed append at
+        // this number may have left sigs/bands dirs behind; they stay
+        // orphaned-but-invisible, exactly like any uncommitted gen
         val w = cfg.writePartitions
         del.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "deletes"))
-        emptyLike("sigs").coalesce(1).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "sigs"))
-        emptyLike("bands").coalesce(1).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "bands"))
         touched.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
         newPairs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
         if (crashBeforeCommit) return

@@ -119,4 +119,59 @@ class IVFStoreSpec extends SparkSpec {
     val oneShot = ids(IVF.topK(embs, index, query, k = 10, nprobe = 4))
     assert(viaStore === oneShot)
   }
+
+  test("search config persists: reopened store probes with the builder's defaultNprobe") {
+    val index = IVF.train(embs, c = 16, iters = 0)
+    val root = tempRoot()
+    IVFStore.create(spark, root, index, defaultNprobe = 4).append(embs)
+    val reopened = IVFStore.open(spark, root)
+    assert(reopened.defaultNprobe === 4)
+    // the no-argument probe really uses it (== an explicit nprobe=4 probe)
+    assert(ids(reopened.topK(query, k = 10)) ===
+      ids(reopened.topK(query, k = 10, nprobe = 4)))
+  }
+
+  test("open() refuses a directory without _config, and a config/centroids mismatch") {
+    val err = intercept[IllegalArgumentException] {
+      IVFStore.open(spark, tempRoot())
+    }
+    assert(err.getMessage.contains("not an IVF store"))
+
+    // corrupt store: config says dim=3 but the centroids file holds dim=4
+    val index = IVF.train(embs, c = 8, iters = 0)
+    val root = tempRoot()
+    IVFStore.create(spark, root, index, defaultNprobe = 2)
+    // overwrite through the Hadoop FS handle — a raw java.nio write would
+    // leave the local ChecksumFileSystem's stale ._config.crc sidecar
+    // behind and the reopen would die on ChecksumException instead
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_config"), true)
+    out.write("dim=3;cells=8;metric=cosine;defaultNprobe=2".getBytes("UTF-8"))
+    out.close()
+    val mismatch = intercept[IllegalArgumentException] {
+      IVFStore.open(spark, root)
+    }
+    assert(mismatch.getMessage.contains("corrupt or mixed"))
+  }
+
+  test("append fails loudly on a wrong-dimension vector (else silently unretrievable)") {
+    import spark.implicits._
+    val index = IVF.train(embs, c = 8, iters = 0)
+    val st = IVFStore.create(spark, tempRoot(), index)
+    val wrongDim = Seq((900000L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] { st.append(wrongDim) }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+    assert(chain(err).exists(_.contains("batch row has dim=")), chain(err).mkString("\n"))
+    // null vectors still drop silently per the IVF.assign contract; a batch
+    // that drops to ZERO rows must be a no-op generation, not a committed
+    // zero-file dir that poisons later reads with schema-inference failure
+    st.append(embs.filter(col("vec_id") === 0))
+    assert(st.committedGens() === Seq(0))
+    val withNull = Seq((900001L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    st.append(withNull)
+    assert(st.committedGens() === Seq(0))
+    assert(st.cells().count() === 1)
+  }
 }

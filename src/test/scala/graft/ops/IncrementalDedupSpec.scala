@@ -31,6 +31,17 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(st.committedGens() === Seq(0, 1))
   }
 
+  test("empty-batch append (empty micro-batch / all-short texts) leaves the store readable") {
+    val st = IncrementalDedup.store(spark, tempRoot())
+    st.append(testdataDocs.filter(col("doc_id") < 50))
+    val before = candSet(st.candidates(0.25))
+    // a batch that sketches to zero rows (here: filtered to nothing; in
+    // production an empty micro-batch or texts below the shingle length)
+    st.append(testdataDocs.filter(lit(false)))
+    assert(candSet(st.candidates(0.25)) === before)
+    assert(st.sigs().count() === st.sigs().dropDuplicates("doc_id").count())
+  }
+
   test("three appends: multi-generation latest-wins == full recompute (testdata)") {
     val st = IncrementalDedup.store(spark, tempRoot())
     (0 to 2).foreach(r => st.append(testdataDocs.filter(pmod(col("doc_id"), lit(3)) === r)))
