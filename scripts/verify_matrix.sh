@@ -169,6 +169,17 @@ cell_delete_heavy() { # r13 open thread: tombstone mask join at volume —
   fi
 }
 
+cell_store_soak() { # generation-ledger boundedness: 60 streamed gens,
+                    # compact each wave; the tool self-asserts post-compact
+                    # file count flat, reads restored, keys surviving folds
+  local log; log=$(mktemp /tmp/matrix_storesoak.XXXX.log)
+  if scripts/run_main.sh graft.tools.StoreSoak >"$log" 2>&1; then
+    record store_soak default PASS "$(grep -o 'PASS.*' "$log" | tail -1)"
+  else
+    record store_soak default FAIL "see $log"
+  fi
+}
+
 cell_scale2_fd() {
   local log; log=$(mktemp /tmp/matrix_s2.XXXX.log)
   python3 scripts/scale_smoke.py "$SF1" /tmp/mx_scale2_data 2 >"$log" 2>&1 || {
@@ -186,7 +197,7 @@ cell_scale8_fd() { # the heavy one: dedup_corpus's oracle replay dominates
 QUICK=(base_sf0001 fd_sf0001 specs)
 DEFAULT=("${QUICK[@]}" base_sf001 fd_sf001 rocksdb spill aqe_off parts5 parts101
          local3 fuzz skew_fuzz rocksdb_spill_skew crash_restart_rocksdb
-         delete_heavy)
+         delete_heavy store_soak)
 FULL=("${DEFAULT[@]}" scale2_fd scale8_fd)
 
 MODE="${1:-quick}"

@@ -127,6 +127,30 @@ object QueryCatalogR13 {
       },
       Some(QueryCatalog.minhashCandidatesSqlOver("doc_id % 7 <> 3"))),
 
+    // Takedown TRAFFIC, not a takedown: two interleaved tombstone
+    // generations followed by a resurrect append (latest event wins), no
+    // compact — every read pays the latest-event-wins mask join across
+    // the whole ledger, the shape tools/TombstoneStress drives at volume
+    // (the stress tool runs FIVE tombstone gens at 44% deleted; this
+    // entry keeps the bench-resident version to the minimal multi-gen
+    // shape). Dead = deleted by either slice AND not re-appended.
+    // Oracle: the full-recompute SQL over exactly the survivors.
+    CatalogEntry("dedup_incremental_takedowns",
+      (s, d) => withTempStore { root =>
+        val dd = docs(s, d)
+        val st = IncrementalDedup.store(s, root)
+        st.append(dd.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+        st.append(dd.filter(pmod(col("doc_id"), lit(5)) === 0))
+        st.delete(dd.filter(pmod(col("doc_id"), lit(9)) === 1).select("doc_id"))
+        st.delete(dd.filter(pmod(col("doc_id"), lit(11)) === 7).select("doc_id"))
+        st.append(dd.filter(
+          pmod(col("doc_id"), lit(9)) === 1 && pmod(col("doc_id"), lit(2)) === 0))
+        st.candidates(minEstJaccard = 0.25)
+      },
+      Some(QueryCatalog.minhashCandidatesSqlOver(
+        "NOT ((doc_id % 9 = 1 OR doc_id % 11 = 7)" +
+          " AND NOT (doc_id % 9 = 1 AND doc_id % 2 = 0))"))),
+
     // The production ingest wiring: a Structured Streaming file-drop
     // query (one micro-batch per inbox file) appends each batch into the
     // persisted signature store via foreachBatch, keyed by micro-batch id
@@ -199,6 +223,34 @@ object QueryCatalogR13 {
           .withColumn("score", round(col("score"), 9))
       },
       Some(QueryCatalog.knnIvfSqlOver("NOT (vec_id % 10 = 7 AND vec_id >= 16)"))),
+
+    // The ANN takedown-traffic twin: two tombstone generations then a
+    // resurrect append, no compact — the probe must mask with
+    // latest-event-wins across the ledger while keeping its cell
+    // partition pruning below the mask join. Delete slices avoid
+    // vec_id < 16 so the frozen first-16-by-id centroid init equals the
+    // oracle's survivor-derived init. Oracle: knn_ivf's SQL over the
+    // survivors (dead = deleted by either slice and not re-appended).
+    CatalogEntry("knn_ivf_incremental_takedowns",
+      (s, d) => withTempStore { root =>
+        val e = QueryCatalog.embs(s, d)
+        val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+        val t = (maxId + 1L) * 4L / 5L
+        val index = IncrementalAnnIndex.trainBase(e, t)
+        val st = ops.IVFStore.create(s, root, index)
+        st.append(e.filter(col("vec_id") < t))
+        st.append(e.filter(col("vec_id") >= t))
+        def slice(m: Int, r: Int) =
+          pmod(col("vec_id"), lit(m)) === r && col("vec_id") >= 16
+        st.delete(e.filter(slice(9, 2)).select("vec_id"))
+        st.delete(e.filter(slice(10, 7)).select("vec_id"))
+        st.append(e.filter(slice(9, 2) && pmod(col("vec_id"), lit(2)) === 0))
+        st.topK(QueryCatalog.queryVec(s, d), k = 20, nprobe = 4)
+          .withColumn("score", round(col("score"), 9))
+      },
+      Some(QueryCatalog.knnIvfSqlOver(
+        "NOT (vec_id >= 16 AND (vec_id % 9 = 2 OR vec_id % 10 = 7)" +
+          " AND NOT (vec_id % 9 = 2 AND vec_id % 2 = 0))"))),
 
     // The ANN twin of dedup_incremental_stream: embeddings stream into a
     // pre-created IVF store (offline-trained frozen centroids — the
