@@ -2,7 +2,8 @@
 # Run a graft main class directly on the compiled classes (no sbt lock):
 #   scripts/run_main.sh graft.tools.ExplainAll [args...]
 # Mirrors build.sbt's forked-JVM options (JDK17 add-opens, UTC, codegen
-# cache). Compile first with `sbt compile`.
+# cache). Compile first with `sbt Test/compile` (NOT bare `compile` — see
+# the guard below).
 # GRAFT_CLASSES overrides the classes dir — long background sweeps should
 # run on a frozen snapshot (cp -r target/scala-2.13/classes /tmp/snap) so a
 # concurrent `sbt compile` can't swap class files under their lazy-loading

@@ -105,6 +105,10 @@ object IVFStore {
     val kv = cfg.split(";").map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     require(kv.get("metric").contains("cosine"),
       s"IVF store at $path uses metric=${kv.getOrElse("metric", "?")}; this build supports cosine")
+    val nprobe = kv.get("defaultNprobe").flatMap(_.toIntOption).getOrElse(
+      throw new IllegalArgumentException(
+        s"IVF store at $path: _config has no numeric defaultNprobe " +
+          s"([${cfg}]) — store is corrupt or from an incompatible writer"))
     val rows = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
     require(rows.nonEmpty, s"no centroids at $path — not an IVF store")
@@ -117,67 +121,34 @@ object IVFStore {
       s"IVF store at $path: _config says dim=${kv.getOrElse("dim", "?")}/" +
         s"cells=${kv.getOrElse("cells", "?")} but the centroids file holds " +
         s"dim=${index.dim}/cells=${centroids.size} — store is corrupt or mixed")
-    new Store(spark, path, index, kv("defaultNprobe").toInt)
+    // the same [1, cells] contract create() enforces — nprobe=0 would make
+    // every default probe silently return 0 rows instead of failing loudly
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"IVF store at $path: _config defaultNprobe=$nprobe outside [1, ${centroids.size}]")
+    new Store(spark, path, index, nprobe)
   }
 
   final class Store(spark: SparkSession, root: String, val index: IVF.Index,
       val defaultNprobe: Int = 2) {
 
-    private def fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    private def commitDir = new org.apache.hadoop.fs.Path(root, "_commits")
-    private def tombstoneDir = new org.apache.hadoop.fs.Path(root, "_tombstones")
-    private def compactionDir = new org.apache.hadoop.fs.Path(root, "_compactions")
-    private def marker(gen: Int) = new org.apache.hadoop.fs.Path(commitDir, s"gen=$gen")
-    private def tombstoneMarker(gen: Int) =
-      new org.apache.hadoop.fs.Path(tombstoneDir, s"gen=$gen")
-    private def compactionMarker(gen: Int) =
-      new org.apache.hadoop.fs.Path(compactionDir, s"gen=$gen")
-
-    private def markerGens(dir: org.apache.hadoop.fs.Path): Seq[Int] = {
-      if (!fs.exists(dir)) return Seq.empty
-      fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toInt }
-        .sorted
-    }
+    // marker protocol single-sourced with IncrementalDedup.SignatureStore
+    private val ledger = new graft.meta.GenLedger(spark, root)
+    private def fs = ledger.fs
 
     /** Committed generations, ascending; a committed compaction supersedes
-      * everything below it (see [[IncrementalDedup]] — the fold's commit
-      * point is the marker, not the cleanup).
+      * everything below it (see [[graft.meta.GenLedger.committedGens]]).
       */
-    def committedGens(): Seq[Int] = {
-      val committed = markerGens(commitDir)
-      val floor = markerGens(compactionDir).filter(committed.contains)
-        .sorted.lastOption.getOrElse(Int.MinValue)
-      committed.filter(_ >= floor)
-    }
+    def committedGens(): Seq[Int] = ledger.committedGens()
 
     /** Committed TOMBSTONE generations, ascending. */
-    def deleteGens(): Seq[Int] = {
-      val committed = committedGens().toSet
-      markerGens(tombstoneDir).filter(committed)
-    }
+    def deleteGens(): Seq[Int] = ledger.deleteGens()
 
-    /** Keys of every idempotent mutation already committed — stored as
-      * the commit markers' contents, so "committed" and "key recorded"
-      * land in the SAME file create and cannot tear apart (the
-      * [[IncrementalDedup.SignatureStore.appliedKeys]] contract applied
-      * to the ANN store; [[compact]] folds keys into its own marker so
-      * dedup survives compaction).
+    /** Keys of every idempotent mutation already committed — stored as the
+      * commit markers' contents, published atomically with the commit
+      * itself (see [[graft.meta.GenLedger]]); [[compact]] folds keys into
+      * its own marker so dedup survives compaction.
       */
-    def appliedKeys(): Set[String] =
-      committedGens().flatMap { g =>
-        val in = fs.open(marker(g))
-        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        content.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-      }.toSet
-
-    private def commitMarker(gen: Int, keys: Iterable[String]): Unit = {
-      fs.mkdirs(commitDir)
-      val out = fs.create(marker(gen), true)
-      try out.write(keys.mkString("\n").getBytes("UTF-8")) finally out.close()
-    }
+    def appliedKeys(): Set[String] = ledger.appliedKeys()
 
     /** Assign ONLY the batch's vectors to cells and commit them as a new
       * generation of cell-partitioned parquet. Null vectors drop (the
@@ -191,7 +162,7 @@ object IVFStore {
     def append(embs: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
         crashBeforeCommit: Boolean = false,
         idempotencyKey: Option[String] = None): Unit = {
-      if (idempotencyKey.exists(appliedKeys().contains)) return
+      if (ledger.alreadyApplied(idempotencyKey)) return
       val prior = committedGens()
       val gen = if (prior.isEmpty) 0 else prior.max + 1
       val guarded = embs.withColumn(vecCol,
@@ -225,11 +196,7 @@ object IVFStore {
         return
       }
       if (crashBeforeCommit) return
-      // a crashed delete()/compact() at this number may have left a kind
-      // marker; clear both or this append would read as one
-      fs.delete(tombstoneMarker(gen), false)
-      fs.delete(compactionMarker(gen), false)
-      commitMarker(gen, idempotencyKey.toSeq)
+      ledger.commitAppend(gen, idempotencyKey)
     }
 
     /** Delete vectors from the index (takedown / opt-out). Commits a
@@ -239,21 +206,14 @@ object IVFStore {
     def delete(ids: DataFrame, idCol: String = "vec_id",
         crashBeforeCommit: Boolean = false,
         idempotencyKey: Option[String] = None): Unit = {
-      if (idempotencyKey.exists(appliedKeys().contains)) return
+      if (ledger.alreadyApplied(idempotencyKey)) return
       val prior = committedGens()
       require(prior.nonEmpty, s"IVF store at $root has no committed generation yet")
       val gen = prior.max + 1
       ids.select(col(idCol).as("vec_id")).distinct()
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/gen=$gen/deletes")
       if (crashBeforeCommit) return
-      // kind marker FIRST, commit marker LAST: a torn delete is wholly
-      // invisible, never a committed delete whose tombstones are missed.
-      // Clear an orphaned compaction marker (crashed compact()) — a
-      // committed gen carrying both kinds would truncate the store.
-      fs.delete(compactionMarker(gen), false)
-      fs.mkdirs(tombstoneDir)
-      fs.create(tombstoneMarker(gen), true).close()
-      commitMarker(gen, idempotencyKey.toSeq)
+      ledger.commitDelete(gen, idempotencyKey)
     }
 
     /** All LIVE assignments (union of committed generation deltas minus
@@ -298,21 +258,26 @@ object IVFStore {
       if (gens.size <= 1) return
       val gen = gens.max + 1
       val keys = appliedKeys() // survive the fold — idempotence outlives it
-      cells()
-        .repartition(col("cell"))
-        .write.mode(SaveMode.Overwrite).partitionBy("cell")
-        .parquet(s"$root/gen=$gen/cells")
-      fs.delete(tombstoneMarker(gen), false)
-      fs.mkdirs(compactionDir)
-      fs.create(compactionMarker(gen), true).close()
-      commitMarker(gen, keys)
-      (markerGens(commitDir) ++ markerGens(tombstoneDir) ++
-        markerGens(compactionDir)).distinct.filter(_ < gen).foreach { g =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"gen=$g"), true)
-        fs.delete(marker(g), false)
-        fs.delete(tombstoneMarker(g), false)
-        fs.delete(compactionMarker(g), false)
-      }
+      val live = cells().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        live
+          .repartition(col("cell"))
+          .write.mode(SaveMode.Overwrite).partitionBy("cell")
+          .parquet(s"$root/gen=$gen/cells")
+        // a store whose every vector was deleted folds to ZERO rows, and a
+        // dynamic-partition write of an empty frame creates a dir with no
+        // part files — committing that would poison every later read with
+        // schema-inference failure (the same hazard append() guards; here
+        // the fold must still commit, because its purpose is to erase the
+        // tombstones). Re-write the empty frame unpartitioned: one
+        // schema-bearing file, `cell` kept as a normal column, unioned
+        // reads and (vacuous) pruning unaffected.
+        if (live.isEmpty) {
+          live.coalesce(1).write.mode(SaveMode.Overwrite)
+            .parquet(s"$root/gen=$gen/cells")
+        }
+        ledger.commitCompaction(gen, keys)
+      } finally live.unpersist()
     }
 
     /** ANN top-k over the whole stored corpus: probe the `nprobe` cells

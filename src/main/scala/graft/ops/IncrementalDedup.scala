@@ -193,26 +193,13 @@ object IncrementalDedup {
     */
   final class SignatureStore(spark: SparkSession, root: String, val cfg: Config) {
 
-    private def fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    private def commitDir = new org.apache.hadoop.fs.Path(root, "_commits")
-    private def tombstoneDir = new org.apache.hadoop.fs.Path(root, "_tombstones")
+    // marker protocol (commit/tombstone/compaction markers, applied-key
+    // record, atomic publication, superseded-generation sweep) lives in
+    // the shared ledger — single-sourced with IVFStore
+    private val ledger = new graft.meta.GenLedger(spark, root)
+    private def fs = ledger.fs
     private def genPath(gen: Int, part: String) =
       new org.apache.hadoop.fs.Path(root, s"gen=$gen/$part").toString
-    private def marker(gen: Int) = new org.apache.hadoop.fs.Path(commitDir, s"gen=$gen")
-    private def tombstoneMarker(gen: Int) =
-      new org.apache.hadoop.fs.Path(tombstoneDir, s"gen=$gen")
-    private def compactionDir = new org.apache.hadoop.fs.Path(root, "_compactions")
-    private def compactionMarker(gen: Int) =
-      new org.apache.hadoop.fs.Path(compactionDir, s"gen=$gen")
-
-    private def markerGens(dir: org.apache.hadoop.fs.Path): Seq[Int] = {
-      if (!fs.exists(dir)) return Seq.empty
-      fs.listStatus(dir).toSeq
-        .map(_.getPath.getName)
-        .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toInt }
-        .sorted
-    }
 
     private def configPath = new org.apache.hadoop.fs.Path(root, "_config")
     private def configLine =
@@ -239,24 +226,13 @@ object IncrementalDedup {
 
     /** Committed generation numbers, ascending (markers only — an
       * uncommitted `gen=N` data directory is invisible). A committed
-      * COMPACTION generation supersedes everything below it: readers drop
-      * those generations even if [[compact]]'s cleanup was interrupted, so
-      * the fold's commit point is the marker, not the deletions.
+      * COMPACTION generation supersedes everything below it — see
+      * [[graft.meta.GenLedger.committedGens]].
       */
-    def committedGens(): Seq[Int] = {
-      val committed = markerGens(commitDir)
-      val floor = markerGens(compactionDir).filter(committed.contains)
-        .sorted.lastOption.getOrElse(Int.MinValue)
-      committed.filter(_ >= floor)
-    }
+    def committedGens(): Seq[Int] = ledger.committedGens()
 
-    /** Committed TOMBSTONE generations, ascending (the kind marker alone
-      * is not enough — a torn delete leaves it without a commit marker).
-      */
-    def deleteGens(): Seq[Int] = {
-      val committed = committedGens().toSet
-      markerGens(tombstoneDir).filter(committed)
-    }
+    /** Committed TOMBSTONE generations, ascending. */
+    def deleteGens(): Seq[Int] = ledger.deleteGens()
 
     private def readPart(gens: Seq[Int], part: String): DataFrame = {
       require(gens.nonEmpty, s"signature store at $root has no committed generation yet")
@@ -322,24 +298,11 @@ object IncrementalDedup {
     }
 
     /** Keys of every idempotent mutation already committed (stored as the
-      * commit markers' contents — the key lands in the SAME file create as
-      * the commit, so "committed" and "key recorded" cannot tear apart).
-      * [[compact]] folds the keys into its own marker, so dedup survives
-      * compaction.
+      * commit markers' contents, published atomically — see
+      * [[graft.meta.GenLedger]]). [[compact]] folds the keys into its own
+      * marker, so dedup survives compaction.
       */
-    def appliedKeys(): Set[String] =
-      committedGens().flatMap { g =>
-        val in = fs.open(marker(g))
-        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        content.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-      }.toSet
-
-    private def commitMarker(gen: Int, keys: Iterable[String]): Unit = {
-      fs.mkdirs(commitDir)
-      val out = fs.create(marker(gen), true)
-      try out.write(keys.mkString("\n").getBytes("UTF-8")) finally out.close()
-    }
+    def appliedKeys(): Set[String] = ledger.appliedKeys()
 
     /** Append one batch of new documents (first call on an empty store =
       * initial load). Re-sketches ONLY the batch, recomputes pairs ONLY for
@@ -357,7 +320,7 @@ object IncrementalDedup {
         crashBeforeCommit: Boolean = false,
         idempotencyKey: Option[String] = None): Unit = {
       assertOrPersistConfig()
-      if (idempotencyKey.exists(appliedKeys().contains)) return
+      if (ledger.alreadyApplied(idempotencyKey)) return
       val prior = committedGens()
       val gen = if (prior.isEmpty) 0 else prior.max + 1
       val newSigs = sketch(batch, cfg, textCol, idCol)
@@ -384,11 +347,7 @@ object IncrementalDedup {
         touched.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
         newPairs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
         if (crashBeforeCommit) return
-        // a crashed delete()/compact() at this generation may have left
-        // its kind marker; clear both or this append would read as one
-        fs.delete(tombstoneMarker(gen), false)
-        fs.delete(compactionMarker(gen), false)
-        commitMarker(gen, idempotencyKey.toSeq)
+        ledger.commitAppend(gen, idempotencyKey)
       } finally {
         touched.unpersist()
         newBands.unpersist()
@@ -409,7 +368,7 @@ object IncrementalDedup {
         crashBeforeCommit: Boolean = false,
         idempotencyKey: Option[String] = None): Unit = {
       assertOrPersistConfig()
-      if (idempotencyKey.exists(appliedKeys().contains)) return
+      if (ledger.alreadyApplied(idempotencyKey)) return
       val prior = committedGens()
       require(prior.nonEmpty, s"signature store at $root has no committed generation yet")
       val gen = prior.max + 1
@@ -445,15 +404,7 @@ object IncrementalDedup {
         touched.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
         newPairs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
         if (crashBeforeCommit) return
-        // kind marker FIRST, commit marker LAST: a crash between them
-        // leaves the generation uncommitted (invisible), never a committed
-        // delete whose tombstones would be missed. Clear any orphaned
-        // compaction marker from a crashed compact() at this number — a
-        // committed gen carrying both kinds would truncate the store.
-        fs.delete(compactionMarker(gen), false)
-        fs.mkdirs(tombstoneDir)
-        fs.create(tombstoneMarker(gen), true).close()
-        commitMarker(gen, idempotencyKey.toSeq)
+        ledger.commitDelete(gen, idempotencyKey)
       } finally {
         touchedHandle.foreach(_.unpersist())
         del.unpersist()
@@ -520,23 +471,9 @@ object IncrementalDedup {
       b.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "bands"))
       touchedAll.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
       p.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
-      // orphan tombstone marker at this number (crashed delete()) would
-      // make the committed fold read as a truncating tombstone — clear it
-      fs.delete(tombstoneMarker(gen), false)
-      // compaction kind marker FIRST, commit marker LAST (the commit IS
-      // the fold — committedGens() then ignores everything below, so the
-      // cleanup is lazy-safe), then sweep superseded generations,
-      // including strays a crashed earlier cleanup left behind
-      fs.mkdirs(compactionDir)
-      fs.create(compactionMarker(gen), true).close()
-      commitMarker(gen, keys)
-      (markerGens(commitDir) ++ markerGens(tombstoneDir) ++
-        markerGens(compactionDir)).distinct.filter(_ < gen).foreach { g =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"gen=$g"), true)
-        fs.delete(marker(g), false)
-        fs.delete(tombstoneMarker(g), false)
-        fs.delete(compactionMarker(g), false)
-      }
+      // the commit IS the fold: committedGens() then ignores everything
+      // below, so the superseded-generation sweep is lazy-safe
+      ledger.commitCompaction(gen, keys)
     }
   }
 }

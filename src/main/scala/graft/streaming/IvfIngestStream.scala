@@ -46,6 +46,11 @@ object IvfIngestStream {
       storeRoot: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 1,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // open ONCE, outside the batch loop: the centroids are frozen at
+    // create() by design, and open() collects them with a Spark job —
+    // per-batch reopening would pay O(backlog-files) redundant jobs.
+    // foreachBatch runs on the driver, so capturing the handle is safe.
+    val store = IVFStore.open(spark, storeRoot)
     val embs = spark.readStream
       .schema(inboxSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -56,8 +61,7 @@ object IvfIngestStream {
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        IVFStore.open(batch.sparkSession, storeRoot)
-          .append(batch.toDF(), idempotencyKey = Some(s"microbatch=$batchId"))
+        store.append(batch.toDF(), idempotencyKey = Some(s"microbatch=$batchId"))
       }
       .start()
   }

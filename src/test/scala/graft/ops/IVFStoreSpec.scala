@@ -155,6 +155,42 @@ class IVFStoreSpec extends SparkSpec {
     assert(mismatch.getMessage.contains("corrupt or mixed"))
   }
 
+  test("deleting EVERY vector then compacting leaves a readable empty store") {
+    val index = IVF.train(embs, c = 8, iters = 0)
+    val st = IVFStore.create(spark, tempRoot(), index)
+    val live = embs.filter(col("vec_id") < 100 && col("embedding").isNotNull)
+    st.append(live)
+    st.delete(live.select("vec_id"))
+    // the fold is ZERO rows — before the fix this committed a zero-file
+    // dynamic-partition dir and every later read died on schema inference
+    st.compact()
+    assert(st.committedGens().size === 1)
+    assert(st.deleteGens() === Seq.empty)
+    assert(st.cells().count() === 0)
+    assert(st.topK(query, k = 5).collect().isEmpty)
+    // and the store remains writable: life continues after total takedown
+    st.append(live.filter(col("vec_id") < 10))
+    assert(st.cells().count() === live.filter(col("vec_id") < 10).count())
+    assert(ids(st.topK(query, k = 5)).nonEmpty)
+  }
+
+  test("a stray tmp_ marker (torn commit publication) is invisible to the ledger") {
+    val index = IVF.train(embs, c = 8, iters = 0)
+    val root = tempRoot()
+    val st = IVFStore.create(spark, root, index)
+    st.append(embs.filter(col("vec_id") < 100))
+    val before = st.committedGens()
+    // simulate a crash mid-publication: the key bytes landed in the tmp
+    // sibling but the rename never ran — the generation must stay
+    // uncommitted (markers become visible only via the atomic rename)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_commits/tmp_gen=99"), true)
+    out.write("microbatch=99".getBytes("UTF-8")); out.close()
+    assert(st.committedGens() === before)
+    assert(!st.appliedKeys().contains("microbatch=99"))
+  }
+
   test("append fails loudly on a wrong-dimension vector (else silently unretrievable)") {
     import spark.implicits._
     val index = IVF.train(embs, c = 8, iters = 0)

@@ -42,6 +42,23 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(st.sigs().count() === st.sigs().dropDuplicates("doc_id").count())
   }
 
+  test("deleting EVERY document then compacting leaves a readable empty store") {
+    val st = IncrementalDedup.store(spark, tempRoot())
+    val slice = testdataDocs.filter(col("doc_id") < 100)
+    st.append(slice)
+    st.delete(slice.select("doc_id"))
+    st.compact()
+    assert(st.committedGens().size === 1)
+    assert(st.deleteGens().isEmpty)
+    assert(st.sigs().count() === 0)
+    assert(st.candidates(0.0).collect().isEmpty)
+    // the store remains writable after total takedown
+    st.append(slice.filter(col("doc_id") < 50))
+    val fresh = IncrementalDedup.store(spark, tempRoot())
+    fresh.append(slice.filter(col("doc_id") < 50))
+    assert(st.sigs().count() === fresh.sigs().count())
+  }
+
   test("three appends: multi-generation latest-wins == full recompute (testdata)") {
     val st = IncrementalDedup.store(spark, tempRoot())
     (0 to 2).foreach(r => st.append(testdataDocs.filter(pmod(col("doc_id"), lit(3)) === r)))
