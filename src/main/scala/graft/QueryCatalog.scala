@@ -3672,7 +3672,8 @@ object QueryCatalog {
         |FROM f WHERE frame_idx % 2 = 0""".stripMargin)),
   )
 
-  def all: Seq[CatalogEntry] = parity ++ extensions ++ QueryCatalogR7.entries ++ QueryCatalogR13.entries
+  def all: Seq[CatalogEntry] = parity ++ extensions ++ QueryCatalogR7.entries ++
+    QueryCatalogR13.entries ++ QueryCatalogR14.entries
 
   /** Entries that execute a Structured Streaming query (micro-batches +
     * state stores), as opposed to batch plans. The bench isolates these in
@@ -3690,4 +3691,21 @@ object QueryCatalog {
     // in the isolated streaming chunk so any future provider load cannot
     // bleed into batch neighbors
     "dedup_incremental_stream", "knn_ivf_incremental_stream")
+
+  /** Batch entries that build PERSISTED stores under temp directories
+    * (generation-delta parquet churn, multi-append/tombstone fold jobs,
+    * driver-side FS traffic). The bench isolates these in their own
+    * chunk-with-fresh-JVM, like [[streamingNames]]: the r13 run mixed them
+    * into the shared batch chunks and the 200 untouched queries drifted
+    * ~1.16× calib-normalized with no code diff — store-entry JVM litter
+    * (tempdir write jobs, persisted frames, GC pressure) is the prime
+    * suspect the r13 verdict ordered adjudicated (item 2). Membership is
+    * spec-pinned (QueryCatalogSpec).
+    */
+  val storeBuildNames: Set[String] = Set(
+    "dedup_incremental", "dedup_incremental_multi", "dedup_incremental_verified",
+    "dedup_incremental_corpus", "dedup_incremental_delete",
+    "dedup_incremental_takedowns", "dedup_incremental_bucketed",
+    "knn_ivf_incremental", "knn_ivf_incremental_delete",
+    "knn_ivf_incremental_takedowns", "knn_ivf_retrain_swap")
 }

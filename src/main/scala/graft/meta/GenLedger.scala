@@ -1,5 +1,8 @@
 package graft.meta
 
+import java.io.{FileNotFoundException, IOException}
+import java.util.concurrent.{Executors, ScheduledExecutorService, ScheduledFuture, TimeUnit}
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
@@ -27,11 +30,47 @@ import org.apache.spark.sql.SparkSession
   * filesystems this targets (HDFS, local; object stores with atomic
   * rename semantics for single objects).
   *
+  * == Writer lease ==
+  *
+  * The stores are single-writer BY PROTOCOL: every mutation computes its
+  * generation as `max(committed) + 1`, so two concurrent writers mint the
+  * same number and whichever commit lands second attaches its marker to the
+  * other's data (silent latest-wins corruption). Until r13 that contract
+  * was a scaladoc sentence; [[withWriterLock]] makes it enforced. The lock
+  * is a create-if-absent `_lock` file (atomic on HDFS and the local FS —
+  * the same class of primitive the reference's staging table uses for
+  * mutual visibility, /root/reference/src/main/transformations/main.py:56-75
+  * where leftover 'A' rows abort a second run):
+  *
+  *  - acquire = `fs.create(_lock, overwrite = false)`; a live second writer
+  *    FAILS LOUDLY with the holder's identity instead of corrupting;
+  *  - a heartbeat thread refreshes the lock's mtime every `staleMs / 3`
+  *    while the mutation runs, so a healthy long mutation is never poached;
+  *  - a lock whose mtime is older than `staleMs` (default 10 min, conf
+  *    `spark.graft.store.lockStaleMs`) is a crashed writer; takeover CLAIMS
+  *    it by renaming it aside (rename is the arbiter — exactly one of N
+  *    racing reclaimers succeeds, eliminating the delete/delete race where
+  *    two contenders each think they reclaimed) and then re-runs the
+  *    create-if-absent acquire.
+  *
+  * == Empty mutations ==
+  *
+  * Shared policy (both stores, all mutation kinds): a mutation that carries
+  * ZERO rows commits NOTHING and records NO idempotency key — union with ∅
+  * changes no read, an empty tombstone would force the latest-event mask
+  * join onto every read for nothing, and a replay of the same empty batch
+  * lands here again as the same no-op. The policy lives here because r13
+  * shipped it asymmetrically (guarded in IVF append, an accidental
+  * committed-but-harmless generation in the dedup twin) and the next store
+  * variant must not be able to reintroduce the partitioned-empty-write
+  * hazard ([[hasDataFiles]] is the partitioned-write detector half).
+  *
   * Layout under `root`:
   * {{{
   *   _commits/gen=N       committed generations (content: idempotency keys)
   *   _tombstones/gen=N    kind marker: gen N is a DELETE
   *   _compactions/gen=N   kind marker: gen N is a compaction fold
+  *   _lock                writer lease (content: holder id, mtime: heartbeat)
   * }}}
   */
 private[graft] final class GenLedger(spark: SparkSession, root: String) {
@@ -72,17 +111,35 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     markerGens(tombstoneDir).filter(committed)
   }
 
+  private def keysOf(gen: Int): Seq[String] = {
+    val in = fs.open(marker(gen))
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   /** Keys of every idempotent mutation already committed (the commit
     * markers' contents — see the class scaladoc for why key and commit
     * cannot tear apart).
     */
   def appliedKeys(): Set[String] =
-    committedGens().flatMap { g =>
-      val in = fs.open(marker(g))
-      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      content.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-    }.toSet
+    committedGens().flatMap(keysOf).toSet
+
+  /** The keys a compaction should fold forward: those recorded by the
+    * newest `retention` committed generations. Without a horizon the
+    * compaction marker accretes every key EVER (one per micro-batch at
+    * streaming cadence), and each later mutation re-parses the whole set —
+    * O(total-batches-ever) per append, forever (ADVICE r13). Replays only
+    * arrive from the driver's most recent checkpoint window (Structured
+    * Streaming re-offers at most the trailing uncommitted micro-batches),
+    * so keys older than `retention` generations can never be re-presented
+    * and expire safely — same shape as a transaction ledger's idempotency
+    * retention window.
+    */
+  def foldedKeys(retention: Int): Set[String] = {
+    require(retention >= 1, s"key retention must be >= 1 (got $retention)")
+    committedGens().takeRight(retention).flatMap(keysOf).toSet
+  }
 
   def alreadyApplied(key: Option[String]): Boolean =
     key.exists(appliedKeys().contains)
@@ -141,4 +198,163 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
       fs.delete(compactionMarker(g), false)
     }
   }
+
+  /** True iff `dir` holds at least one real data file (not a `_SUCCESS` /
+    * metadata sibling). The partitioned-empty-write detector: a dynamic
+    * `partitionBy` write of zero rows creates a directory with NO part
+    * files, and committing that generation poisons every later read with
+    * schema-inference failure — see the Empty mutations policy above.
+    */
+  def hasDataFiles(dir: Path): Boolean = {
+    if (!fs.exists(dir)) return false
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".")) return true
+    }
+    false
+  }
+
+  /** Observability snapshot for compaction policy (r13 verdict item 6): a
+    * deployment watches `generations` / `tombstoneGens` / `dataFiles` climb
+    * between folds and `maskJoinActive` flip on after a takedown, and
+    * schedules [[commitCompaction]]-backed folds from the numbers instead
+    * of a blind cadence. Driver-side listing only — no Spark job.
+    */
+  def stats(): GenLedger.StoreStats = {
+    val gens = committedGens()
+    val dels = deleteGens()
+    var files = 0L; var bytes = 0L
+    gens.foreach { g =>
+      val dir = new Path(root, s"gen=$g")
+      if (fs.exists(dir)) {
+        val it = fs.listFiles(dir, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile) { files += 1; bytes += f.getLen }
+        }
+      }
+    }
+    GenLedger.StoreStats(
+      generations = gens.size,
+      tombstoneGens = dels.size,
+      maskJoinActive = dels.nonEmpty,
+      dataFiles = files,
+      dataBytes = bytes,
+      appliedKeys = appliedKeys().size)
+  }
+
+  // ---- writer lease ------------------------------------------------------
+
+  private def lockPath = new Path(root, "_lock")
+
+  private def staleMs: Long =
+    spark.conf.getOption("spark.graft.store.lockStaleMs").map(_.toLong)
+      .getOrElse(GenLedger.DefaultLockStaleMs)
+
+  /** This process's identity, written into the lock so a refused second
+    * writer's error names who holds it.
+    */
+  private val holderId: String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown-host" }
+    s"$host pid=${ProcessHandle.current().pid()} ledger=${java.util.UUID.randomUUID()}"
+  }
+
+  private def tryCreateLock(): Boolean =
+    try {
+      val out = fs.create(lockPath, false)
+      try out.write(holderId.getBytes("UTF-8")) finally out.close()
+      true
+    } catch { case _: IOException => false } // exists (or raced) — not held by us
+
+  private def lockHolder(): String =
+    try {
+      val in = fs.open(lockPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } catch { case _: IOException => "<unreadable>" }
+
+  /** Run `body` holding the store's exclusive writer lease (see the class
+    * scaladoc). Throws [[GenLedger.ConcurrentWriterException]] when another
+    * LIVE writer holds it; a stale lock (heartbeat older than `staleMs`) is
+    * claimed by rename and taken over. The heartbeat keeps refreshing the
+    * lock's mtime while `body` runs, so staleness measures crashed writers,
+    * not slow ones.
+    */
+  def withWriterLock[T](body: => T): T = {
+    acquireLock()
+    var beat: Option[(ScheduledExecutorService, ScheduledFuture[_])] = None
+    try {
+      val exec = Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, s"graft-store-lease-heartbeat"); t.setDaemon(true); t
+      })
+      val period = math.max(staleMs / 3, 100L)
+      val task = exec.scheduleAtFixedRate(
+        () => try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+          catch { case _: IOException => () }, // next beat retries; staleMs >> period
+        period, period, TimeUnit.MILLISECONDS)
+      beat = Some((exec, task))
+      body
+    } finally {
+      beat.foreach { case (exec, task) => task.cancel(false); exec.shutdownNow() }
+      // release only OUR lock: if a pathological heartbeat outage let a
+      // reclaimer poach it mid-run, deleting here would free THEIR lease too
+      if (lockHolder() == holderId) fs.delete(lockPath, false)
+    }
+  }
+
+  private def acquireLock(): Unit = {
+    if (tryCreateLock()) return
+    val status = try Some(fs.getFileStatus(lockPath))
+      catch { case _: FileNotFoundException => None }
+    status match {
+      case None =>
+        // released between our create and the stat — one clean retry; a
+        // loss here is a genuinely concurrent acquirer, which is the error
+        if (!tryCreateLock())
+          throw new GenLedger.ConcurrentWriterException(
+            s"store at $root: writer lock contended (held by ${lockHolder()})")
+      case Some(st) =>
+        val age = System.currentTimeMillis() - st.getModificationTime
+        if (age <= staleMs)
+          throw new GenLedger.ConcurrentWriterException(
+            s"store at $root is locked by another writer [${lockHolder()}], " +
+              s"heartbeat ${age} ms ago (stale after $staleMs ms) — stores are " +
+              s"single-writer; stop the other mutation (e.g. an ingest stream) first")
+        // stale: CLAIM by rename — exactly one of N racing reclaimers wins
+        val claim = new Path(root, s"tmp_lock_reclaim_${java.util.UUID.randomUUID()}")
+        if (fs.rename(lockPath, claim)) fs.delete(claim, false)
+        if (!tryCreateLock())
+          throw new GenLedger.ConcurrentWriterException(
+            s"store at $root: lost the race for a stale writer lock to " +
+              s"[${lockHolder()}] — retry when it releases")
+    }
+  }
+}
+
+private[graft] object GenLedger {
+
+  /** A crashed writer's lock is reclaimable after this long without a
+    * heartbeat (override: `spark.graft.store.lockStaleMs`). Heartbeats fire
+    * every third of it, so ~3 consecutive beats must be lost before a
+    * healthy writer can be poached.
+    */
+  val DefaultLockStaleMs: Long = 10 * 60 * 1000L
+
+  /** Deployment-facing store snapshot — see [[GenLedger.stats]]. */
+  final case class StoreStats(
+      generations: Int,
+      tombstoneGens: Int,
+      maskJoinActive: Boolean,
+      dataFiles: Long,
+      dataBytes: Long,
+      appliedKeys: Int)
+
+  /** A second live writer was refused — the single-writer contract, now
+    * enforced instead of documented (r13 verdict item 1).
+    */
+  final class ConcurrentWriterException(msg: String)
+    extends IllegalStateException(msg)
 }

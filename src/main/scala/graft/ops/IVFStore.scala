@@ -98,7 +98,31 @@ object IVFStore {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cfgPath = new org.apache.hadoop.fs.Path(path, "_config")
-    require(fs.exists(cfgPath), s"no _config at $path — not an IVF store")
+    val centroidsExist = fs.exists(new org.apache.hadoop.fs.Path(path, "centroids"))
+    require(fs.exists(cfgPath) || centroidsExist,
+      s"no _config or centroids at $path — not an IVF store")
+    val rows = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
+    require(rows.nonEmpty, s"no centroids at $path — not an IVF store")
+    val centroids = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, ds) =>
+      ds.sortBy(_._2).map(_._3).toSeq
+    }
+    val index = IVF.Index(centroids)
+    if (!fs.exists(cfgPath)) {
+      // a store persisted by the r13 writer (centroids only, pre-_config):
+      // dim/cells derive from the centroids file itself, the defaults are
+      // the original calling conventions (cosine, nprobe=2), and the
+      // derived config is HEALED onto disk so the fallback runs once per
+      // store, not once per open (ADVICE r13: a hard _config requirement
+      // was a silent on-disk format break with no migration path)
+      val nprobe = math.min(2, centroids.size)
+      System.err.println(s"[ivf-store] $path has no _config (pre-r13 layout) — " +
+        s"deriving dim=${index.dim}/cells=${centroids.size}/defaultNprobe=$nprobe " +
+        "from the centroids file and healing _config")
+      val out = fs.create(cfgPath, true)
+      try out.write(configLine(index, nprobe).getBytes("UTF-8")) finally out.close()
+      return new Store(spark, path, index, nprobe)
+    }
     val in = fs.open(cfgPath)
     val cfg = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
@@ -109,13 +133,6 @@ object IVFStore {
       throw new IllegalArgumentException(
         s"IVF store at $path: _config has no numeric defaultNprobe " +
           s"([${cfg}]) — store is corrupt or from an incompatible writer"))
-    val rows = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
-    require(rows.nonEmpty, s"no centroids at $path — not an IVF store")
-    val centroids = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, ds) =>
-      ds.sortBy(_._2).map(_._3).toSeq
-    }
-    val index = IVF.Index(centroids)
     require(kv.get("cells").contains(centroids.size.toString) &&
         kv.get("dim").contains(index.dim.toString),
       s"IVF store at $path: _config says dim=${kv.getOrElse("dim", "?")}/" +
@@ -126,6 +143,100 @@ object IVFStore {
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"IVF store at $path: _config defaultNprobe=$nprobe outside [1, ${centroids.size}]")
     new Store(spark, path, index, nprobe)
+  }
+
+  // ---- versioned root: offline retrain + atomic swap (r13 verdict item 5)
+
+  /** Frozen centroids are standard IVF practice, but a long-lived
+    * deployment pairs them with an OFFLINE rebuild: train fresh centroids
+    * on the live corpus, build a brand-new store beside the old one, then
+    * atomically swap a pointer. The versioned layout is GenLedger's marker
+    * discipline applied to whole stores:
+    * {{{
+    *   root/v=N          a complete Store (centroids, _config, generations)
+    *   root/_versions/v=N  version marker — created LAST, current = max N
+    *   root/_lock        swap lease (same single-writer lease as stores)
+    * }}}
+    * Readers resolve `max(_versions)` at open; a crash mid-build leaves an
+    * orphan `v=N` directory with no marker (invisible, overwritten by the
+    * retry). [[retrainAndSwap]] keeps the OUTGOING version's directory so
+    * in-flight readers holding the old [[Store]] finish their queries on
+    * it; versions older than that are swept.
+    */
+  def createVersioned(spark: SparkSession, root: String, index: IVF.Index,
+      defaultNprobe: Int = 2): Store = {
+    val st = create(spark, s"$root/v=1", index, defaultNprobe)
+    publishVersion(spark, root, 1)
+    st
+  }
+
+  /** The active version number (max committed `_versions` marker). */
+  def currentVersion(spark: SparkSession, root: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(root, "_versions")
+    require(fs.exists(dir), s"no _versions at $root — not a versioned IVF store")
+    val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toInt }
+    require(vs.nonEmpty, s"no committed version at $root")
+    vs.max
+  }
+
+  /** Open the ACTIVE version of a versioned store. */
+  def openCurrent(spark: SparkSession, root: String): Store =
+    open(spark, s"$root/v=${currentVersion(spark, root)}")
+
+  private def publishVersion(spark: SparkSession, root: String, v: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_versions"))
+    fs.create(new org.apache.hadoop.fs.Path(root, s"_versions/v=$v"), true).close()
+  }
+
+  /** Rebuild the index offline and swap it in: train fresh centroids on
+    * the CURRENT live vectors (tombstones applied — a takedown-heavy store
+    * re-clusters on what actually remains), load them into a new version
+    * directory as one generation, then publish the version marker. The
+    * swap is atomic at the marker; old readers finish on the retained
+    * previous version; versions older than the outgoing one are swept.
+    * Runs under the versioned root's writer lease — two concurrent
+    * retrains would otherwise both mint `v = current + 1`. The lease
+    * covers the ROOT, not the outgoing store: an ingest stream still
+    * appending to the old version races the rebuild's read, and
+    * generations it commits after the rebuild has read `cells()` are NOT
+    * carried into the new version — pause ingest across a swap (the old
+    * store's own lease makes a racing append loud only while the
+    * rebuild's jobs hold it; the gap is the contract, not the lock).
+    *
+    * Post-swap contract (spec-pinned, and oracle-checked by the
+    * `knn_ivf_retrain_swap` catalog entry): `openCurrent(...).topK` equals
+    * a from-scratch [[IVF.topK]] over exactly the live vectors, because
+    * [[IVF.train]] is deterministic (first-c-by-id init, decimal-exact
+    * means) and cell assignment is a pure function of the centroids.
+    */
+  def retrainAndSwap(spark: SparkSession, root: String, c: Int, iters: Int = 3,
+      defaultNprobe: Option[Int] = None): Store = {
+    val ledger = new graft.meta.GenLedger(spark, root)
+    ledger.withWriterLock {
+      val cur = currentVersion(spark, root)
+      val old = open(spark, s"$root/v=$cur")
+      val live = old.cells().select("vec_id", "embedding")
+      val idx = IVF.train(live, c, iters)
+      val next = cur + 1
+      val st = create(spark, s"$root/v=$next", idx,
+        defaultNprobe.getOrElse(math.min(old.defaultNprobe, c)))
+      st.append(live)
+      publishVersion(spark, root, next)
+      // sweep versions older than the OUTGOING one: `cur` stays for
+      // in-flight readers, everything below has had a full swap cycle to
+      // drain. Lazy-safe: a crash mid-sweep re-heals on the next swap.
+      val fs = ledger.fs
+      (1 until cur).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"_versions/v=$v"), false)
+      }
+      st
+    }
   }
 
   final class Store(spark: SparkSession, root: String, val index: IVF.Index,
@@ -150,6 +261,12 @@ object IVFStore {
       */
     def appliedKeys(): Set[String] = ledger.appliedKeys()
 
+    /** Deployment observability (r13 verdict item 6) — the compaction-policy
+      * numbers: generation/tombstone counts, whether probes currently pay
+      * the mask join, live file census, idempotency-ledger size.
+      */
+    def stats(): graft.meta.GenLedger.StoreStats = ledger.stats()
+
     /** Assign ONLY the batch's vectors to cells and commit them as a new
       * generation of cell-partitioned parquet. Null vectors drop (the
       * [[IVF.assign]] contract), but a WRONG-DIMENSION vector fails the
@@ -161,8 +278,13 @@ object IVFStore {
       */
     def append(embs: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
         crashBeforeCommit: Boolean = false,
-        idempotencyKey: Option[String] = None): Unit = {
-      if (ledger.alreadyApplied(idempotencyKey)) return
+        idempotencyKey: Option[String] = None): Unit = ledger.withWriterLock {
+      if (!ledger.alreadyApplied(idempotencyKey))
+        appendLocked(embs, vecCol, idCol, crashBeforeCommit, idempotencyKey)
+    }
+
+    private def appendLocked(embs: DataFrame, vecCol: String, idCol: String,
+        crashBeforeCommit: Boolean, idempotencyKey: Option[String]): Unit = {
       val prior = committedGens()
       val gen = if (prior.isEmpty) 0 else prior.max + 1
       val guarded = embs.withColumn(vecCol,
@@ -180,15 +302,9 @@ object IVFStore {
       // a batch with zero assignable vectors (empty micro-batch, all-null
       // embeddings) leaves a ZERO-FILE dynamic-partition dir — committing
       // it would poison every later read with schema-inference failure.
-      // An empty append is a no-op: union with ∅ changes nothing
-      val genDir = new org.apache.hadoop.fs.Path(s"$root/gen=$gen/cells")
-      val files = fs.listFiles(genDir, true)
-      var hasData = false
-      while (!hasData && files.hasNext) {
-        val f = files.next()
-        hasData = f.isFile && !f.getPath.getName.startsWith("_")
-      }
-      if (!hasData) {
+      // An empty append is a no-op: union with ∅ changes nothing (the
+      // shared GenLedger empty-mutation policy; detector single-sourced)
+      if (!ledger.hasDataFiles(new org.apache.hadoop.fs.Path(s"$root/gen=$gen/cells"))) {
         // NOTE: the idempotency key is deliberately NOT recorded — with no
         // generation there is nothing a replay could duplicate, and the
         // replayed empty batch lands here again as the same no-op
@@ -205,15 +321,27 @@ object IVFStore {
       */
     def delete(ids: DataFrame, idCol: String = "vec_id",
         crashBeforeCommit: Boolean = false,
-        idempotencyKey: Option[String] = None): Unit = {
-      if (ledger.alreadyApplied(idempotencyKey)) return
+        idempotencyKey: Option[String] = None): Unit = ledger.withWriterLock {
+      if (!ledger.alreadyApplied(idempotencyKey))
+        deleteLocked(ids, idCol, crashBeforeCommit, idempotencyKey)
+    }
+
+    private def deleteLocked(ids: DataFrame, idCol: String,
+        crashBeforeCommit: Boolean, idempotencyKey: Option[String]): Unit = {
       val prior = committedGens()
       require(prior.nonEmpty, s"IVF store at $root has no committed generation yet")
       val gen = prior.max + 1
-      ids.select(col(idCol).as("vec_id")).distinct()
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/gen=$gen/deletes")
-      if (crashBeforeCommit) return
-      ledger.commitDelete(gen, idempotencyKey)
+      val del = ids.select(col(idCol).as("vec_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // shared empty-mutation policy (GenLedger): an empty tombstone
+        // generation would switch every later read onto the mask-join
+        // path while masking nothing — no-op, no key recorded
+        if (del.count() == 0L) return
+        del.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/gen=$gen/deletes")
+        if (crashBeforeCommit) return
+        ledger.commitDelete(gen, idempotencyKey)
+      } finally del.unpersist()
     }
 
     /** All LIVE assignments (union of committed generation deltas minus
@@ -253,11 +381,17 @@ object IVFStore {
       * commit via the compaction kind marker (readers then ignore lower
       * generations, so the sweep below is lazy-safe).
       */
-    def compact(): Unit = {
+    def compact(keyRetention: Int = 128): Unit = ledger.withWriterLock {
       val gens = committedGens()
-      if (gens.size <= 1) return
+      if (gens.size > 1) compactLocked(gens, keyRetention)
+    }
+
+    private def compactLocked(gens: Seq[Int], keyRetention: Int): Unit = {
       val gen = gens.max + 1
-      val keys = appliedKeys() // survive the fold — idempotence outlives it
+      // survive the fold — idempotence outlives it; bounded to the newest
+      // keyRetention generations' keys (GenLedger.foldedKeys — an
+      // unbounded fold re-parses every micro-batch key ever, forever)
+      val keys = ledger.foldedKeys(keyRetention)
       val live = cells().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         live

@@ -60,10 +60,14 @@ import graft.functions.{PortableSketches, TextSketches}
   * the classic marker dance: data files first, marker last, so a crash
   * mid-append leaves an uncommitted `gen=N` directory that readers ignore
   * and the retry overwrites (append() re-derives N = maxCommitted+1).
-  * Single writer per store, like the reference's staging table; concurrent
-  * appends to ONE store are out of contract (two writers would mint the
-  * same generation). [[compact]] folds all generations into one, bounding
-  * read amplification for stores with many appends.
+  * Single writer per store, like the reference's staging table — and since
+  * r14 ENFORCED, not documented: every mutation runs under the ledger's
+  * exclusive writer lease ([[graft.meta.GenLedger.withWriterLock]] —
+  * create-if-absent lock file, heartbeat mtime, stale-crash takeover), so
+  * a concurrent appender/compactor fails loudly instead of minting the
+  * same generation and corrupting latest-wins. [[compact]] folds all
+  * generations into one, bounding read amplification for stores with many
+  * appends.
   *
   * == Deletion (takedown / opt-out — [[SignatureStore.delete]]) ==
   *
@@ -92,10 +96,15 @@ import graft.functions.{PortableSketches, TextSketches}
   *    store members of touched buckets and the anti-join masking stale
   *    pairs both broadcast; the O(corpus) store sides stream past them
   *    without a shuffle;
-  *  - at real scale the store's bands should be written bucketed/sorted by
-  *    (band_idx, band_key) so the touched-bucket semi-join prunes file
-  *    groups instead of scanning all bands; the layout here is plain
-  *    parquet because the semantics (and the gate) don't depend on it;
+  *  - with `Config.bandBuckets > 0` the bands part is hash-bucketed on
+  *    (band_idx, band_key) into a `bkt=` partition column, and the
+  *    touched-bucket semi-join filters the scan to the batch's bucket set
+  *    BEFORE it leaves the file index — the append's store-side read drops
+  *    from O(corpus bands) to O(touched buckets / bandBuckets of the
+  *    corpus) by partition pruning (r13 verdict item 3; plan-pinned by
+  *    BucketedBandsSpec). Plain layout (`bandBuckets = 0`) stays the
+  *    default for small stores where per-append full-band scans are cheap
+  *    and fewer directories win;
   *  - the per-bucket pair expansion is capped by `maxBucket`, so an
   *    append's cost is O(batch sketching + touched-bucket membership²
   *    bounded by maxBucket²·buckets-touched) — independent of corpus size.
@@ -119,16 +128,24 @@ object IncrementalDedup {
     * parallelism (e.g. 32 shuffle partitions) writes tiny fragments —
     * profiled at 145 files / 3.4 MB per store at sf0.1, pure task+footer
     * overhead on every later read. A 100 TB deployment sizes this to
-    * batch-bytes / target-row-group (and buckets the bands part by
-    * band_key, see the layout notes).
+    * batch-bytes / target-row-group.
+    *
+    * `bandBuckets > 0` lays the bands part out hash-partitioned by
+    * `bkt = pmod(hash(band_idx, band_key), bandBuckets)` so an append's
+    * touched-bucket read PRUNES to the batch's bucket directories instead
+    * of scanning every stored band (see the companion's 100 TB notes). A
+    * deployment sizes it so corpus-bands / bandBuckets fits a scan budget
+    * (e.g. 4096 at 100 TB); it is part of the persisted store config —
+    * layout, like sketch parameters, is fixed per store.
     */
   final case class Config(k: Int = 64, bands: Int = 16, shingleLen: Int = 5,
       maxBucket: Int = 100, portable: Boolean = true, withGrams: Boolean = false,
-      writePartitions: Int = 4) {
+      writePartitions: Int = 4, bandBuckets: Int = 0) {
     require(k % bands == 0,
       s"k=$k must be divisible by bands=$bands — otherwise the trailing " +
         s"${k % bands} signature positions are never banded and recall drops silently")
     require(writePartitions >= 1, "writePartitions must be >= 1")
+    require(bandBuckets >= 0, "bandBuckets must be >= 0 (0 = plain layout)")
     def rowsPerBand: Int = k / bands
   }
 
@@ -202,9 +219,12 @@ object IncrementalDedup {
       new org.apache.hadoop.fs.Path(root, s"gen=$gen/$part").toString
 
     private def configPath = new org.apache.hadoop.fs.Path(root, "_config")
+    // bandBuckets is part of the persisted identity: generations with
+    // different band layouts cannot be unioned by the per-root readers
     private def configLine =
       s"k=${cfg.k};bands=${cfg.bands};shingleLen=${cfg.shingleLen};" +
-        s"maxBucket=${cfg.maxBucket};portable=${cfg.portable};withGrams=${cfg.withGrams}"
+        s"maxBucket=${cfg.maxBucket};portable=${cfg.portable};withGrams=${cfg.withGrams};" +
+        s"bandBuckets=${cfg.bandBuckets}"
 
     /** Mixing sketch parameters across generations would change band keys
       * and silently break bucket identity, so the FIRST append persists the
@@ -240,6 +260,27 @@ object IncrementalDedup {
       spark.read.parquet(paths: _*)
     }
 
+    /** The bands part's layout column: hash bucket of the LSH bucket key.
+      * Must be byte-stable between write and read — Murmur3 `hash` is.
+      */
+    private def bktOf: org.apache.spark.sql.Column =
+      pmod(hash(col("band_idx"), col("band_key")), lit(cfg.bandBuckets))
+
+    private def dropBkt(df: DataFrame): DataFrame =
+      if (df.columns.contains("bkt")) df.drop("bkt") else df
+
+    /** Bands read, one scan PER generation root unioned (a multi-path read
+      * over bucketed `bkt=` layouts trips partition discovery when any
+      * generation — e.g. an empty compaction fold — is unpartitioned;
+      * per-root reads also keep `pre`'s pruning filter ON the scan it
+      * prunes). `pre` runs against each generation scan before the union,
+      * so a `bkt isin (...)` filter reaches the file index directly.
+      */
+    private def readBandGens(gens: Seq[Int], pre: DataFrame => DataFrame): DataFrame = {
+      require(gens.nonEmpty, s"signature store at $root has no committed generation yet")
+      gens.map(g => pre(spark.read.parquet(genPath(g, "bands")))).reduce(_ unionByName _)
+    }
+
     /** Per-doc latest tombstone: (doc_id, dg). */
     private def tombstones(dels: Seq[Int]): DataFrame =
       dels.map(g => readPart(Seq(g), "deletes").withColumn("dg", lit(g)))
@@ -249,20 +290,27 @@ object IncrementalDedup {
     /** Union of a part across committed generations, masked by tombstones:
       * a row from generation g is live unless some tombstone at dg >= g
       * covers its doc (a re-append at g > dg resurrects the id). With no
-      * tombstones this is the join-free multi-path read — the common
-      * append-only path pays nothing for the delete feature, and compact()
-      * restores it after takedowns. Tombstone generations carry no
-      * sigs/bands (they are pairs-and-deletes-only deltas), so this reads
-      * APPEND generations only — same shape as [[IVFStore.Store.cells]].
+      * tombstones this is the join-free read — the common append-only path
+      * pays nothing for the delete feature, and compact() restores it after
+      * takedowns. Tombstone generations carry no sigs/bands (they are
+      * pairs-and-deletes-only deltas), so this reads APPEND generations
+      * only — same shape as [[IVFStore.Store.cells]]. `pre` is applied to
+      * each generation scan BEFORE union/mask, so pruning filters (the
+      * bucketed layout's `bkt isin`) land on the scans themselves.
       */
-    private def liveRows(part: String): DataFrame = {
+    private def liveRows(part: String,
+        pre: DataFrame => DataFrame = identity): DataFrame = {
       val gens = committedGens()
       val dels = deleteGens()
       val dataGens = gens.filterNot(dels.toSet)
-      if (dels.isEmpty) readPart(gens, part)
+      val bucketed = part == "bands" && cfg.bandBuckets > 0
+      def readGens(gs: Seq[Int], f: DataFrame => DataFrame) =
+        if (bucketed) readBandGens(gs, f)
+        else f(readPart(gs, part))
+      if (dels.isEmpty) readGens(dataGens, pre)
       else {
-        val rows = dataGens.map(g => readPart(Seq(g), part).withColumn("g", lit(g)))
-          .reduce(_ unionByName _)
+        val rows = dataGens.map(g =>
+          readGens(Seq(g), pre).withColumn("g", lit(g))).reduce(_ unionByName _)
         // tombstones are takedown-scale, not corpus-scale — AQE broadcasts
         // this join when it measures small, and compact() removes it
         rows.join(tombstones(dels), Seq("doc_id"), "left")
@@ -274,8 +322,8 @@ object IncrementalDedup {
     /** All LIVE sketches (committed generation deltas minus tombstones). */
     def sigs(): DataFrame = liveRows("sigs")
 
-    /** All LIVE bands. */
-    def bands(): DataFrame = liveRows("bands")
+    /** All LIVE bands (layout columns stripped). */
+    def bands(): DataFrame = dropBkt(liveRows("bands"))
 
     /** The CURRENT provenance pair set: per bucket, the pairs from the
       * latest generation that touched it. Buckets are resolved by joining
@@ -318,9 +366,50 @@ object IncrementalDedup {
       */
     def append(batch: DataFrame, textCol: String = "text", idCol: String = "doc_id",
         crashBeforeCommit: Boolean = false,
-        idempotencyKey: Option[String] = None): Unit = {
+        idempotencyKey: Option[String] = None): Unit = ledger.withWriterLock {
       assertOrPersistConfig()
-      if (ledger.alreadyApplied(idempotencyKey)) return
+      // inside the lock: two writers racing the same key must serialize
+      // through the dedup check, or both would pass it and double-append
+      if (!ledger.alreadyApplied(idempotencyKey))
+        appendLocked(batch, textCol, idCol, crashBeforeCommit, idempotencyKey)
+    }
+
+    /** The batch's bands part: hash-bucketed `bkt=` partition layout when
+      * configured (so later appends prune their touched-bucket reads to
+      * bucket directories), plain batch-scale parquet otherwise. The
+      * zero-row partitioned write (a dir with NO files — poisons every
+      * later read) cannot happen from append/delete (empty mutations no-op
+      * before writing), but compact() can legitimately fold to zero rows:
+      * re-write that one unpartitioned — one schema-bearing file, `bkt`
+      * kept as a normal column so per-root unions stay aligned.
+      */
+    private def writeBands(df: DataFrame, path: String): Unit =
+      if (cfg.bandBuckets == 0)
+        df.coalesce(cfg.writePartitions).write.mode(SaveMode.Overwrite).parquet(path)
+      else {
+        val withBkt = df.withColumn("bkt", bktOf)
+        withBkt.repartition(cfg.bandBuckets, col("bkt"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(path)
+        if (!ledger.hasDataFiles(new org.apache.hadoop.fs.Path(path)))
+          withBkt.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+      }
+
+    /** The append's store-side read: live bands, pruned to the touched
+      * buckets' `bkt=` directories when the layout is bucketed — the
+      * O(corpus-bands) → O(touched/bandBuckets) cut that makes per-append
+      * cost batch-bounded at 100 TB. The bucket-id collect is a gated
+      * driver constant bounded by `cfg.bandBuckets`, never by data.
+      */
+    private def liveBandsForBuckets(touched: DataFrame): DataFrame =
+      if (cfg.bandBuckets == 0) bands()
+      else {
+        val bkts = touched.select(bktOf.as("bkt")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        dropBkt(liveRows("bands", _.filter(col("bkt").isin(bkts: _*))))
+      }
+
+    private def appendLocked(batch: DataFrame, textCol: String, idCol: String,
+        crashBeforeCommit: Boolean, idempotencyKey: Option[String]): Unit = {
       val prior = committedGens()
       val gen = if (prior.isEmpty) 0 else prior.max + 1
       val newSigs = sketch(batch, cfg, textCol, idCol)
@@ -333,19 +422,31 @@ object IncrementalDedup {
       val touched = newBands.select("band_idx", "band_key").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // materializes the whole persisted chain (sigs → bands → touched)
+        // in one job, so the parallel writes below read caches instead of
+        // racing to recompute the sketch — and doubles as the shared
+        // empty-mutation guard (GenLedger policy): a batch that sketches
+        // to zero rows commits nothing and records no key
+        if (touched.count() == 0L) return
         val members =
           if (prior.isEmpty) newBands
-          else bands().join(broadcast(touched), Seq("band_idx", "band_key"), "left_semi")
+          else liveBandsForBuckets(touched)
+            .join(broadcast(touched), Seq("band_idx", "band_key"), "left_semi")
             .unionByName(newBands)
         val newPairs = bucketPairsKeyed(members, cfg.maxBucket)
         // data first (overwrite: a crashed predecessor may have left the
         // same uncommitted gen behind), marker last. coalesce(w): deltas
-        // are batch-scale — see Config.writePartitions
+        // are batch-scale — see Config.writePartitions. The four delta
+        // writes are independent jobs over materialized caches (pairs
+        // additionally scans the pruned store) — run them CONCURRENTLY:
+        // sequentially they serialized ~16 batch-scale jobs per takedown
+        // entry and owned the top of the bench table (r13 verdict item 4)
         val w = cfg.writePartitions
-        newSigs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "sigs"))
-        newBands.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "bands"))
-        touched.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
-        newPairs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
+        IncrementalDedup.inParallel(Seq(
+          () => newSigs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "sigs")),
+          () => writeBands(newBands, genPath(gen, "bands")),
+          () => touched.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched")),
+          () => newPairs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))))
         if (crashBeforeCommit) return
         ledger.commitAppend(gen, idempotencyKey)
       } finally {
@@ -366,9 +467,14 @@ object IncrementalDedup {
       */
     def delete(ids: DataFrame, idCol: String = "doc_id",
         crashBeforeCommit: Boolean = false,
-        idempotencyKey: Option[String] = None): Unit = {
+        idempotencyKey: Option[String] = None): Unit = ledger.withWriterLock {
       assertOrPersistConfig()
-      if (ledger.alreadyApplied(idempotencyKey)) return
+      if (!ledger.alreadyApplied(idempotencyKey))
+        deleteLocked(ids, idCol, crashBeforeCommit, idempotencyKey)
+    }
+
+    private def deleteLocked(ids: DataFrame, idCol: String,
+        crashBeforeCommit: Boolean, idempotencyKey: Option[String]): Unit = {
       val prior = committedGens()
       require(prior.nonEmpty, s"signature store at $root has no committed generation yet")
       val gen = prior.max + 1
@@ -376,6 +482,10 @@ object IncrementalDedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var touchedHandle: Option[DataFrame] = None
       try {
+        // shared empty-mutation policy (GenLedger): an empty tombstone
+        // would force the latest-event mask join onto EVERY later read
+        // while masking nothing — no-op, no key recorded
+        if (del.count() == 0L) return
         // every bucket that EVER held a deleted doc is recomputed. RAW
         // (unmasked) bands are deliberate: refreshing a bucket from live
         // membership is idempotent, so over-touching an already-masked
@@ -383,13 +493,16 @@ object IncrementalDedup {
         // generations carry no bands part — read append gens only. `del`
         // and `touched` are takedown-scale — batch-like — so the hints
         // hold (r13 lesson: justify a broadcast by what the frame scales
-        // WITH).
-        val touched = readPart(prior.filterNot(deleteGens().toSet), "bands")
+        // WITH). No bkt pruning here: this scan is keyed by doc_id, which
+        // the layout does not partition on.
+        val touched = dropBkt(readBandGens(prior.filterNot(deleteGens().toSet), identity))
           .join(broadcast(del), Seq("doc_id"), "left_semi")
           .select("band_idx", "band_key").distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         touchedHandle = Some(touched)
-        val members = bands()
+        // the live-membership recompute CAN prune: only touched buckets'
+        // members matter, so the bucketed layout cuts this scan too
+        val members = liveBandsForBuckets(touched)
           .join(broadcast(del), Seq("doc_id"), "left_anti")
           .join(broadcast(touched), Seq("band_idx", "band_key"), "left_semi")
         val newPairs = bucketPairsKeyed(members, cfg.maxBucket)
@@ -398,11 +511,15 @@ object IncrementalDedup {
         // generations only — two fewer write jobs per takedown and two
         // fewer (empty) files on every later read. A crashed append at
         // this number may have left sigs/bands dirs behind; they stay
-        // orphaned-but-invisible, exactly like any uncommitted gen
+        // orphaned-but-invisible, exactly like any uncommitted gen.
         val w = cfg.writePartitions
-        del.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "deletes"))
-        touched.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
-        newPairs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
+        // materialize the touched cache first, then run the three
+        // independent delta writes concurrently (same as append's)
+        touched.count()
+        IncrementalDedup.inParallel(Seq(
+          () => del.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "deletes")),
+          () => touched.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched")),
+          () => newPairs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))))
         if (crashBeforeCommit) return
         ledger.commitDelete(gen, idempotencyKey)
       } finally {
@@ -459,21 +576,53 @@ object IncrementalDedup {
       * Tombstones are APPLIED by the fold (sigs/bands are the live reads)
       * and their markers dropped, restoring the join-free read path after
       * a run of takedowns.
+      *
+      * `keyRetention` bounds the idempotency keys folded forward to those
+      * of the newest N generations (see [[graft.meta.GenLedger.foldedKeys]]
+      * — without a horizon the compaction marker accretes every
+      * micro-batch key ever, and every later mutation re-parses them all).
+      * The default comfortably exceeds any Structured Streaming replay
+      * window (replays re-offer only the trailing uncommitted batches).
       */
-    def compact(): Unit = {
+    def compact(keyRetention: Int = 128): Unit = ledger.withWriterLock {
       val gens = committedGens()
-      if (gens.size <= 1) return
-      val gen = gens.max + 1
-      val keys = appliedKeys() // survive the fold — idempotence outlives it
-      val s = sigs(); val b = bands(); val p = pairs()
-      val touchedAll = b.select("band_idx", "band_key").distinct()
-      s.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "sigs"))
-      b.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "bands"))
-      touchedAll.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
-      p.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
-      // the commit IS the fold: committedGens() then ignores everything
-      // below, so the superseded-generation sweep is lazy-safe
-      ledger.commitCompaction(gen, keys)
+      if (gens.size > 1) {
+        val gen = gens.max + 1
+        val keys = ledger.foldedKeys(keyRetention)
+        val s = sigs(); val b = bands(); val p = pairs()
+        val touchedAll = b.select("band_idx", "band_key").distinct()
+        s.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "sigs"))
+        writeBands(b, genPath(gen, "bands"))
+        touchedAll.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
+        p.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
+        // the commit IS the fold: committedGens() then ignores everything
+        // below, so the superseded-generation sweep is lazy-safe
+        ledger.commitCompaction(gen, keys)
+      }
     }
+
+    /** Deployment observability (r13 verdict item 6): committed/tombstone
+      * generation counts, whether reads currently pay the latest-event mask
+      * join, the live file census, and the idempotency-ledger size — the
+      * numbers a compaction policy triggers on. Driver-side listing only.
+      */
+    def stats(): graft.meta.GenLedger.StoreStats = ledger.stats()
+  }
+
+  /** Run independent store-delta write jobs concurrently on a transient
+    * daemon pool (Spark job submission is thread-safe; the writes read
+    * materialized caches, so nothing is recomputed per thread). Fails fast
+    * on the first failure, which the caller's crash-safety dance already
+    * handles: data files without a commit marker are invisible.
+    */
+  private def inParallel(tasks: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size, r => {
+      val t = new Thread(r, "graft-store-write"); t.setDaemon(true); t
+    })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try { Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf); () }
+    finally pool.shutdownNow()
   }
 }

@@ -26,7 +26,12 @@ import graft.ops.IVFStore
   * 100 TB shape: `maxFilesPerTrigger` sizes each generation delta (= one
   * retry unit); probes stay decoupled from ingest cadence and read only
   * their nprobe cell partitions across generations; `compact()` bounds
-  * read amplification and preserves the applied-batch ledger.
+  * read amplification and preserves the applied-batch ledger. The store's
+  * writer lease serializes mutations: run `compact()` only while this
+  * ingest query is stopped — a compact racing a live micro-batch append
+  * now FAILS LOUDLY with the holder's identity
+  * ([[graft.meta.GenLedger.withWriterLock]]) instead of both writers
+  * minting the same generation (ADVICE r13).
   */
 object IvfIngestStream {
 

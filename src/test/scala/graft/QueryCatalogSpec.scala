@@ -23,6 +23,19 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(names.filter(_.contains("stream")) === QueryCatalog.streamingNames)
   }
 
+  test("storeBuildNames all exist and cover every persisted-store batch entry") {
+    val names = QueryCatalog.all.map(_.name).toSet
+    assert(QueryCatalog.storeBuildNames.subsetOf(names),
+      QueryCatalog.storeBuildNames -- names)
+    // membership drift guard (same rationale as streamingNames): every
+    // batch entry whose name declares the incremental-store family must be
+    // isolation-chunked, or its JVM litter taxes shared-chunk timings again
+    val storeish = names.filter(n =>
+      (n.contains("incremental") || n.contains("retrain")) && !n.contains("stream"))
+    assert(storeish === QueryCatalog.storeBuildNames)
+    assert(QueryCatalog.storeBuildNames.intersect(QueryCatalog.streamingNames).isEmpty)
+  }
+
   test("driver maps cover the catalog exactly") {
     assert(SparkEntry.queries.keySet === QueryCatalog.all.map(_.name).toSet)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
