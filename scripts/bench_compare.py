@@ -17,6 +17,7 @@ after normalization AND by more than an absolute 0.3 s (sub-floor
 absolute deltas are planning/codegen jitter).
 """
 import json
+import statistics
 import sys
 
 ref_f, new_f = sys.argv[1], sys.argv[2]
@@ -25,12 +26,24 @@ flag_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
 ref = json.load(open(ref_f))
 new = json.load(open(new_f))
 
-calib_ref = ref.get("calib")
-calib_new = new.get("calib")
+
+def calib_of(run):
+    # MEDIAN of the per-chunk anchor samples when available (r14 finding):
+    # "calib" is a min over ~25 chunks while each query is a min over 6
+    # samples — the asymmetric min-statistic lets one lucky chunk understate
+    # a slow host-day and overstate every normalized ratio uniformly.
+    cs = run.get("calib_samples")
+    if cs and len(cs) >= 5:
+        return statistics.median(cs)
+    return run.get("calib")
+
+
+calib_ref = calib_of(ref)
+calib_new = calib_of(new)
 drift = (calib_new / calib_ref) if calib_ref and calib_new else 1.0
 floors = new.get("floors", {}) or {}
 
-print(f"calib ref={calib_ref} new={calib_new} host_drift={drift:.3f}")
+print(f"calib(median) ref={calib_ref:.3f} new={calib_new:.3f} host_drift={drift:.3f}")
 print(f"total ref={ref['value']:.1f}s new={new['value']:.1f}s "
       f"raw={new['value']/ref['value']:.3f}x "
       f"normalized={new['value']/drift/ref['value']:.3f}x")

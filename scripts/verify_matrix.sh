@@ -31,15 +31,19 @@ record() { # name tier status evidence
 }
 
 # run Verify (+env passed as leading VAR=val args) then the parallel oracle
-# checker; echoes "ok_count" evidence on success
+# checker; echoes "ok_count" evidence on success. GRAFT_ORACLE_SKIP (comma
+# list) forwards to check_oracle_par --skip — an ORACLE budget knob, loud
+# in the evidence column, never a way to hide engine failures.
 verify_cell() { # name tier sf_dir out_dir [EXTRA env pairs...]
   local name=$1 tier=$2 sfd=$3 out=$4; shift 4
   local log; log=$(mktemp "/tmp/matrix_${name}.XXXX.log")
   if ! env "$@" scripts/run_main.sh graft.Verify "$sfd" "$out" >"$log" 2>&1; then
     record "$name" "$tier" FAIL "Verify crashed (see $log)"; return
   fi
+  local skip_args=()
+  [ -n "${GRAFT_ORACLE_SKIP:-}" ] && skip_args=(--skip "$GRAFT_ORACLE_SKIP")
   local sum
-  if sum=$(python3 scripts/check_oracle_par.py "$sfd" "$out" --jobs 12 2>&1 | tail -1); then
+  if sum=$(python3 scripts/check_oracle_par.py "$sfd" "$out" --jobs 12 "${skip_args[@]}" 2>&1 | tail -1); then
     record "$name" "$tier" PASS "$sum"
   else
     record "$name" "$tier" FAIL "$sum"
@@ -187,11 +191,22 @@ cell_scale2_fd() {
   verify_cell scale2_fd full /tmp/mx_scale2_data /tmp/mx_scale2 SPARK_GRAFT_FORCE_DISTRIBUTED=1
 }
 
-cell_scale8_fd() { # the heavy one: dedup_corpus's oracle replay dominates
+cell_scale8_fd() { # the heavy one: dedup_corpus's oracle replay dominates.
+  # ORACLE BUDGET (r13 verdict item 8): the two connected-components
+  # entries' recursive-CTE oracles cost ~80 DuckDB-minutes EACH at 8× —
+  # that is oracle cost, not engine cost (the engine side finishes in
+  # seconds). GRAFT_SCALE8_FULL=1 runs them anyway; the default skips them
+  # LOUDLY (SKIP lines + summary) because the same store/pair machinery is
+  # already 8×-verified by the non-CC incremental entries here, and the CC
+  # composition is verified by these very entries at 1×/2× and by the
+  # delete_heavy cell's self-asserting from-scratch equivalence.
   local log; log=$(mktemp /tmp/matrix_s8.XXXX.log)
   python3 scripts/scale_smoke.py "$SF1" /tmp/mx_scale8_data 8 >"$log" 2>&1 || {
     record scale8_fd full FAIL "scale fixture failed (see $log)"; return; }
-  verify_cell scale8_fd full /tmp/mx_scale8_data /tmp/mx_scale8 SPARK_GRAFT_FORCE_DISTRIBUTED=1
+  local skip=""
+  [ -z "${GRAFT_SCALE8_FULL:-}" ] && skip="dedup_corpus,dedup_incremental_corpus"
+  GRAFT_ORACLE_SKIP="$skip" \
+    verify_cell scale8_fd full /tmp/mx_scale8_data /tmp/mx_scale8 SPARK_GRAFT_FORCE_DISTRIBUTED=1
 }
 
 QUICK=(base_sf0001 fd_sf0001 specs)

@@ -159,13 +159,20 @@ object Bench {
       System.err.println(s"[bench] $tag chunk warmup over $warmDir done (${chunk.size} queries)")
     }
 
-    val (streamingNames, batchNames) = names.partition(isStreaming)
+    val (streamingNames, nonStreaming) = names.partition(isStreaming)
+    // store-building entries get their own fresh-JVM chunk too (r13 verdict
+    // item 2): their tempdir parquet churn / persisted frames / GC pressure
+    // must not subsidize or tax the shared batch chunks' timings
+    val (storeNames, batchNames) =
+      nonStreaming.partition(QueryCatalog.storeBuildNames.contains)
     for (pass <- 1 to passes) {
       val chunks = {
-        // batch chunks + the streaming chunk(s), streaming LAST on pass 1 —
-        // the reversal then puts them FIRST on pass 2, so each side samples
-        // both ends of the timeline like every other chunk
+        // batch chunks + the store chunk(s) + the streaming chunk(s),
+        // specials LAST on pass 1 — the reversal then puts them FIRST on
+        // pass 2, so each side samples both ends of the timeline like
+        // every other chunk
         val cs = batchNames.grouped(chunkSize).toSeq ++
+          storeNames.grouped(chunkSize).toSeq ++
           streamingNames.grouped(chunkSize).toSeq
         if (pass % 2 == 0) cs.reverse else cs
       }
@@ -230,6 +237,16 @@ object Bench {
     val total = results.map(_._2).sum
     val calibJson =
       if (calibSamples.isEmpty) "null" else fmt(calibSamples.min)
+    // the MEDIAN anchor is the honest cross-day normalizer (r14 finding):
+    // "calib" is a min over ~25 chunk samples while each query's time is a
+    // min over 6 — the min-statistic asymmetry lets one lucky chunk
+    // understate a slow day and overstate every normalized ratio. r14's
+    // clean run read min=0.502 (≈ r12's 0.501) while the median said the
+    // day was 1.13× slower — exactly the uniform ~1.15× "regression" the
+    // raw comparison showed. bench_compare prefers the median.
+    val calibMedianJson =
+      if (calibSamples.isEmpty) "null"
+      else fmt(calibSamples.sorted.apply(calibSamples.size / 2))
     val calibSamplesJson = calibSamples.map(fmt).mkString("[", ",", "]")
     // Structural floors (r11 verdict item 5): per-query lower bounds that
     // are machinery semantics, not tunables — regression adjudication must
@@ -265,7 +282,7 @@ object Bench {
     // consumers can tell warm timings from cold-start ones (ADVICE r2)
     def line(withSamples: Boolean) = {
       val samples = if (withSamples) s""","samples":$spread""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"passes":$passes,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"calib":$calibJson,"calib_samples":$calibSamplesJson,"floors":$floorsJson$refJson,"queries":$qs$samples,"solo":$soloJson,"solo_failed":$soloFailedJson,"failed":$failed,"warm_failed":$warmFailedJson,"sf":"$sfDir","warm":$warmed,"warm_dir":"$warmDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"passes":$passes,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"calib":$calibJson,"calib_median":$calibMedianJson,"calib_samples":$calibSamplesJson,"floors":$floorsJson$refJson,"queries":$qs$samples,"solo":$soloJson,"solo_failed":$soloFailedJson,"failed":$failed,"warm_failed":$warmFailedJson,"sf":"$sfDir","warm":$warmed,"warm_dir":"$warmDir"}"""
     }
     // stdout gets captured-and-truncated by the harness (the r3 tail lost
     // the "value" field; r5/r6 lost the whole parse) — keep stdout compact

@@ -33,18 +33,39 @@ object IncProf {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.count()
 
+    // INC_BUCKETS=N profiles the bucketed band layout (r14): the append's
+    // store-side read should fall from O(corpus bands) to the touched
+    // buckets' partitions. INC_DELETES=1 adds the takedown-traffic stages
+    // (tombstone gens + resurrect), the shape whose sequential delta
+    // writes r13's bench table was topped by.
+    val cfg = IncrementalDedup.Config(
+      bandBuckets = sys.env.getOrElse("INC_BUCKETS", "0").toInt)
+    System.err.println(s"[prof] config: bandBuckets=${cfg.bandBuckets}")
+
     // stage 0: the pure sketch cost (what dedup_minhash pays)
     time("sketch all docs (count)") {
-      IncrementalDedup.sketch(docs, IncrementalDedup.Config(), "text", "doc_id").count()
+      IncrementalDedup.sketch(docs, cfg, "text", "doc_id").count()
     }
 
     val root = java.nio.file.Files.createTempDirectory("incprof-").toString
-    val st = IncrementalDedup.store(spark, root)
+    val st = IncrementalDedup.store(spark, root, cfg)
     time("append base (6/7 of docs)") {
       st.append(docs.filter(pmod(col("doc_id"), lit(7)) =!= 0))
     }
     time("append batch (1/7)") {
       st.append(docs.filter(pmod(col("doc_id"), lit(7)) === 0))
+    }
+    if (sys.env.contains("INC_DELETES")) {
+      time("delete (doc_id % 9 == 1)") {
+        st.delete(docs.filter(pmod(col("doc_id"), lit(9)) === 1).select("doc_id"))
+      }
+      time("delete (doc_id % 11 == 7)") {
+        st.delete(docs.filter(pmod(col("doc_id"), lit(11)) === 7).select("doc_id"))
+      }
+      time("resurrect append") {
+        st.append(docs.filter(
+          pmod(col("doc_id"), lit(9)) === 1 && pmod(col("doc_id"), lit(2)) === 0))
+      }
     }
     time("candidates(0.25) count") { st.candidates(0.25).count() }
     time("candidates(0.25) count AGAIN (read-side only)") { st.candidates(0.25).count() }

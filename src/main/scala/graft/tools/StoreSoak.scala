@@ -70,25 +70,20 @@ object StoreSoak {
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + idx * 1000L))
     }
 
-    def fileCensus(): (Int, Long) = {
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$root/store"), true)
-      var files = 0; var bytes = 0L
-      while (it.hasNext) { val f = it.next(); if (f.isFile) { files += 1; bytes += f.getLen } }
-      (files, bytes)
-    }
-
     var failures = 0
     def check(name: String)(ok: Boolean, detail: => String): Unit = {
       if (ok) System.err.println(s"[store-soak] OK  $name $detail")
       else { failures += 1; System.err.println(s"[store-soak] FAIL $name $detail") }
     }
-    def timeRead(st: IncrementalDedup.SignatureStore): Double = {
-      val t0 = System.nanoTime()
-      st.candidates(0.25).count()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // best of 2: one GC pause or page-cache eviction during a single timed
+    // read used to fail the no-slower gate spuriously, and this cell is in
+    // the DEFAULT matrix tier (ADVICE r13)
+    def timeRead(st: IncrementalDedup.SignatureStore): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        st.candidates(0.25).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
 
     var ingested = 0
     val postCompactFiles = Seq.newBuilder[Int]
@@ -97,27 +92,35 @@ object StoreSoak {
       DedupIngestStream.runOnce(spark, inbox, docs.schema, s"$root/store", s"$root/ckpt")
       ingested += filesPerWave
       val st = IncrementalDedup.store(spark, s"$root/store")
-      val gensBefore = st.committedGens().size
-      val (filesBefore, bytesBefore) = fileCensus()
+      // the stats() snapshot IS the census now (r13 verdict item 6): the
+      // soak doubles as the proof that a deployment can drive compaction
+      // policy from the store's own observability numbers
+      val before = st.stats()
       val tBefore = timeRead(st)
       // generations grow only by the wave size between compacts
       check(s"wave $w: generation bookkeeping")(
-        gensBefore == (if (w == 0) filesPerWave else filesPerWave + 1),
-        s"(gens=$gensBefore after $ingested batches)")
+        before.generations == (if (w == 0) filesPerWave else filesPerWave + 1),
+        s"(gens=${before.generations} after $ingested batches)")
       st.compact()
-      val (filesAfter, bytesAfter) = fileCensus()
+      val after = st.stats()
       val tAfter = timeRead(st)
-      postCompactFiles += filesAfter
+      postCompactFiles += after.dataFiles.toInt
       System.err.println(
-        f"[store-soak] wave $w: gens $gensBefore->1, files $filesBefore->$filesAfter, " +
-          f"bytes $bytesBefore->$bytesAfter, read ${tBefore}%.2f->${tAfter}%.2f s")
+        f"[store-soak] wave $w: gens ${before.generations}->${after.generations}, " +
+          f"files ${before.dataFiles}->${after.dataFiles}, " +
+          f"bytes ${before.dataBytes}->${after.dataBytes}, " +
+          f"read ${tBefore}%.2f->${tAfter}%.2f s")
       check(s"wave $w: compact restores a single generation")(
-        st.committedGens().size == 1, s"(gens=${st.committedGens().size})")
+        after.generations == 1 && !after.maskJoinActive,
+        s"(gens=${after.generations} maskJoin=${after.maskJoinActive})")
       check(s"wave $w: compact makes the read no slower")(
         tAfter <= tBefore * 1.25, f"(before=${tBefore}%.2f after=${tAfter}%.2f)")
-      check(s"wave $w: idempotency keys survive the fold")(
-        st.appliedKeys().size == ingested,
-        s"(keys=${st.appliedKeys().size} batches=$ingested)")
+      check(s"wave $w: idempotency keys survive the fold (stats ledger)")(
+        after.appliedKeys == ingested,
+        s"(keys=${after.appliedKeys} batches=$ingested)")
+      check(s"wave $w: compact shrinks the file census")(
+        after.dataFiles <= before.dataFiles,
+        s"(files ${before.dataFiles} -> ${after.dataFiles})")
     }
 
     // the headline gate: post-compact file count is bounded by LIVE data
