@@ -184,6 +184,18 @@ cell_store_soak() { # generation-ledger boundedness: 60 streamed gens,
   fi
 }
 
+cell_lease_stress() { # real two-writer race on ONE store: the tool gates on
+                      # refusals actually happening, dense exactly-once
+                      # generations, no orphan lease, and raced == sequential
+                      # (r14 — found the local-FS create TOCTOU on day one)
+  local log; log=$(mktemp /tmp/matrix_lease.XXXX.log)
+  if scripts/run_main.sh graft.tools.LeaseStress >"$log" 2>&1; then
+    record lease_stress default PASS "$(grep -o 'PASS.*' "$log" | tail -1)"
+  else
+    record lease_stress default FAIL "see $log"
+  fi
+}
+
 cell_scale2_fd() {
   local log; log=$(mktemp /tmp/matrix_s2.XXXX.log)
   python3 scripts/scale_smoke.py "$SF1" /tmp/mx_scale2_data 2 >"$log" 2>&1 || {
@@ -212,7 +224,7 @@ cell_scale8_fd() { # the heavy one: dedup_corpus's oracle replay dominates.
 QUICK=(base_sf0001 fd_sf0001 specs)
 DEFAULT=("${QUICK[@]}" base_sf001 fd_sf001 rocksdb spill aqe_off parts5 parts101
          local3 fuzz skew_fuzz rocksdb_spill_skew crash_restart_rocksdb
-         delete_heavy store_soak)
+         delete_heavy store_soak lease_stress)
 FULL=("${DEFAULT[@]}" scale2_fd scale8_fd)
 
 MODE="${1:-quick}"

@@ -262,12 +262,32 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     s"$host pid=${ProcessHandle.current().pid()} ledger=${java.util.UUID.randomUUID()}"
   }
 
+  /** Atomic create-if-absent. On HDFS `fs.create(path, overwrite=false)`
+    * is namenode-atomic, but Hadoop's LOCAL filesystem implements it as
+    * exists-then-create — a TOCTOU window two same-box writers hit in
+    * practice (found by tools/LeaseStress: both racers "acquired", both
+    * minted gen=0, and their committers ate each other's `_temporary`
+    * dirs — the exact corruption the lease exists to prevent). For the
+    * `file` scheme, acquire through POSIX O_CREAT|O_EXCL
+    * (`File.createNewFile`), which the kernel arbitrates; content is
+    * written after the atomic claim (no reader races it: only the owner
+    * writes, and `lockHolder()` tolerates a mid-write read by failing
+    * closed to "held by unknown").
+    */
   private def tryCreateLock(): Boolean =
-    try {
-      val out = fs.create(lockPath, false)
-      try out.write(holderId.getBytes("UTF-8")) finally out.close()
-      true
-    } catch { case _: IOException => false } // exists (or raced) — not held by us
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(lockPath.toUri.getPath)
+      f.getParentFile.mkdirs()
+      val claimed = try f.createNewFile() catch { case _: IOException => false }
+      if (claimed)
+        java.nio.file.Files.write(f.toPath, holderId.getBytes("UTF-8"))
+      claimed
+    } else
+      try {
+        val out = fs.create(lockPath, false)
+        try out.write(holderId.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: IOException => false } // exists (or raced) — not held by us
 
   private def lockHolder(): String =
     try {
