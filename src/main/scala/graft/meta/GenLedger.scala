@@ -71,6 +71,7 @@ import org.apache.spark.sql.SparkSession
   *   _tombstones/gen=N    kind marker: gen N is a DELETE
   *   _compactions/gen=N   kind marker: gen N is a compaction fold
   *   _lock                writer lease (content: holder id, mtime: heartbeat)
+  *   _sealed              optional: root refuses mutations (content: reason)
   * }}}
   */
 private[graft] final class GenLedger(spark: SparkSession, root: String) {
@@ -111,7 +112,25 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     markerGens(tombstoneDir).filter(committed)
   }
 
-  private def keysOf(gen: Int): Seq[String] = {
+  /** Committed COMPACTION generations, ascending. Exposed for
+    * [[graft.ops.IVFStore.retrainAndSwap]]'s catch-up pass: a compaction
+    * committed to the outgoing version mid-rebuild folds pre-snapshot data
+    * into a single new generation, so "apply generations newer than the
+    * snapshot" would re-append the whole fold as duplicates — the drain
+    * detects one and restarts from a fresh snapshot instead.
+    */
+  def compactionGens(): Seq[Int] = {
+    val committed = markerGens(commitDir).toSet
+    markerGens(compactionDir).filter(committed)
+  }
+
+  /** The idempotency keys recorded in `gen`'s commit marker. Exposed for
+    * [[graft.ops.IVFStore.retrainAndSwap]]'s catch-up pass, which must
+    * CARRY each drained generation's keys into the new version — otherwise
+    * a micro-batch committed to the outgoing version and replayed after the
+    * swap would double-apply against the new version's empty ledger.
+    */
+  def keysOf(gen: Int): Seq[String] = {
     val in = fs.open(marker(gen))
     val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -135,6 +154,17 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * so keys older than `retention` generations can never be re-presented
     * and expire safely — same shape as a transaction ledger's idempotency
     * retention window.
+    *
+    * OPERATIONAL PRECONDITION (ADVICE r14): the horizon is measured in this
+    * store's committed generations, not in the ingest driver's replay
+    * window. Compact with a `keyRetention` only when every producer's
+    * checkpoint is known committed past the horizon — i.e. no checkpoint
+    * restored from backup, and no second producer interleaving generations,
+    * can re-offer a batch whose key has expired. A replay from beyond the
+    * horizon is silently re-applied (the keys that would have refused it
+    * are gone); if such replays are possible in a deployment, size
+    * `keyRetention` past the oldest restorable checkpoint or skip the
+    * horizon (retention >= total generations folds every key forward).
     */
   def foldedKeys(retention: Int): Set[String] = {
     require(retention >= 1, s"key retention must be >= 1 (got $retention)")
@@ -147,8 +177,18 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
   /** Atomically publish `gen` as committed with `keys` recorded: write a
     * tmp sibling (its `tmp_` name never matches the `gen=` scan), then
     * rename into place.
+    *
+    * FENCED (r14 verdict / ADVICE): the publish re-verifies lock ownership
+    * first. A writer whose heartbeats stalled past `staleMs` (GC pause, FS
+    * hang) can be poached by a reclaiming writer mid-mutation; without the
+    * fence its in-flight commit would still land, minting the same
+    * generation number as the new holder — the exact latest-wins corruption
+    * the lease exists to prevent, discovered only at release time. The
+    * fence turns that into a loud abort BEFORE anything becomes visible
+    * (the data files it wrote stay uncommitted-invisible, same as a crash).
     */
   private def commitMarker(gen: Int, keys: Iterable[String]): Unit = {
+    assertStillHolder(s"publishing gen=$gen")
     fs.mkdirs(commitDir)
     val tmp = new Path(commitDir, s"tmp_gen=$gen")
     val out = fs.create(tmp, true)
@@ -157,14 +197,36 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
       s"could not publish commit marker for gen=$gen at $root")
   }
 
+  /** The commit-time fence: abort unless this ledger still holds the lease
+    * it acquired in [[withWriterLock]]. A missing or unreadable lock fails
+    * closed — if we were poached and the poacher already finished and
+    * released, our lease is just as gone.
+    */
+  private def assertStillHolder(action: String): Unit = {
+    val h = lockHolder()
+    if (h != holderId)
+      throw new GenLedger.ConcurrentWriterException(
+        s"store at $root: writer lease lost while $action — the lock now " +
+          s"reads [$h], not this writer [$holderId] (heartbeats stalled past " +
+          s"the $staleMs ms staleness window and the lease was reclaimed); " +
+          "aborting the publish — the mutation's data files stay uncommitted")
+  }
+
   /** Commit an APPEND generation: clear kind markers a crashed delete() or
     * compact() at this number may have orphaned (a committed gen carrying
     * one would read as a tombstone / truncate the store), then publish.
     */
-  def commitAppend(gen: Int, key: Option[String]): Unit = {
+  def commitAppend(gen: Int, key: Option[String]): Unit =
+    commitAppend(gen, key.toSeq: Iterable[String])
+
+  /** Multi-key append commit — [[graft.ops.IVFStore.retrainAndSwap]]'s
+    * bulk load carries EVERY key the outgoing version had applied, so a
+    * micro-batch replayed across the swap still no-ops.
+    */
+  def commitAppend(gen: Int, keys: Iterable[String]): Unit = {
     fs.delete(tombstoneMarker(gen), false)
     fs.delete(compactionMarker(gen), false)
-    commitMarker(gen, key.toSeq)
+    commitMarker(gen, keys)
   }
 
   /** Commit a TOMBSTONE generation: kind marker FIRST, commit marker LAST
@@ -172,11 +234,21 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * never a committed delete whose tombstones are silently missed. Clears
     * an orphaned compaction marker from a crashed compact().
     */
-  def commitDelete(gen: Int, key: Option[String]): Unit = {
+  def commitDelete(gen: Int, key: Option[String]): Unit =
+    commitDelete(gen, key.toSeq: Iterable[String])
+
+  /** Multi-key tombstone commit — see the multi-key [[commitAppend]].
+    * Fenced BEFORE the kind marker too: a poached writer's tombstone
+    * marker left at gen N could otherwise attach to the new holder's
+    * same-numbered append in the window between its orphan-clear and its
+    * publish.
+    */
+  def commitDelete(gen: Int, keys: Iterable[String]): Unit = {
+    assertStillHolder(s"writing the tombstone kind marker for gen=$gen")
     fs.delete(compactionMarker(gen), false)
     fs.mkdirs(tombstoneDir)
     fs.create(tombstoneMarker(gen), true).close()
-    commitMarker(gen, key.toSeq)
+    commitMarker(gen, keys)
   }
 
   /** Commit a COMPACTION generation (the fold's commit point — readers
@@ -186,6 +258,7 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * crash mid-sweep re-heals on the next compact.
     */
   def commitCompaction(gen: Int, keys: Iterable[String]): Unit = {
+    assertStillHolder(s"writing the compaction kind marker for gen=$gen")
     fs.delete(tombstoneMarker(gen), false)
     fs.mkdirs(compactionDir)
     fs.create(compactionMarker(gen), true).close()
@@ -245,6 +318,35 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
       appliedKeys = appliedKeys().size)
   }
 
+  // ---- sealing -------------------------------------------------------------
+
+  private def sealedPath = new Path(root, "_sealed")
+
+  /** Permanently refuse further mutations on this root. Written by
+    * [[graft.ops.IVFStore.retrainAndSwap]] on the OUTGOING version while it
+    * holds that version's lease: an ingest stream still holding a stale
+    * [[graft.ops.IVFStore.Store]] handle after the swap then fails loudly
+    * ("re-open via openCurrent") instead of appending vectors the new
+    * version will never see — the last silent-loss shape in the swap
+    * protocol (r14 verdict item 1). Reads are unaffected (the outgoing
+    * version is retained exactly so in-flight readers can finish).
+    */
+  def seal(reason: String): Unit = {
+    val out = fs.create(sealedPath, true)
+    try out.write(reason.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The seal reason, if this root is sealed. */
+  def sealedReason(): Option[String] =
+    if (!fs.exists(sealedPath)) None
+    else Some {
+      try {
+        val in = fs.open(sealedPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } catch { case _: IOException => "<sealed (reason unreadable)>" }
+    }
+
   // ---- writer lease ------------------------------------------------------
 
   private def lockPath = new Path(root, "_lock")
@@ -280,14 +382,30 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
       f.getParentFile.mkdirs()
       val claimed = try f.createNewFile() catch { case _: IOException => false }
       if (claimed)
-        java.nio.file.Files.write(f.toPath, holderId.getBytes("UTF-8"))
+        // holder-id write failing AFTER the atomic claim (disk full, kill)
+        // would otherwise orphan an empty lock that blocks every writer for
+        // staleMs (ADVICE r14) — release the claim before propagating
+        try java.nio.file.Files.write(f.toPath, holderId.getBytes("UTF-8"))
+        catch { case e: Throwable => f.delete(); throw e }
       claimed
-    } else
-      try {
-        val out = fs.create(lockPath, false)
-        try out.write(holderId.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: IOException => false } // exists (or raced) — not held by us
+    } else {
+      val created =
+        try Some(fs.create(lockPath, false))
+        catch { case _: IOException => None } // exists (or raced) — not held by us
+      created match {
+        case None => false
+        case Some(out) =>
+          // same orphan hazard as the local branch: a failure between the
+          // successful create and the holder-id close must not leave an
+          // empty lock nobody holds — best-effort delete, then propagate
+          try { try out.write(holderId.getBytes("UTF-8")) finally out.close(); true }
+          catch {
+            case e: Throwable =>
+              try fs.delete(lockPath, false) catch { case _: IOException => () }
+              throw e
+          }
+      }
+    }
 
   private def lockHolder(): String =
     try {
@@ -303,10 +421,24 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * lock's mtime while `body` runs, so staleness measures crashed writers,
     * not slow ones.
     */
-  def withWriterLock[T](body: => T): T = {
+  def withWriterLock[T](body: => T): T = withWriterLock(ignoreSeal = false)(body)
+
+  /** [[withWriterLock]] with the seal check optionally bypassed — ONLY for
+    * [[graft.ops.IVFStore.retrainAndSwap]]'s final pass: a swap that
+    * crashed between sealing the outgoing version and publishing the new
+    * one must be able to re-acquire the sealed outgoing lease to finish
+    * the publish (every other writer stays refused).
+    */
+  private[graft] def withWriterLock[T](ignoreSeal: Boolean)(body: => T): T = {
     acquireLock()
     var beat: Option[(ScheduledExecutorService, ScheduledFuture[_])] = None
     try {
+      // sealed stores refuse mutations LOUDLY (checked inside the lease so
+      // the check can't race the seal write) — see [[seal]]
+      if (!ignoreSeal) sealedReason().foreach { r =>
+        throw new GenLedger.ConcurrentWriterException(
+          s"store at $root is sealed: $r")
+      }
       val exec = Executors.newSingleThreadScheduledExecutor(r => {
         val t = new Thread(r, s"graft-store-lease-heartbeat"); t.setDaemon(true); t
       })

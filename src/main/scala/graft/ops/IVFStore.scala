@@ -114,13 +114,29 @@ object IVFStore {
       // the original calling conventions (cosine, nprobe=2), and the
       // derived config is HEALED onto disk so the fallback runs once per
       // store, not once per open (ADVICE r13: a hard _config requirement
-      // was a silent on-disk format break with no migration path)
+      // was a silent on-disk format break with no migration path).
+      // The heal is BEST-EFFORT and atomic (ADVICE r14): the Store is
+      // built from the in-memory derived config either way, so a
+      // read-only filesystem still opens; and the tmp+rename publish
+      // means a concurrent opener never reads a torn half-written
+      // _config (a plain overwrite=true create truncates in place).
       val nprobe = math.min(2, centroids.size)
       System.err.println(s"[ivf-store] $path has no _config (pre-r13 layout) — " +
         s"deriving dim=${index.dim}/cells=${centroids.size}/defaultNprobe=$nprobe " +
         "from the centroids file and healing _config")
-      val out = fs.create(cfgPath, true)
-      try out.write(configLine(index, nprobe).getBytes("UTF-8")) finally out.close()
+      try {
+        val tmp = new org.apache.hadoop.fs.Path(path,
+          s"tmp__config_${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(configLine(index, nprobe).getBytes("UTF-8")) finally out.close()
+        // rename-refused (another opener healed first) is fine — theirs
+        // derives from the same centroids file, so the content is equal
+        if (!fs.rename(tmp, cfgPath)) fs.delete(tmp, false)
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[ivf-store] could not heal _config at $path " +
+            s"(${e.getMessage}) — continuing on the derived in-memory config")
+      }
       return new Store(spark, path, index, nprobe)
     }
     val in = fs.open(cfgPath)
@@ -196,41 +212,159 @@ object IVFStore {
   /** Rebuild the index offline and swap it in: train fresh centroids on
     * the CURRENT live vectors (tombstones applied — a takedown-heavy store
     * re-clusters on what actually remains), load them into a new version
-    * directory as one generation, then publish the version marker. The
-    * swap is atomic at the marker; old readers finish on the retained
-    * previous version; versions older than the outgoing one are swept.
-    * Runs under the versioned root's writer lease — two concurrent
-    * retrains would otherwise both mint `v = current + 1`. The lease
-    * covers the ROOT, not the outgoing store: an ingest stream still
-    * appending to the old version races the rebuild's read, and
-    * generations it commits after the rebuild has read `cells()` are NOT
-    * carried into the new version — pause ingest across a swap (the old
-    * store's own lease makes a racing append loud only while the
-    * rebuild's jobs hold it; the gap is the contract, not the lock).
+    * directory, then publish the version marker. The swap is atomic at the
+    * marker; old readers finish on the retained previous version; versions
+    * older than the outgoing one are swept. Runs under the versioned
+    * root's writer lease — two concurrent retrains would otherwise both
+    * mint `v = current + 1`.
+    *
+    * == Ingest races the rebuild — and loses nothing (r14 verdict item 1) ==
+    *
+    * The root lease does NOT cover the outgoing store, so an ingest stream
+    * keeps appending to it while the rebuild runs (the rebuild can take
+    * hours at 100 TB; blocking ingest across it would be the real cost).
+    * Until r15 those generations were silently dropped — "pause ingest
+    * across a swap" was a scaladoc contract, the exact
+    * contract-by-documentation shape the writer lease replaced. Now:
+    *
+    *  1. BULK: generations are listed ONCE (a pinned snapshot) and both
+    *     the training set and the new version's bulk generation come from
+    *     that list, carrying every idempotency key the snapshot had
+    *     applied;
+    *  2. DRAIN: generations committed to the outgoing version since the
+    *     snapshot are re-read and applied to the new version IN ORDER
+    *     (appends re-assigned against the new centroids, tombstones
+    *     re-deleted), each carrying its own keys — looped unlocked until a
+    *     pass finds nothing new;
+    *  3. FINAL: the outgoing store's own lease is taken (a mid-flight
+    *     ingest mutation makes this fail LOUDLY — retry the swap), the
+    *     last stragglers drain, the outgoing version is SEALED
+    *     ([[graft.meta.GenLedger.seal]] — a stale Store handle's next
+    *     append refuses with "re-open via openCurrent" instead of writing
+    *     vectors the new version will never see), and the version marker
+    *     publishes.
+    *
+    * A compaction committed to the outgoing version mid-rebuild folds
+    * pre-snapshot data into one new generation, so "apply newer
+    * generations" would duplicate the fold — the drain detects one
+    * ([[graft.meta.GenLedger.compactionGens]]) and rebuilds the bulk from
+    * a fresh snapshot instead (the already-trained centroids are reused:
+    * a fold never changes live content, and centroids are frozen-by-design
+    * anyway).
     *
     * Post-swap contract (spec-pinned, and oracle-checked by the
-    * `knn_ivf_retrain_swap` catalog entry): `openCurrent(...).topK` equals
-    * a from-scratch [[IVF.topK]] over exactly the live vectors, because
-    * [[IVF.train]] is deterministic (first-c-by-id init, decimal-exact
-    * means) and cell assignment is a pure function of the centroids.
+    * `knn_ivf_retrain_swap` catalog entry): with no concurrent mutations,
+    * `openCurrent(...).topK` equals a from-scratch [[IVF.topK]] over
+    * exactly the live vectors, because [[IVF.train]] is deterministic
+    * (first-c-by-id init, decimal-exact means) and cell assignment is a
+    * pure function of the centroids. With mid-rebuild mutations, the new
+    * version holds exactly the outgoing version's final live set (the
+    * centroids were trained on the snapshot — standard IVF practice trains
+    * on a sample; assignment quality, not membership, is what training
+    * affects).
     */
   def retrainAndSwap(spark: SparkSession, root: String, c: Int, iters: Int = 3,
-      defaultNprobe: Option[Int] = None): Store = {
-    val ledger = new graft.meta.GenLedger(spark, root)
-    ledger.withWriterLock {
+      defaultNprobe: Option[Int] = None): Store =
+    retrainAndSwapImpl(spark, root, c, iters, defaultNprobe, () => ())
+
+  /** [[retrainAndSwap]] with a test seam: `midBuild` runs after the bulk
+    * load and before the drain — the spec interleaves mutations on the
+    * OUTGOING version there and proves none is lost (IVFRetrainSwapSpec).
+    */
+  private[graft] def retrainAndSwapImpl(spark: SparkSession, root: String, c: Int,
+      iters: Int, defaultNprobe: Option[Int], midBuild: () => Unit): Store = {
+    val rootLedger = new graft.meta.GenLedger(spark, root)
+    rootLedger.withWriterLock {
       val cur = currentVersion(spark, root)
-      val old = open(spark, s"$root/v=$cur")
-      val live = old.cells().select("vec_id", "embedding")
-      val idx = IVF.train(live, c, iters)
+      val oldRoot = s"$root/v=$cur"
+      val oldLedger = new graft.meta.GenLedger(spark, oldRoot)
       val next = cur + 1
-      val st = create(spark, s"$root/v=$next", idx,
-        defaultNprobe.getOrElse(math.min(old.defaultNprobe, c)))
-      st.append(live)
-      publishVersion(spark, root, next)
+      val nextRoot = s"$root/v=$next"
+      val fs = rootLedger.fs
+
+      // train ONCE, on the first snapshot's live vectors
+      val old0 = open(spark, oldRoot)
+      val idx = IVF.train(
+        old0.cellsAt(old0.committedGens(), old0.deleteGens())
+          .select("vec_id", "embedding"), c, iters)
+      val np = defaultNprobe.getOrElse(math.min(old0.defaultNprobe, c))
+
+      /** Wipe nextRoot (a CRASHED prior swap may have left committed
+        * generations there — create() alone only overwrites centroids and
+        * config, and stale generations would double-count every vector),
+        * then load a pinned snapshot of the outgoing store as the bulk
+        * generation, carrying the snapshot's applied keys. Returns the new
+        * store and the snapshot's generation set.
+        */
+      def bulkLoad(): (Store, Set[Int]) = {
+        fs.delete(new org.apache.hadoop.fs.Path(nextRoot), true)
+        val old = open(spark, oldRoot)
+        val snapGens = old.committedGens()
+        val snapDels = old.deleteGens()
+        val st = create(spark, nextRoot, idx, np)
+        st.appendCarrying(
+          old.cellsAt(snapGens, snapDels).select("vec_id", "embedding"),
+          snapGens.flatMap(oldLedger.keysOf).distinct)
+        (st, snapGens.toSet)
+      }
+
+      /** One catch-up pass: apply every outgoing generation not yet seen,
+        * in order. Returns the updated seen set, or None when a committed
+        * compaction forces a bulk rebuild.
+        */
+      def drain(st: Store, seen: Set[Int]): Option[Set[Int]] = {
+        val gens = oldLedger.committedGens()
+        val dels = oldLedger.deleteGens().toSet
+        if (oldLedger.compactionGens().exists(g => !seen(g))) return None
+        gens.filterNot(seen).sorted.foreach { g =>
+          val keys = oldLedger.keysOf(g)
+          if (dels(g))
+            st.deleteCarrying(spark.read.parquet(s"$oldRoot/gen=$g/deletes"), keys)
+          else
+            st.appendCarrying(
+              spark.read.parquet(s"$oldRoot/gen=$g/cells").select("vec_id", "embedding"),
+              keys)
+        }
+        Some(seen ++ gens)
+      }
+
+      var (st, seen) = bulkLoad()
+      midBuild()
+      // unlocked passes until a fixed point — each pass drains everything
+      // committed so far, so this converges as soon as ingest pauses for
+      // one pass. Capped: against a firehose that never pauses, fall
+      // through to the locked final pass, which drains the remainder with
+      // ingest held off
+      var converged = false
+      var passes = 0
+      while (!converged && passes < 8) {
+        passes += 1
+        drain(st, seen) match {
+          case None => val r = bulkLoad(); st = r._1; seen = r._2
+          case Some(s2) => if (s2 == seen) converged = true else seen = s2
+        }
+      }
+      // FINAL pass under the OUTGOING store's lease: nothing can commit
+      // there once we hold it (a mid-flight ingest mutation makes the
+      // acquire fail loudly — retry the swap when it finishes).
+      // ignoreSeal: a swap that crashed between seal and publish left the
+      // outgoing version sealed — the retry must still finish the publish
+      oldLedger.withWriterLock(ignoreSeal = true) {
+        drain(st, seen) match {
+          case None =>
+            // a compaction raced exactly into the final window: reload from
+            // a snapshot taken UNDER the lease — nothing further can land,
+            // so the reload is itself the complete final state
+            val r = bulkLoad(); st = r._1; seen = r._2
+          case Some(s2) => seen = s2
+        }
+        oldLedger.seal(
+          s"superseded by v=$next (retrainAndSwap) — re-open via IVFStore.openCurrent")
+        publishVersion(spark, root, next)
+      }
       // sweep versions older than the OUTGOING one: `cur` stays for
       // in-flight readers, everything below has had a full swap cycle to
       // drain. Lazy-safe: a crash mid-sweep re-heals on the next swap.
-      val fs = ledger.fs
       (1 until cur).foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
         fs.delete(new org.apache.hadoop.fs.Path(root, s"_versions/v=$v"), false)
@@ -280,11 +414,31 @@ object IVFStore {
         crashBeforeCommit: Boolean = false,
         idempotencyKey: Option[String] = None): Unit = ledger.withWriterLock {
       if (!ledger.alreadyApplied(idempotencyKey))
-        appendLocked(embs, vecCol, idCol, crashBeforeCommit, idempotencyKey)
+        appendLocked(embs, vecCol, idCol, crashBeforeCommit, idempotencyKey.toSeq)
     }
 
+    /** Append CARRYING another ledger's idempotency keys — the swap path's
+      * key-preservation primitive ([[retrainAndSwap]]): the bulk load and
+      * each drained generation record the keys the OUTGOING version had
+      * applied, so a micro-batch committed there and replayed against the
+      * new version after the swap still no-ops. No applied-check here: the
+      * carried keys are disjoint from the new store's by construction (the
+      * drain's seen-set), and checking a multi-key set has no single
+      * replay semantics.
+      */
+    private[graft] def appendCarrying(embs: DataFrame, keys: Iterable[String]): Unit =
+      ledger.withWriterLock {
+        appendLocked(embs, "embedding", "vec_id", crashBeforeCommit = false, keys)
+      }
+
+    /** Tombstone twin of [[appendCarrying]]. */
+    private[graft] def deleteCarrying(ids: DataFrame, keys: Iterable[String]): Unit =
+      ledger.withWriterLock {
+        deleteLocked(ids, "vec_id", crashBeforeCommit = false, keys)
+      }
+
     private def appendLocked(embs: DataFrame, vecCol: String, idCol: String,
-        crashBeforeCommit: Boolean, idempotencyKey: Option[String]): Unit = {
+        crashBeforeCommit: Boolean, idempotencyKeys: Iterable[String]): Unit = {
       val prior = committedGens()
       val gen = if (prior.isEmpty) 0 else prior.max + 1
       val guarded = embs.withColumn(vecCol,
@@ -312,7 +466,7 @@ object IVFStore {
         return
       }
       if (crashBeforeCommit) return
-      ledger.commitAppend(gen, idempotencyKey)
+      ledger.commitAppend(gen, idempotencyKeys)
     }
 
     /** Delete vectors from the index (takedown / opt-out). Commits a
@@ -323,11 +477,11 @@ object IVFStore {
         crashBeforeCommit: Boolean = false,
         idempotencyKey: Option[String] = None): Unit = ledger.withWriterLock {
       if (!ledger.alreadyApplied(idempotencyKey))
-        deleteLocked(ids, idCol, crashBeforeCommit, idempotencyKey)
+        deleteLocked(ids, idCol, crashBeforeCommit, idempotencyKey.toSeq)
     }
 
     private def deleteLocked(ids: DataFrame, idCol: String,
-        crashBeforeCommit: Boolean, idempotencyKey: Option[String]): Unit = {
+        crashBeforeCommit: Boolean, idempotencyKeys: Iterable[String]): Unit = {
       val prior = committedGens()
       require(prior.nonEmpty, s"IVF store at $root has no committed generation yet")
       val gen = prior.max + 1
@@ -340,7 +494,7 @@ object IVFStore {
         if (del.count() == 0L) return
         del.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/gen=$gen/deletes")
         if (crashBeforeCommit) return
-        ledger.commitDelete(gen, idempotencyKey)
+        ledger.commitDelete(gen, idempotencyKeys)
       } finally del.unpersist()
     }
 
@@ -349,10 +503,17 @@ object IVFStore {
       * directories, including through the tombstone mask join (the filter
       * pushes below it to the scans).
       */
-    def cells(): DataFrame = {
-      val gens = committedGens()
+    def cells(): DataFrame = cellsAt(committedGens(), deleteGens())
+
+    /** [[cells]] over an EXPLICIT generation snapshot — the swap path's
+      * pinning primitive: [[retrainAndSwap]] lists the outgoing version's
+      * generations exactly once and builds both the training set and the
+      * bulk load from that pinned list, so a generation committing between
+      * two internal listings can never be both bulk-loaded and drained by
+      * the catch-up pass (= duplicated).
+      */
+    private[graft] def cellsAt(gens: Seq[Int], dels: Seq[Int]): DataFrame = {
       require(gens.nonEmpty, s"IVF store at $root has no committed generation yet")
-      val dels = deleteGens()
       val dataGens = gens.filterNot(dels.toSet)
       // one read per generation root, unioned: multi-path partition
       // discovery rejects sibling gen=N roots as conflicting structures,

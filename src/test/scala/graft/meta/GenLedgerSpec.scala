@@ -93,6 +93,45 @@ class GenLedgerSpec extends SparkSpec {
     assert(st.deleteGens().size === 1)
   }
 
+  test("commit is FENCED: a poached lease aborts the publish, leaving nothing visible") {
+    // The lock-without-fence hole (r14 verdict): a writer whose heartbeats
+    // stall past staleMs is reclaimed mid-mutation; without a commit-time
+    // ownership check its in-flight publish still lands, racing the new
+    // holder's generation number. Simulate the poach's end state (the lock
+    // re-created under a different holder) while our mutation is in flight
+    // and prove every commit kind refuses BEFORE anything becomes visible.
+    val root = tempRoot()
+    val ledger = new GenLedger(spark, root)
+    ledger.withWriterLock {
+      holdForeignLock(root) // the poacher's lock, fresh heartbeat
+      val e = intercept[GenLedger.ConcurrentWriterException] {
+        ledger.commitAppend(0, None)
+      }
+      assert(e.getMessage.contains("lease lost"))
+      assert(ledger.committedGens().isEmpty, "a fenced commit must publish nothing")
+      intercept[GenLedger.ConcurrentWriterException] { ledger.commitDelete(0, None) }
+      assert(!new java.io.File(root, "_tombstones/gen=0").exists(),
+        "the fence must fire before the tombstone kind marker, not just the publish")
+      intercept[GenLedger.ConcurrentWriterException] { ledger.commitCompaction(0, Nil) }
+      assert(!new java.io.File(root, "_compactions/gen=0").exists())
+    }
+    // and the release path must not delete the poacher's lease
+    assert(lockPath(root).exists(), "release must only delete OUR lock")
+    lockPath(root).delete()
+  }
+
+  test("a sealed root refuses mutations loudly but still reads") {
+    val root = tempRoot()
+    val st = IncrementalDedup.store(spark, root)
+    st.append(slice(7, 1))
+    new GenLedger(spark, root).seal("retired by test — re-open the new version")
+    val e = intercept[GenLedger.ConcurrentWriterException] { st.append(slice(7, 2)) }
+    assert(e.getMessage.contains("sealed") && e.getMessage.contains("retired by test"))
+    assert(st.committedGens() === Seq(0))
+    assert(!lockPath(root).exists(), "a seal-refused mutation must release the lease")
+    assert(st.sigs().count() > 0, "sealing blocks writers, never readers")
+  }
+
   // ---- empty-mutation policy (shared across stores) ------------------------
 
   test("empty append commits no generation and records no key (dedup store)") {
