@@ -6,15 +6,30 @@ code regression, not a slower host-day. Bench totals on this box drift
 ~10% between days while same-day runs agree within 1% (ROUNDLOG lesson
 15) — raw cross-day ratios are noise below ~1.15x.
 
-Queries sitting at a declared structural floor (the artifact's "floors"
-map) are exempt below floor * slack: their cost is machinery semantics
-(e.g. the left-outer stream-stream join's two mandatory trigger
-executions), not a tunable.
+Round-15 methodology lock-in (r14 verdict item 5):
+- BOTH the min- and median-normalized total ratios are printed, and the
+  run FAILS LOUDLY when their verdicts diverge by >10% — the r14 lesson
+  was that the two estimators disagreeing IS the signal that the host
+  day is skewed, and the choice between them must never again be made
+  silently in the same round it flatters.
+- A designated sibling-ratio pair (fingerprint_overlap / dedup_minhash —
+  two queries dominated by the same sketch kernels) is printed for both
+  runs as the normalization-FREE drift sentinel: a code regression moves
+  the pair's ratio, a host-day shift does not.
+- Per-query normalization uses the median when BOTH runs carry >=5 calib
+  samples, else falls back to min-based calib for BOTH (ADVICE r14:
+  mixing median(new)/min(ref) inflates drift and can mask a regression).
+
+Queries sitting at a declared structural floor are exempt below
+floor * slack: their cost is machinery semantics (e.g. the left-outer
+stream-stream join's two mandatory trigger executions), not a tunable.
+Floors are calib-anchored since r15 ("floors_calib", in units of the
+run's calib_median; slack 1.1); legacy absolute floors keep the old 1.3.
 
 Usage: scripts/bench_compare.py REF.json NEW.json [flag_ratio]
 Exit 1 iff any non-floor query regresses above flag_ratio (default 1.5)
-after normalization AND by more than an absolute 0.3 s (sub-floor
-absolute deltas are planning/codegen jitter).
+after normalization AND by more than an absolute 0.3 s, or the two
+normalizers' total verdicts diverge by >10%.
 """
 import json
 import statistics
@@ -27,26 +42,52 @@ ref = json.load(open(ref_f))
 new = json.load(open(new_f))
 
 
-def calib_of(run):
-    # MEDIAN of the per-chunk anchor samples when available (r14 finding):
-    # "calib" is a min over ~25 chunks while each query is a min over 6
-    # samples — the asymmetric min-statistic lets one lucky chunk understate
-    # a slow host-day and overstate every normalized ratio uniformly.
+def calibs_of(run):
+    """(min_calib, median_calib_or_None) for one artifact."""
     cs = run.get("calib_samples")
-    if cs and len(cs) >= 5:
-        return statistics.median(cs)
-    return run.get("calib")
+    med = statistics.median(cs) if cs and len(cs) >= 5 else None
+    return run.get("calib"), med
 
 
-calib_ref = calib_of(ref)
-calib_new = calib_of(new)
-drift = (calib_new / calib_ref) if calib_ref and calib_new else 1.0
+min_ref, med_ref = calibs_of(ref)
+min_new, med_new = calibs_of(new)
+
+drift_min = (min_new / min_ref) if min_ref and min_new else 1.0
+# the median normalizer only exists when BOTH sides have real sample sets
+# (ADVICE r14: median/min cross-format mixing inflates drift)
+drift_med = (med_new / med_ref) if med_ref and med_new else None
+# per-query normalization: median when available on both, else min
+drift = drift_med if drift_med is not None else drift_min
 floors = new.get("floors", {}) or {}
+floor_slack = 1.1 if new.get("floors_calib") else 1.3
 
-print(f"calib(median) ref={calib_ref:.3f} new={calib_new:.3f} host_drift={drift:.3f}")
-print(f"total ref={ref['value']:.1f}s new={new['value']:.1f}s "
-      f"raw={new['value']/ref['value']:.3f}x "
-      f"normalized={new['value']/drift/ref['value']:.3f}x")
+raw = new["value"] / ref["value"]
+print(f"calib(min)    ref={min_ref:.3f} new={min_new:.3f} drift={drift_min:.3f} "
+      f"-> total {raw / drift_min:.3f}x")
+if drift_med is not None:
+    print(f"calib(median) ref={med_ref:.3f} new={med_new:.3f} drift={drift_med:.3f} "
+          f"-> total {raw / drift_med:.3f}x")
+print(f"total ref={ref['value']:.1f}s new={new['value']:.1f}s raw={raw:.3f}x "
+      f"(normalizing per-query by {'median' if drift_med is not None else 'min'})")
+
+# normalization-free drift sentinel: the ratio of two same-kernel queries
+# is invariant under uniform host drift, so a moved sibling ratio is code
+SIBLINGS = ("fingerprint_overlap", "dedup_minhash")
+diverged = False
+a, b = SIBLINGS
+if all(q in r.get("queries", {}) for r in (ref, new) for q in SIBLINGS):
+    sib_ref = ref["queries"][a] / ref["queries"][b]
+    sib_new = new["queries"][a] / new["queries"][b]
+    print(f"sibling {a}/{b}: ref={sib_ref:.3f} new={sib_new:.3f} "
+          f"({sib_new / sib_ref:.3f}x — normalization-free)")
+
+if drift_med is not None:
+    vmin, vmed = raw / drift_min, raw / drift_med
+    if abs(vmin - vmed) / min(vmin, vmed) > 0.10:
+        diverged = True
+        print(f"!! NORMALIZER DIVERGENCE: min says {vmin:.3f}x, median says "
+              f"{vmed:.3f}x (>10% apart) — the host day is skewed; adjudicate "
+              f"with the sibling ratio and solo re-runs before trusting either")
 
 rows = []
 for name, t_ref in sorted(ref["queries"].items()):
@@ -68,7 +109,10 @@ for ratio, name, t_ref, t_new in rows:
         lines.append((True, f"{name:34s} {t_ref:7.2f}  MISSING"))
         regressions += 1
         continue
-    at_floor = name in floors and t_new <= floors[name] * 1.3
+    # floors are resolved for the NEW run's host-day (calib-anchored since
+    # r15), so the floor test uses the RAW new time, not the normalized one
+    t_new_raw = new["queries"][name]
+    at_floor = name in floors and t_new_raw <= floors[name] * floor_slack
     flag = ""
     flagged = False
     if ratio > flag_ratio and (t_new - t_ref) > 0.3 and not at_floor:
@@ -83,5 +127,6 @@ print(f"\n{'query':34s} {'ref':>7s} {'new/drift':>9s} {'ratio':>7s}")
 for i, (flagged, line) in enumerate(lines):
     if i < 25 or flagged:
         print(line)
-print(f"\n{regressions} normalized regression(s) above {flag_ratio}x")
-sys.exit(1 if regressions else 0)
+print(f"\n{regressions} normalized regression(s) above {flag_ratio}x"
+      + ("; NORMALIZER DIVERGENCE" if diverged else ""))
+sys.exit(1 if (regressions or diverged) else 0)

@@ -253,12 +253,28 @@ object Bench {
     // not flag a sample that sits at its floor. The left-outer stream-
     // stream join's null sides emit ON WATERMARK EVICTION, which requires
     // the no-data finalization micro-batch: two full trigger executions
-    // (incremental re-plan + per-partition state open/commit each) ≈ 1.7 s
-    // on this box regardless of data volume. Measured r11: disabling the
-    // no-data batch silently DROPS the unmatched rows, so the floor is the
-    // price of correctness. Rationale in SCALE.md "Streaming fixed-cost
-    // floor".
-    val floorsJson = """{"events_stream_left_join":1.7}"""
+    // (incremental re-plan + per-partition state open/commit each)
+    // regardless of data volume. Measured r11: disabling the no-data batch
+    // silently DROPS the unmatched rows, so the floor is the price of
+    // correctness. Rationale in SCALE.md "Streaming fixed-cost floor".
+    //
+    // Since r15 the floor is ANCHORED IN CALIB UNITS (r14 verdict item 6):
+    // a host-day constant plus a 30% slack was two stacked fudge factors.
+    // `floors_calib` is the floor in multiples of this run's calib_median
+    // (2.44 ≈ r14's ruled 1.92 s floor / its 0.787 median), `floors` is
+    // the resolved seconds for THIS host-day; bench_compare applies slack
+    // 1.1 to calib-anchored floors (legacy 1.3 only for pre-r15 artifacts).
+    val floorsCalib = Map("events_stream_left_join" -> 2.44)
+    val floorsCalibJson = floorsCalib
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val calibMedianVal =
+      if (calibSamples.isEmpty) None
+      else Some(calibSamples.sorted.apply(calibSamples.size / 2))
+    val floorsJson = floorsCalib
+      .map { case (k, v) =>
+        // no calib samples (filtered runs): fall back to the r11 constant
+        "\"" + k + "\":" + fmt(calibMedianVal.map(_ * v).getOrElse(1.7))
+      }.mkString("{", ",", "}")
     // Drift-normalized comparison (r11 verdict item 6): when
     // SPARK_GRAFT_BENCH_REF names a prior bench_out.json, divide this
     // run's total by the calib ratio (this host-day's speed vs the
@@ -282,7 +298,7 @@ object Bench {
     // consumers can tell warm timings from cold-start ones (ADVICE r2)
     def line(withSamples: Boolean) = {
       val samples = if (withSamples) s""","samples":$spread""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"passes":$passes,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"calib":$calibJson,"calib_median":$calibMedianJson,"calib_samples":$calibSamplesJson,"floors":$floorsJson$refJson,"queries":$qs$samples,"solo":$soloJson,"solo_failed":$soloFailedJson,"failed":$failed,"warm_failed":$warmFailedJson,"sf":"$sfDir","warm":$warmed,"warm_dir":"$warmDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"passes":$passes,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"calib":$calibJson,"calib_median":$calibMedianJson,"calib_samples":$calibSamplesJson,"floors":$floorsJson,"floors_calib":$floorsCalibJson$refJson,"queries":$qs$samples,"solo":$soloJson,"solo_failed":$soloFailedJson,"failed":$failed,"warm_failed":$warmFailedJson,"sf":"$sfDir","warm":$warmed,"warm_dir":"$warmDir"}"""
     }
     // stdout gets captured-and-truncated by the harness (the r3 tail lost
     // the "value" field; r5/r6 lost the whole parse) — keep stdout compact

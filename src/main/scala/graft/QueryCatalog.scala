@@ -3673,7 +3673,7 @@ object QueryCatalog {
   )
 
   def all: Seq[CatalogEntry] = parity ++ extensions ++ QueryCatalogR7.entries ++
-    QueryCatalogR13.entries ++ QueryCatalogR14.entries
+    QueryCatalogR13.entries ++ QueryCatalogR14.entries ++ QueryCatalogR15.entries
 
   /** Entries that execute a Structured Streaming query (micro-batches +
     * state stores), as opposed to batch plans. The bench isolates these in
@@ -3706,6 +3706,7 @@ object QueryCatalog {
     "dedup_incremental", "dedup_incremental_multi", "dedup_incremental_verified",
     "dedup_incremental_corpus", "dedup_incremental_delete",
     "dedup_incremental_takedowns", "dedup_incremental_bucketed",
+    "dedup_incremental_batch_scoped",
     "knn_ivf_incremental", "knn_ivf_incremental_delete",
     "knn_ivf_incremental_takedowns", "knn_ivf_retrain_swap")
 }

@@ -401,6 +401,20 @@ object IVFStore {
       */
     def stats(): graft.meta.GenLedger.StoreStats = ledger.stats()
 
+    /** Threshold-triggered fold over [[stats]] (r14 verdict item 4) — same
+      * policy as [[IncrementalDedup.SignatureStore.compactIfNeeded]].
+      * Returns whether a fold ran.
+      */
+    def compactIfNeeded(maxGens: Int = 16, maxFiles: Long = 4096,
+        keyRetention: Int = 128): Boolean = {
+      require(maxGens >= 1 && maxFiles >= 1, "thresholds must be >= 1")
+      val s = stats()
+      val trip = (s.generations > maxGens || s.dataFiles > maxFiles) &&
+        s.generations > 1
+      if (trip) compact(keyRetention)
+      trip
+    }
+
     /** Assign ONLY the batch's vectors to cells and commit them as a new
       * generation of cell-partitioned parquet. Null vectors drop (the
       * [[IVF.assign]] contract), but a WRONG-DIMENSION vector fails the

@@ -325,19 +325,42 @@ object IncrementalDedup {
     /** All LIVE bands (layout columns stripped). */
     def bands(): DataFrame = dropBkt(liveRows("bands"))
 
+    /** One generation's bucket-keyed part (touched/pairs/bands), with a
+      * pruning filter applied ON the scan when the generation carries the
+      * `bkt=` layout, and the layout column stripped before unioning.
+      * Detection is per generation (schema, read driver-side from the
+      * footer): a store written by the r14 code has bucketed bands but
+      * plain pairs/touched, and an empty fold is unpartitioned-with-bkt —
+      * both degrade gracefully to an unpruned scan of that root.
+      */
+    private def readKeyedPart(g: Int, part: String,
+        pre: DataFrame => DataFrame = identity): DataFrame = {
+      val df = spark.read.parquet(genPath(g, part))
+      if (df.columns.contains("bkt")) dropBkt(pre(df)) else df
+    }
+
     /** The CURRENT provenance pair set: per bucket, the pairs from the
       * latest generation that touched it. Buckets are resolved by joining
       * each generation's pairs against the max touching generation —
       * `touched` rows are tiny (one per recomputed bucket), so the
       * max-aggregate and the join broadcast.
       */
-    def pairs(): DataFrame = {
+    def pairs(): DataFrame = pairsPruned(identity)
+
+    /** [[pairs]] with a layout-pruning filter pushed onto every touched/
+      * pairs scan — the batch-scoped read path ([[candidatesForGen]])
+      * passes `bkt isin (batch's buckets)` so the whole latest-wins
+      * resolution reads O(touched/bandBuckets) of the corpus, not all of
+      * it (r14 verdict item 3 / ROUNDLOG open thread 1).
+      */
+    private def pairsPruned(pre: DataFrame => DataFrame): DataFrame = {
       val gens = committedGens()
-      val touched = gens.map(g => readPart(Seq(g), "touched").withColumn("g", lit(g)))
-        .reduce(_ union _)
+      require(gens.nonEmpty, s"signature store at $root has no committed generation yet")
+      val touched = gens.map(g => readKeyedPart(g, "touched", pre).withColumn("g", lit(g)))
+        .reduce(_ unionByName _)
       val latest = touched.groupBy("band_idx", "band_key").agg(max("g").as("g"))
-      val allPairs = gens.map(g => readPart(Seq(g), "pairs").withColumn("g", lit(g)))
-        .reduce(_ union _)
+      val allPairs = gens.map(g => readKeyedPart(g, "pairs", pre).withColumn("g", lit(g)))
+        .reduce(_ unionByName _)
       // latest is one row per bucket ever touched — CORPUS-scale, so no
       // broadcast hint (AQE broadcasts it when it measures small; at
       // 100 TB this join co-partitions two bucket-keyed sides)
@@ -374,16 +397,19 @@ object IncrementalDedup {
         appendLocked(batch, textCol, idCol, crashBeforeCommit, idempotencyKey)
     }
 
-    /** The batch's bands part: hash-bucketed `bkt=` partition layout when
-      * configured (so later appends prune their touched-bucket reads to
+    /** A bucket-keyed part's write (bands, and since r15 pairs/touched
+      * too — they all carry (band_idx, band_key)): hash-bucketed `bkt=`
+      * partition layout when configured (so batch-scoped reads prune to
       * bucket directories), plain batch-scale parquet otherwise. The
       * zero-row partitioned write (a dir with NO files — poisons every
-      * later read) cannot happen from append/delete (empty mutations no-op
-      * before writing), but compact() can legitimately fold to zero rows:
-      * re-write that one unpartitioned — one schema-bearing file, `bkt`
-      * kept as a normal column so per-root unions stay aligned.
+      * later read) cannot happen from append/delete band writes (empty
+      * mutations no-op before writing), but compact() can legitimately
+      * fold to zero rows and an append's `pairs` part is legitimately
+      * empty when nothing co-buckets: re-write those unpartitioned — one
+      * schema-bearing file, `bkt` kept as a normal column so per-root
+      * unions stay aligned.
       */
-    private def writeBands(df: DataFrame, path: String): Unit =
+    private def writeBucketed(df: DataFrame, path: String): Unit =
       if (cfg.bandBuckets == 0)
         df.coalesce(cfg.writePartitions).write.mode(SaveMode.Overwrite).parquet(path)
       else {
@@ -444,9 +470,9 @@ object IncrementalDedup {
         val w = cfg.writePartitions
         IncrementalDedup.inParallel(Seq(
           () => newSigs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "sigs")),
-          () => writeBands(newBands, genPath(gen, "bands")),
-          () => touched.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched")),
-          () => newPairs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))))
+          () => writeBucketed(newBands, genPath(gen, "bands")),
+          () => writeBucketed(touched, genPath(gen, "touched")),
+          () => writeBucketed(newPairs, genPath(gen, "pairs"))))
         if (crashBeforeCommit) return
         ledger.commitAppend(gen, idempotencyKey)
       } finally {
@@ -518,8 +544,8 @@ object IncrementalDedup {
         touched.count()
         IncrementalDedup.inParallel(Seq(
           () => del.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "deletes")),
-          () => touched.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched")),
-          () => newPairs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))))
+          () => writeBucketed(touched, genPath(gen, "touched")),
+          () => writeBucketed(newPairs, genPath(gen, "pairs"))))
         if (crashBeforeCommit) return
         ledger.commitDelete(gen, idempotencyKey)
       } finally {
@@ -532,10 +558,63 @@ object IncrementalDedup {
       * equal to `Replay.minhashCandidates(all batches)` by the equivalence
       * contract. Output: (doc_a, doc_b, est_jaccard).
       */
-    def candidates(minEstJaccard: Double = 0.0): DataFrame = {
-      val sg = sigs()
-      pairs()
+    def candidates(minEstJaccard: Double = 0.0): DataFrame =
+      estJaccard(pairs().select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b"),
+        minEstJaccard)
+
+    /** Candidate pairs INVOLVING one generation's batch — "what did THIS
+      * batch collide with", the nightly-ingest question that never needs
+      * the corpus-wide pair set (r14 verdict item 3). Equal to
+      * `candidates(minEstJaccard)` filtered to pairs with a side in the
+      * batch, by the same induction as the store's main contract: every
+      * bucket holding a batch doc is in the batch generation's `touched`
+      * set, so restricting latest-wins resolution to those buckets loses
+      * no involving pair (and the batch-doc semi-join drops the buckets'
+      * unrelated members).
+      *
+      * With the bucketed layout (`Config.bandBuckets > 0`) the touched and
+      * pairs scans PRUNE to the batch's `bkt=` directories — the read is
+      * O(batch's buckets / bandBuckets of the corpus), not O(corpus),
+      * plan-pinned by BucketedBandsSpec. The bucket-id collect is a gated
+      * driver constant bounded by `cfg.bandBuckets`, never by data.
+      */
+    def candidatesForGen(gen: Int, minEstJaccard: Double = 0.0): DataFrame = {
+      require(committedGens().contains(gen),
+        s"gen=$gen is not a committed generation of the store at $root")
+      require(!deleteGens().contains(gen),
+        s"gen=$gen is a tombstone generation — batch-scoped candidates target appends")
+      val touchedG = readKeyedPart(gen, "touched")
+      val pre: DataFrame => DataFrame =
+        if (cfg.bandBuckets == 0) identity
+        else {
+          val bkts = touchedG.select(bktOf.as("bkt")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          df => df.filter(col("bkt").isin(bkts: _*))
+        }
+      // bkt pruning is coarse (hash buckets); the exact bucket filter is
+      // the semi-join against the generation's own touched set — both
+      // sides of it are batch-scale, hence the broadcast
+      val scoped = pairsPruned(pre)
+        .join(broadcast(touchedG), Seq("band_idx", "band_key"), "left_semi")
+      val batchDocs = readKeyedPart(gen, "sigs").select("doc_id")
+      val involving = scoped
+        .join(broadcast(batchDocs.withColumnRenamed("doc_id", "doc_a")),
+          Seq("doc_a"), "left_semi")
+        .unionByName(scoped
+          .join(broadcast(batchDocs.withColumnRenamed("doc_id", "doc_b")),
+            Seq("doc_b"), "left_semi"))
         .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+      estJaccard(involving, minEstJaccard)
+    }
+
+    /** Signature-estimate join shared by the corpus-wide and batch-scoped
+      * candidate reads: attach each side's stored sketch (which also drops
+      * tombstone-masked docs — sigs() is the live view) and estimate
+      * Jaccard from matching minhash positions.
+      */
+    private def estJaccard(pairIds: DataFrame, minEstJaccard: Double): DataFrame = {
+      val sg = sigs()
+      pairIds
         .join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
         .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
@@ -592,9 +671,9 @@ object IncrementalDedup {
         val s = sigs(); val b = bands(); val p = pairs()
         val touchedAll = b.select("band_idx", "band_key").distinct()
         s.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "sigs"))
-        writeBands(b, genPath(gen, "bands"))
-        touchedAll.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "touched"))
-        p.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "pairs"))
+        writeBucketed(b, genPath(gen, "bands"))
+        writeBucketed(touchedAll, genPath(gen, "touched"))
+        writeBucketed(p, genPath(gen, "pairs"))
         // the commit IS the fold: committedGens() then ignores everything
         // below, so the superseded-generation sweep is lazy-safe
         ledger.commitCompaction(gen, keys)
@@ -607,6 +686,24 @@ object IncrementalDedup {
       * numbers a compaction policy triggers on. Driver-side listing only.
       */
     def stats(): graft.meta.GenLedger.StoreStats = ledger.stats()
+
+    /** The compaction POLICY the numbers above exist for (r14 verdict item
+      * 4): fold when the committed-generation count or the live file census
+      * crosses its threshold. Returns whether a fold ran — a deployment
+      * calls this after every append/delete (or on a cadence) instead of
+      * writing its own trigger over [[stats]]. Thresholds are "read
+      * amplification a query tolerates": every generation is one more
+      * unioned scan, every file one more open+footer per read.
+      */
+    def compactIfNeeded(maxGens: Int = 16, maxFiles: Long = 4096,
+        keyRetention: Int = 128): Boolean = {
+      require(maxGens >= 1 && maxFiles >= 1, "thresholds must be >= 1")
+      val s = stats()
+      val trip = (s.generations > maxGens || s.dataFiles > maxFiles) &&
+        s.generations > 1 // a single generation has nothing to fold
+      if (trip) compact(keyRetention)
+      trip
+    }
   }
 
   /** Run independent store-delta write jobs concurrently on a transient

@@ -101,7 +101,15 @@ object StoreSoak {
       check(s"wave $w: generation bookkeeping")(
         before.generations == (if (w == 0) filesPerWave else filesPerWave + 1),
         s"(gens=${before.generations} after $ingested batches)")
-      st.compact()
+      // the POLICY drives the fold now (r14 verdict item 4): the wave just
+      // committed filesPerWave generations, so the threshold below it must
+      // trip — and a second call right after must no-op on the single fold
+      check(s"wave $w: compactIfNeeded trips over the generation threshold")(
+        st.compactIfNeeded(maxGens = filesPerWave - 1),
+        s"(gens=${before.generations} > ${filesPerWave - 1} must fold)")
+      check(s"wave $w: compactIfNeeded no-ops right after the fold")(
+        !st.compactIfNeeded(maxGens = filesPerWave - 1),
+        "(a single generation has nothing to fold)")
       val after = st.stats()
       val tAfter = timeRead(st)
       postCompactFiles += after.dataFiles.toInt

@@ -177,6 +177,33 @@ class GenLedgerSpec extends SparkSpec {
     assert(st.committedGens() === before)
   }
 
+  // ---- compaction policy ----------------------------------------------------
+
+  test("compactIfNeeded folds exactly when a threshold trips, on both stores") {
+    val root = tempRoot()
+    val st = IncrementalDedup.store(spark, root)
+    st.append(slice(5, 0)); st.append(slice(5, 1))
+    assert(!st.compactIfNeeded(maxGens = 2), "2 gens <= maxGens — no fold")
+    assert(st.stats().generations === 2)
+    st.append(slice(5, 2))
+    assert(st.compactIfNeeded(maxGens = 2), "3 gens > maxGens — fold")
+    assert(st.stats().generations === 1)
+    assert(!st.compactIfNeeded(maxGens = 1, maxFiles = 1),
+      "a single generation has nothing to fold, however far over threshold")
+    st.append(slice(5, 3))
+    assert(st.compactIfNeeded(maxGens = 100, maxFiles = 1), "file census over maxFiles — fold")
+    assert(st.stats().generations === 1)
+
+    val e = graft.QueryCatalog.embs(spark, sf())
+    val ivf = graft.ops.IVFStore.create(spark, tempRoot(),
+      graft.ops.IVF.train(e, c = 4, iters = 0))
+    ivf.append(e.filter(col("vec_id") < 200))
+    ivf.append(e.filter(col("vec_id") >= 200))
+    assert(!ivf.compactIfNeeded(maxGens = 4))
+    assert(ivf.compactIfNeeded(maxGens = 1))
+    assert(ivf.stats().generations === 1)
+  }
+
   // ---- stats() observability -------------------------------------------------
 
   test("stats() tracks generations, tombstones, mask join, files, and keys across a fold") {
