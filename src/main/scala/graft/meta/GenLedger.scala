@@ -65,6 +65,15 @@ import org.apache.spark.sql.SparkSession
   * variant must not be able to reintroduce the partitioned-empty-write
   * hazard ([[hasDataFiles]] is the partitioned-write detector half).
   *
+  * Both the marker publish and the lease takeover assume ATOMIC RENAME —
+  * true on HDFS and local filesystems, false on plain S3. The protocol's
+  * conditional-put re-derivation for such stores (single-object PUTs are
+  * all-or-nothing; if-absent/if-match CAS replaces rename arbitration,
+  * with the lock's rotating etag as a true fencing token) lives in
+  * [[CasLedgerOps]], raced against [[ConditionalStore.InMemory]] by
+  * CasLedgerSpec; no live object store exists in this environment, so the
+  * rename backend stays the only wired one.
+  *
   * Layout under `root`:
   * {{{
   *   _commits/gen=N       committed generations (content: idempotency keys)
