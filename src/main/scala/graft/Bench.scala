@@ -260,11 +260,16 @@ object Bench {
     //
     // Since r15 the floor is ANCHORED IN CALIB UNITS (r14 verdict item 6):
     // a host-day constant plus a 30% slack was two stacked fudge factors.
-    // `floors_calib` is the floor in multiples of this run's calib_median
-    // (2.44 ≈ r14's ruled 1.92 s floor / its 0.787 median), `floors` is
-    // the resolved seconds for THIS host-day; bench_compare applies slack
-    // 1.1 to calib-anchored floors (legacy 1.3 only for pre-r15 artifacts).
-    val floorsCalib = Map("events_stream_left_join" -> 2.44)
+    // `floors_calib` is the floor in multiples of this run's calib_median,
+    // `floors` the resolved seconds for THIS host-day; bench_compare
+    // applies slack 1.1 to calib-anchored floors (legacy 1.3 only for
+    // pre-r15 artifacts). k = 2.70 is the midpoint of the two clean
+    // post-store-isolation measurements (r14: 2.05 s / 0.787 median =
+    // 2.60; r15: 2.25 / 0.761 = 2.95) — the cost is mostly fixed trigger
+    // machinery, so it tracks the host only loosely; the resolved floor is
+    // clamped below at the r11 absolute 1.7 s for fast-calib days where
+    // the linear model undershoots the fixed cost.
+    val floorsCalib = Map("events_stream_left_join" -> 2.70)
     val floorsCalibJson = floorsCalib
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val calibMedianVal =
@@ -273,7 +278,7 @@ object Bench {
     val floorsJson = floorsCalib
       .map { case (k, v) =>
         // no calib samples (filtered runs): fall back to the r11 constant
-        "\"" + k + "\":" + fmt(calibMedianVal.map(_ * v).getOrElse(1.7))
+        "\"" + k + "\":" + fmt(calibMedianVal.map(m => math.max(m * v, 1.7)).getOrElse(1.7))
       }.mkString("{", ",", "}")
     // Drift-normalized comparison (r11 verdict item 6): when
     // SPARK_GRAFT_BENCH_REF names a prior bench_out.json, divide this
