@@ -262,23 +262,62 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
 
   /** Commit a COMPACTION generation (the fold's commit point — readers
     * then ignore every lower generation) carrying the folded `keys`, then
-    * sweep superseded generation directories and markers, including strays
-    * a crashed earlier cleanup left behind. The sweep is lazy-safe: a
-    * crash mid-sweep re-heals on the next compact.
+    * sweep generation directories superseded by the PREVIOUS compaction,
+    * including strays a crashed earlier cleanup left behind.
+    *
+    * ONE-EPOCH READER GRACE: generations this fold supersedes are retained
+    * until the NEXT fold (or an explicit [[vacuum]]). Store reads bind
+    * concrete `gen=N/` paths at DataFrame-construction time
+    * ([[graft.ops.IncrementalDedup.SignatureStore]] lists committed
+    * generations on the driver, then `spark.read.parquet(paths)`), so a
+    * long-running read planned before this fold still has executors opening
+    * those files AFTER it — an immediate sweep fails that job mid-flight
+    * with FileNotFoundException, or silently drops its rows under
+    * `spark.sql.files.ignoreMissingFiles`. Retention is correctness-free
+    * for new reads ([[committedGens]] already drops everything below the
+    * newest fold marker) and costs only disk, bounded to one fold epoch —
+    * the same retained-for-in-flight-readers shape
+    * [[graft.ops.IVFStore.retrainAndSwap]] uses for outgoing versions.
+    * The sweep stays lazy-safe: a crash mid-sweep re-heals on the next
+    * compact (which sweeps everything below THIS fold).
     */
   def commitCompaction(gen: Int, keys: Iterable[String]): Unit = {
     assertStillHolder(s"writing the compaction kind marker for gen=$gen")
+    val graceFloor = compactionGens().filter(_ < gen).lastOption
     fs.delete(tombstoneMarker(gen), false)
     fs.mkdirs(compactionDir)
     fs.create(compactionMarker(gen), true).close()
     commitMarker(gen, keys)
-    (markerGens(commitDir) ++ markerGens(tombstoneDir) ++
-      markerGens(compactionDir)).distinct.filter(_ < gen).foreach { g =>
+    graceFloor.foreach(sweepBelow)
+  }
+
+  /** Delete every generation directory and marker below `floor`, returning
+    * how many generations were swept. Driven by markers (a stray dir with
+    * no marker of any kind was never visible and is left to its crashed
+    * writer's retry, same as before the grace window existed).
+    */
+  private def sweepBelow(floor: Int): Int = {
+    val gs = (markerGens(commitDir) ++ markerGens(tombstoneDir) ++
+      markerGens(compactionDir)).distinct.filter(_ < floor)
+    gs.foreach { g =>
       fs.delete(new Path(root, s"gen=$g"), true)
       fs.delete(marker(g), false)
       fs.delete(tombstoneMarker(g), false)
       fs.delete(compactionMarker(g), false)
     }
+    gs.size
+  }
+
+  /** Immediately reclaim the reader-grace window: sweep every generation
+    * below the newest committed compaction. For the operator who KNOWS no
+    * read is in flight (maintenance window, single-tenant batch job) and
+    * wants the disk back now instead of at the next fold. Must run under
+    * [[withWriterLock]] — it deletes files a racing writer's fold may be
+    * about to sweep itself. Returns the number of generations reclaimed.
+    */
+  def vacuum(): Int = {
+    assertStillHolder("vacuuming superseded generations")
+    compactionGens().lastOption.map(sweepBelow).getOrElse(0)
   }
 
   /** True iff `dir` holds at least one real data file (not a `_SUCCESS` /
@@ -307,24 +346,36 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
   def stats(): GenLedger.StoreStats = {
     val gens = committedGens()
     val dels = deleteGens()
-    var files = 0L; var bytes = 0L
-    gens.foreach { g =>
-      val dir = new Path(root, s"gen=$g")
-      if (fs.exists(dir)) {
-        val it = fs.listFiles(dir, true)
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.isFile) { files += 1; bytes += f.getLen }
+    def census(gs: Seq[Int]): (Long, Long) = {
+      var files = 0L; var bytes = 0L
+      gs.foreach { g =>
+        val dir = new Path(root, s"gen=$g")
+        if (fs.exists(dir)) {
+          val it = fs.listFiles(dir, true)
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.isFile) { files += 1; bytes += f.getLen }
+          }
         }
       }
+      (files, bytes)
     }
+    val (files, bytes) = census(gens)
+    // superseded-but-retained: committed below the newest fold (the one-
+    // epoch reader grace — see commitCompaction). Excluded from the live
+    // numbers so compaction policy never triggers on its own leftovers.
+    val retained = compactionGens().lastOption
+      .map(f => markerGens(commitDir).filter(_ < f)).getOrElse(Seq.empty)
+    val (_, retainedBytes) = census(retained)
     GenLedger.StoreStats(
       generations = gens.size,
       tombstoneGens = dels.size,
       maskJoinActive = dels.nonEmpty,
       dataFiles = files,
       dataBytes = bytes,
-      appliedKeys = appliedKeys().size)
+      appliedKeys = appliedKeys().size,
+      retainedGens = retained.size,
+      retainedBytes = retainedBytes)
   }
 
   // ---- sealing -------------------------------------------------------------
@@ -511,7 +562,9 @@ private[graft] object GenLedger {
       maskJoinActive: Boolean,
       dataFiles: Long,
       dataBytes: Long,
-      appliedKeys: Int)
+      appliedKeys: Int,
+      retainedGens: Int = 0,
+      retainedBytes: Long = 0L)
 
   /** A second live writer was refused — the single-writer contract, now
     * enforced instead of documented (r13 verdict item 1).

@@ -397,9 +397,16 @@ object IVFStore {
 
     /** Deployment observability (r13 verdict item 6) — the compaction-policy
       * numbers: generation/tombstone counts, whether probes currently pay
-      * the mask join, live file census, idempotency-ledger size.
+      * the mask join, live file census, idempotency-ledger size, and the
+      * one-epoch reader-grace census (`retainedGens`/`retainedBytes`).
       */
     def stats(): graft.meta.GenLedger.StoreStats = ledger.stats()
+
+    /** Immediately reclaim generations superseded by the newest fold,
+      * bypassing the one-epoch reader grace — see
+      * [[IncrementalDedup.SignatureStore.vacuum]]. Returns the count.
+      */
+    def vacuum(): Int = ledger.withWriterLock { ledger.vacuum() }
 
     /** Threshold-triggered fold over [[stats]] (r14 verdict item 4) — same
       * policy as [[IncrementalDedup.SignatureStore.compactIfNeeded]].

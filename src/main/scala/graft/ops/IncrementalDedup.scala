@@ -684,8 +684,17 @@ object IncrementalDedup {
       * generation counts, whether reads currently pay the latest-event mask
       * join, the live file census, and the idempotency-ledger size — the
       * numbers a compaction policy triggers on. Driver-side listing only.
+      * `retainedGens`/`retainedBytes` count the superseded generations the
+      * one-epoch reader grace is holding (see
+      * [[graft.meta.GenLedger.commitCompaction]]) — reclaim with [[vacuum]].
       */
     def stats(): graft.meta.GenLedger.StoreStats = ledger.stats()
+
+    /** Immediately reclaim generations superseded by the newest fold,
+      * bypassing the one-epoch reader grace — for the operator who knows no
+      * read is in flight. Returns the number of generations reclaimed.
+      */
+    def vacuum(): Int = ledger.withWriterLock { ledger.vacuum() }
 
     /** The compaction POLICY the numbers above exist for (r14 verdict item
       * 4): fold when the committed-generation count or the live file census
