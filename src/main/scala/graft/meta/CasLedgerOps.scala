@@ -37,16 +37,23 @@ package graft.meta
   *
   * This module is the PROTOCOL, kept deliberately free of Spark and
   * Hadoop types so CasLedgerSpec can race real threads through the
-  * in-memory double. Production wiring would adapt a cloud SDK behind
-  * [[ConditionalStore]] and swap these ops into [[GenLedger]] by scheme;
-  * no such store exists in this environment, so the rename-based ledger
-  * stays the only wired backend (HDFS and local rename ARE atomic).
+  * in-memory double. It is WIRED (r15): it implements [[LedgerControl]],
+  * so a [[GenLedger]] whose root matches a prefix registered via
+  * [[GenLedger.registerCasBackend]] runs its entire control plane —
+  * every store mutation, fold, vacuum, seal, and the ingest streams'
+  * exactly-once keys — through these CAS ops instead of rename
+  * (CasStoreEndToEndSpec drives both stores' full lifecycles this way).
+  * Production use is a thin [[ConditionalStore]] adapter over a cloud
+  * SDK; no live object store exists in this environment, so rename
+  * remains the default backend (HDFS and local rename ARE atomic).
   */
 private[graft] final class CasLedgerOps(store: ConditionalStore, root: String,
-    holderId: String, staleMs: Long) {
+    holderId: String, staleMs: Long) extends LedgerControl {
 
   private def lockKey = s"$root/_lock"
   private def markerKey(gen: Int) = s"$root/_commits/gen=$gen"
+  private def kindKey(kind: LedgerControl.Kind, gen: Int) =
+    s"$root/${kind.dirName}/gen=$gen"
 
   /** This holder's current fencing token — rotated by every heartbeat;
     * None while the lease is not held.
@@ -101,23 +108,39 @@ private[graft] final class CasLedgerOps(store: ConditionalStore, root: String,
       }
   }
 
+  /** [[LedgerControl]]'s never-throwing beat — a lost lease surfaces at
+    * the next [[fence]], exactly like the rename backend's swallowed
+    * `setTimes` beats.
+    */
+  override def beat(): Unit = { heartbeat(); () }
+
+  /** The commit-time fence as a token CAS: re-asserting ownership IS a
+    * conditional put on our current etag, so a poached writer (token
+    * rotated by a reclaimer's delete+put) fails here — BEFORE anything
+    * becomes visible. Strictly stronger than the rename backend's
+    * holder-id re-read: an ABA holder (crash, reclaim, re-acquire by a
+    * same-named process) passes the id check but cannot forge the etag.
+    */
+  override def fence(action: String): Unit = {
+    val t = token.getOrElse(throw new GenLedger.ConcurrentWriterException(
+      s"cas-ledger at $root: $action without the lease"))
+    store.putIfMatch(lockKey, t, holderId.getBytes("UTF-8")) match {
+      case Some(fresh) => token = Some(fresh)
+      case None =>
+        throw new GenLedger.ConcurrentWriterException(
+          s"cas-ledger at $root: writer lease lost while $action " +
+            "(fencing token rotated by a reclaimer) — aborting; nothing " +
+            "became visible")
+    }
+  }
+
   /** Publish generation `gen` carrying `keys`, FENCED on the current
     * token: the lock must still carry this holder's etag at publish time,
     * and the marker itself must not already exist. Either failure aborts
     * before anything becomes visible.
     */
   def publish(gen: Int, keys: Iterable[String]): Unit = {
-    val t = token.getOrElse(throw new GenLedger.ConcurrentWriterException(
-      s"cas-ledger at $root: publish without the lease"))
-    // the fence: re-asserting ownership IS a CAS on our token — a poached
-    // writer fails here, before the marker exists
-    store.putIfMatch(lockKey, t, holderId.getBytes("UTF-8")) match {
-      case Some(fresh) => token = Some(fresh)
-      case None =>
-        throw new GenLedger.ConcurrentWriterException(
-          s"cas-ledger at $root: writer lease lost while publishing gen=$gen " +
-            "(fencing token rotated by a reclaimer) — aborting the publish")
-    }
+    fence(s"publishing gen=$gen")
     if (store.putIfAbsent(markerKey(gen), keys.mkString("\n").getBytes("UTF-8")).isEmpty)
       throw new GenLedger.ConcurrentWriterException(
         s"cas-ledger at $root: gen=$gen is already committed — a concurrent " +
@@ -133,11 +156,40 @@ private[graft] final class CasLedgerOps(store: ConditionalStore, root: String,
   }
 
   /** Committed generations, ascending. */
-  def committedGens(): Seq[Int] =
-    store.list(s"$root/_commits/").map(_.split("gen=").last.toInt).sorted
+  def committedGens(): Seq[Int] = listGens(LedgerControl.Commit)
+
+  override def listGens(kind: LedgerControl.Kind): Seq[Int] =
+    store.list(s"$root/${kind.dirName}/gen=")
+      .map(_.split("gen=").last.toInt).sorted
 
   def keysOf(gen: Int): Seq[String] =
     store.get(markerKey(gen)).toSeq.flatMap { case (c, _, _) =>
       new String(c, "UTF-8").split("\n").iterator.map(_.trim).filter(_.nonEmpty)
     }
+
+  /** Kind markers are existence-records with irrelevant content; a
+    * leftover from a crashed same-generation attempt is the same record,
+    * so "already exists" is success, not contention (the FENCED commit
+    * publish is where poached writers are refused).
+    */
+  override def putKind(kind: LedgerControl.Kind, gen: Int): Unit = {
+    store.putIfAbsent(kindKey(kind, gen), Array.emptyByteArray)
+    ()
+  }
+
+  override def dropMarker(kind: LedgerControl.Kind, gen: Int): Unit = {
+    store.delete(kindKey(kind, gen))
+    ()
+  }
+
+  /** Last-writer-wins by design (a re-seal just refreshes the reason) —
+    * a plain PUT, like the rename backend's overwrite-create.
+    */
+  override def seal(reason: String): Unit = {
+    store.put(s"$root/_sealed", reason.getBytes("UTF-8"))
+    ()
+  }
+
+  override def sealedReason(): Option[String] =
+    store.get(s"$root/_sealed").map { case (c, _, _) => new String(c, "UTF-8").trim }
 }

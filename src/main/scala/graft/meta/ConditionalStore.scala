@@ -41,6 +41,19 @@ private[graft] trait ConditionalStore {
 
   /** Keys under `prefix`, unordered. */
   def list(prefix: String): Seq[String]
+
+  /** Unconditional all-or-nothing PUT (create or replace), returning the
+    * new etag. Plain `PUT` exists on every object store; the ledger uses
+    * it only where last-writer-wins is the DESIRED semantics (kind
+    * markers, the seal) — never for commits or the lease.
+    */
+  def put(key: String, content: Array[Byte]): String
+
+  /** Unconditional DELETE; false when the key was already absent. Used
+    * only for sweeping markers that are superseded by protocol (below a
+    * committed compaction) — arbitration never rides on it.
+    */
+  def delete(key: String): Boolean
 }
 
 private[graft] object ConditionalStore {
@@ -95,6 +108,16 @@ private[graft] object ConditionalStore {
 
     override def list(prefix: String): Seq[String] =
       objects.synchronized { objects.keys.filter(_.startsWith(prefix)).toSeq }
+
+    override def put(key: String, content: Array[Byte]): String =
+      objects.synchronized {
+        val tag = freshTag()
+        objects(key) = (content.clone(), tag, System.currentTimeMillis())
+        tag
+      }
+
+    override def delete(key: String): Boolean =
+      objects.synchronized { objects.remove(key).isDefined }
 
     /** Test hook: age an object's last-modified back, simulating a writer
       * whose heartbeats stopped `ms` ago.

@@ -1,10 +1,11 @@
 package graft.meta
 
-import java.io.{FileNotFoundException, IOException}
 import java.util.concurrent.{Executors, ScheduledExecutorService, ScheduledFuture, TimeUnit}
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
+
+import graft.meta.{LedgerControl => LC}
 
 /** The generation-ledger protocol shared by the persisted stores
   * ([[graft.ops.IncrementalDedup.SignatureStore]] and
@@ -25,10 +26,10 @@ import org.apache.spark.sql.SparkSession
   * between create and close leaves an EMPTY visible marker — the
   * generation reads as committed but its idempotency key is lost, and a
   * streaming replay would re-append the batch as a duplicate generation.
-  * [[commitMarker]] therefore writes to a `tmp_`-prefixed sibling
-  * (invisible to [[markerGens]]) and renames into place — atomic on the
-  * filesystems this targets (HDFS, local; object stores with atomic
-  * rename semantics for single objects).
+  * The rename backend therefore writes to a `tmp_`-prefixed sibling
+  * (invisible to the `gen=` marker listing) and renames into place —
+  * atomic on the filesystems it targets (HDFS, local); the CAS backend
+  * gets the same guarantee from single-object put-if-absent.
   *
   * == Writer lease ==
   *
@@ -65,14 +66,18 @@ import org.apache.spark.sql.SparkSession
   * variant must not be able to reintroduce the partitioned-empty-write
   * hazard ([[hasDataFiles]] is the partitioned-write detector half).
   *
-  * Both the marker publish and the lease takeover assume ATOMIC RENAME —
-  * true on HDFS and local filesystems, false on plain S3. The protocol's
-  * conditional-put re-derivation for such stores (single-object PUTs are
-  * all-or-nothing; if-absent/if-match CAS replaces rename arbitration,
-  * with the lock's rotating etag as a true fencing token) lives in
-  * [[CasLedgerOps]], raced against [[ConditionalStore.InMemory]] by
-  * CasLedgerSpec; no live object store exists in this environment, so the
-  * rename backend stays the only wired one.
+  * The ledger's CONTROL PLANE — marker publish, kind markers, the lease,
+  * the seal — is pluggable behind [[LedgerControl]] (r15). The default
+  * backend, [[RenameControl]], assumes ATOMIC RENAME — true on HDFS and
+  * local filesystems, false on plain S3; for stores without it,
+  * [[CasLedgerOps]] re-derives every guarantee from conditional-put CAS
+  * (single-object PUTs are all-or-nothing; if-absent/if-match replaces
+  * rename arbitration, with the lock's rotating etag as a true fencing
+  * token). Roots whose path matches a prefix registered via
+  * [[GenLedger.registerCasBackend]] run their entire control plane
+  * through CAS — CasStoreEndToEndSpec drives both stores' full
+  * lifecycles that way; the DATA plane (parquet generations, `_config`)
+  * stays on the Hadoop FileSystem in both worlds.
   *
   * Layout under `root`:
   * {{{
@@ -87,19 +92,25 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
 
   def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def commitDir = new Path(root, "_commits")
-  private def tombstoneDir = new Path(root, "_tombstones")
-  private def compactionDir = new Path(root, "_compactions")
-  def marker(gen: Int): Path = new Path(commitDir, s"gen=$gen")
-  def tombstoneMarker(gen: Int): Path = new Path(tombstoneDir, s"gen=$gen")
-  def compactionMarker(gen: Int): Path = new Path(compactionDir, s"gen=$gen")
 
-  private def markerGens(dir: Path): Seq[Int] = {
-    if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toInt }
-      .sorted
+  /** This process's identity, written into the lock so a refused second
+    * writer's error names who holds it.
+    */
+  private val holderId: String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown-host" }
+    s"$host pid=${ProcessHandle.current().pid()} ledger=${java.util.UUID.randomUUID()}"
   }
+
+  private def staleMs: Long =
+    spark.conf.getOption("spark.graft.store.lockStaleMs").map(_.toLong)
+      .getOrElse(GenLedger.DefaultLockStaleMs)
+
+  /** The marker/lease/seal backend for this root — rename by default, CAS
+    * for roots under a registered prefix (see the class scaladoc).
+    */
+  private val control: LedgerControl =
+    GenLedger.controlFor(spark, root, holderId, () => staleMs)
 
   /** Committed generations, ascending; a committed COMPACTION generation
     * supersedes everything below it — readers drop those generations even
@@ -107,8 +118,8 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * point is the marker, not the deletions.
     */
   def committedGens(): Seq[Int] = {
-    val committed = markerGens(commitDir)
-    val floor = markerGens(compactionDir).filter(committed.contains)
+    val committed = control.listGens(LC.Commit)
+    val floor = control.listGens(LC.Compaction).filter(committed.contains)
       .sorted.lastOption.getOrElse(Int.MinValue)
     committed.filter(_ >= floor)
   }
@@ -118,7 +129,7 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     */
   def deleteGens(): Seq[Int] = {
     val committed = committedGens().toSet
-    markerGens(tombstoneDir).filter(committed)
+    control.listGens(LC.Tombstone).filter(committed)
   }
 
   /** Committed COMPACTION generations, ascending. Exposed for
@@ -129,8 +140,8 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * detects one and restarts from a fresh snapshot instead.
     */
   def compactionGens(): Seq[Int] = {
-    val committed = markerGens(commitDir).toSet
-    markerGens(compactionDir).filter(committed)
+    val committed = control.listGens(LC.Commit).toSet
+    control.listGens(LC.Compaction).filter(committed)
   }
 
   /** The idempotency keys recorded in `gen`'s commit marker. Exposed for
@@ -139,12 +150,7 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * a micro-batch committed to the outgoing version and replayed after the
     * swap would double-apply against the new version's empty ledger.
     */
-  def keysOf(gen: Int): Seq[String] = {
-    val in = fs.open(marker(gen))
-    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
-  }
+  def keysOf(gen: Int): Seq[String] = control.keysOf(gen)
 
   /** Keys of every idempotent mutation already committed (the commit
     * markers' contents — see the class scaladoc for why key and commit
@@ -173,11 +179,27 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * horizon is silently re-applied (the keys that would have refused it
     * are gone); if such replays are possible in a deployment, size
     * `keyRetention` past the oldest restorable checkpoint or skip the
-    * horizon (retention >= total generations folds every key forward).
+    * horizon (retention >= total generations folds every key forward) —
+    * or, better, use the ENFORCED form: the two-argument overload below
+    * gates expiry on the ingest checkpoint itself
+    * ([[graft.streaming.DedupIngestStream.compactSafely]] wires it).
     */
-  def foldedKeys(retention: Int): Set[String] = {
+  def foldedKeys(retention: Int): Set[String] =
+    foldedKeys(retention, _ => false)
+
+  /** [[foldedKeys]] with the ADVICE-r14 precondition ENFORCED instead of
+    * documented: `retain` marks keys the ingest driver could still
+    * re-present (derived from its CHECKPOINT, not guessed from a
+    * generation count — see
+    * [[graft.streaming.StreamCheckpoints.replayableKeys]]), and such a
+    * key survives the fold regardless of the generation horizon. Expiry
+    * then never outruns the replay window it exists to serve.
+    */
+  def foldedKeys(retention: Int, retain: String => Boolean): Set[String] = {
     require(retention >= 1, s"key retention must be >= 1 (got $retention)")
-    committedGens().takeRight(retention).flatMap(keysOf).toSet
+    val gens = committedGens()
+    (gens.takeRight(retention).flatMap(keysOf) ++
+      gens.dropRight(retention).flatMap(keysOf).filter(retain)).toSet
   }
 
   def alreadyApplied(key: Option[String]): Boolean =
@@ -196,30 +218,8 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * fence turns that into a loud abort BEFORE anything becomes visible
     * (the data files it wrote stay uncommitted-invisible, same as a crash).
     */
-  private def commitMarker(gen: Int, keys: Iterable[String]): Unit = {
-    assertStillHolder(s"publishing gen=$gen")
-    fs.mkdirs(commitDir)
-    val tmp = new Path(commitDir, s"tmp_gen=$gen")
-    val out = fs.create(tmp, true)
-    try out.write(keys.mkString("\n").getBytes("UTF-8")) finally out.close()
-    require(fs.rename(tmp, marker(gen)),
-      s"could not publish commit marker for gen=$gen at $root")
-  }
-
-  /** The commit-time fence: abort unless this ledger still holds the lease
-    * it acquired in [[withWriterLock]]. A missing or unreadable lock fails
-    * closed — if we were poached and the poacher already finished and
-    * released, our lease is just as gone.
-    */
-  private def assertStillHolder(action: String): Unit = {
-    val h = lockHolder()
-    if (h != holderId)
-      throw new GenLedger.ConcurrentWriterException(
-        s"store at $root: writer lease lost while $action — the lock now " +
-          s"reads [$h], not this writer [$holderId] (heartbeats stalled past " +
-          s"the $staleMs ms staleness window and the lease was reclaimed); " +
-          "aborting the publish — the mutation's data files stay uncommitted")
-  }
+  private def commitMarker(gen: Int, keys: Iterable[String]): Unit =
+    control.publish(gen, keys)
 
   /** Commit an APPEND generation: clear kind markers a crashed delete() or
     * compact() at this number may have orphaned (a committed gen carrying
@@ -233,8 +233,8 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * micro-batch replayed across the swap still no-ops.
     */
   def commitAppend(gen: Int, keys: Iterable[String]): Unit = {
-    fs.delete(tombstoneMarker(gen), false)
-    fs.delete(compactionMarker(gen), false)
+    control.dropMarker(LC.Tombstone, gen)
+    control.dropMarker(LC.Compaction, gen)
     commitMarker(gen, keys)
   }
 
@@ -253,10 +253,9 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * publish.
     */
   def commitDelete(gen: Int, keys: Iterable[String]): Unit = {
-    assertStillHolder(s"writing the tombstone kind marker for gen=$gen")
-    fs.delete(compactionMarker(gen), false)
-    fs.mkdirs(tombstoneDir)
-    fs.create(tombstoneMarker(gen), true).close()
+    control.fence(s"writing the tombstone kind marker for gen=$gen")
+    control.dropMarker(LC.Compaction, gen)
+    control.putKind(LC.Tombstone, gen)
     commitMarker(gen, keys)
   }
 
@@ -282,11 +281,10 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * compact (which sweeps everything below THIS fold).
     */
   def commitCompaction(gen: Int, keys: Iterable[String]): Unit = {
-    assertStillHolder(s"writing the compaction kind marker for gen=$gen")
+    control.fence(s"writing the compaction kind marker for gen=$gen")
     val graceFloor = compactionGens().filter(_ < gen).lastOption
-    fs.delete(tombstoneMarker(gen), false)
-    fs.mkdirs(compactionDir)
-    fs.create(compactionMarker(gen), true).close()
+    control.dropMarker(LC.Tombstone, gen)
+    control.putKind(LC.Compaction, gen)
     commitMarker(gen, keys)
     graceFloor.foreach(sweepBelow)
   }
@@ -297,13 +295,13 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * writer's retry, same as before the grace window existed).
     */
   private def sweepBelow(floor: Int): Int = {
-    val gs = (markerGens(commitDir) ++ markerGens(tombstoneDir) ++
-      markerGens(compactionDir)).distinct.filter(_ < floor)
+    val gs = (control.listGens(LC.Commit) ++ control.listGens(LC.Tombstone) ++
+      control.listGens(LC.Compaction)).distinct.filter(_ < floor)
     gs.foreach { g =>
       fs.delete(new Path(root, s"gen=$g"), true)
-      fs.delete(marker(g), false)
-      fs.delete(tombstoneMarker(g), false)
-      fs.delete(compactionMarker(g), false)
+      control.dropMarker(LC.Commit, g)
+      control.dropMarker(LC.Tombstone, g)
+      control.dropMarker(LC.Compaction, g)
     }
     gs.size
   }
@@ -316,7 +314,7 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * about to sweep itself. Returns the number of generations reclaimed.
     */
   def vacuum(): Int = {
-    assertStillHolder("vacuuming superseded generations")
+    control.fence("vacuuming superseded generations")
     compactionGens().lastOption.map(sweepBelow).getOrElse(0)
   }
 
@@ -365,7 +363,7 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     // epoch reader grace — see commitCompaction). Excluded from the live
     // numbers so compaction policy never triggers on its own leftovers.
     val retained = compactionGens().lastOption
-      .map(f => markerGens(commitDir).filter(_ < f)).getOrElse(Seq.empty)
+      .map(f => control.listGens(LC.Commit).filter(_ < f)).getOrElse(Seq.empty)
     val (_, retainedBytes) = census(retained)
     GenLedger.StoreStats(
       generations = gens.size,
@@ -380,8 +378,6 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
 
   // ---- sealing -------------------------------------------------------------
 
-  private def sealedPath = new Path(root, "_sealed")
-
   /** Permanently refuse further mutations on this root. Written by
     * [[graft.ops.IVFStore.retrainAndSwap]] on the OUTGOING version while it
     * holds that version's lease: an ingest stream still holding a stale
@@ -391,95 +387,19 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * protocol (r14 verdict item 1). Reads are unaffected (the outgoing
     * version is retained exactly so in-flight readers can finish).
     */
-  def seal(reason: String): Unit = {
-    val out = fs.create(sealedPath, true)
-    try out.write(reason.getBytes("UTF-8")) finally out.close()
-  }
+  def seal(reason: String): Unit = control.seal(reason)
 
   /** The seal reason, if this root is sealed. */
-  def sealedReason(): Option[String] =
-    if (!fs.exists(sealedPath)) None
-    else Some {
-      try {
-        val in = fs.open(sealedPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      } catch { case _: IOException => "<sealed (reason unreadable)>" }
-    }
+  def sealedReason(): Option[String] = control.sealedReason()
 
   // ---- writer lease ------------------------------------------------------
 
-  private def lockPath = new Path(root, "_lock")
-
-  private def staleMs: Long =
-    spark.conf.getOption("spark.graft.store.lockStaleMs").map(_.toLong)
-      .getOrElse(GenLedger.DefaultLockStaleMs)
-
-  /** This process's identity, written into the lock so a refused second
-    * writer's error names who holds it.
-    */
-  private val holderId: String = {
-    val host = try java.net.InetAddress.getLocalHost.getHostName
-      catch { case _: Exception => "unknown-host" }
-    s"$host pid=${ProcessHandle.current().pid()} ledger=${java.util.UUID.randomUUID()}"
-  }
-
-  /** Atomic create-if-absent. On HDFS `fs.create(path, overwrite=false)`
-    * is namenode-atomic, but Hadoop's LOCAL filesystem implements it as
-    * exists-then-create — a TOCTOU window two same-box writers hit in
-    * practice (found by tools/LeaseStress: both racers "acquired", both
-    * minted gen=0, and their committers ate each other's `_temporary`
-    * dirs — the exact corruption the lease exists to prevent). For the
-    * `file` scheme, acquire through POSIX O_CREAT|O_EXCL
-    * (`File.createNewFile`), which the kernel arbitrates; content is
-    * written after the atomic claim (no reader races it: only the owner
-    * writes, and `lockHolder()` tolerates a mid-write read by failing
-    * closed to "held by unknown").
-    */
-  private def tryCreateLock(): Boolean =
-    if (fs.getScheme == "file") {
-      val f = new java.io.File(lockPath.toUri.getPath)
-      f.getParentFile.mkdirs()
-      val claimed = try f.createNewFile() catch { case _: IOException => false }
-      if (claimed)
-        // holder-id write failing AFTER the atomic claim (disk full, kill)
-        // would otherwise orphan an empty lock that blocks every writer for
-        // staleMs (ADVICE r14) — release the claim before propagating
-        try java.nio.file.Files.write(f.toPath, holderId.getBytes("UTF-8"))
-        catch { case e: Throwable => f.delete(); throw e }
-      claimed
-    } else {
-      val created =
-        try Some(fs.create(lockPath, false))
-        catch { case _: IOException => None } // exists (or raced) — not held by us
-      created match {
-        case None => false
-        case Some(out) =>
-          // same orphan hazard as the local branch: a failure between the
-          // successful create and the holder-id close must not leave an
-          // empty lock nobody holds — best-effort delete, then propagate
-          try { try out.write(holderId.getBytes("UTF-8")) finally out.close(); true }
-          catch {
-            case e: Throwable =>
-              try fs.delete(lockPath, false) catch { case _: IOException => () }
-              throw e
-          }
-      }
-    }
-
-  private def lockHolder(): String =
-    try {
-      val in = fs.open(lockPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    } catch { case _: IOException => "<unreadable>" }
-
   /** Run `body` holding the store's exclusive writer lease (see the class
     * scaladoc). Throws [[GenLedger.ConcurrentWriterException]] when another
-    * LIVE writer holds it; a stale lock (heartbeat older than `staleMs`) is
-    * claimed by rename and taken over. The heartbeat keeps refreshing the
-    * lock's mtime while `body` runs, so staleness measures crashed writers,
-    * not slow ones.
+    * LIVE writer holds it; a stale lock (no heartbeat for `staleMs`) is
+    * arbitrated to exactly one reclaimer and taken over. The heartbeat
+    * keeps re-asserting the lease while `body` runs, so staleness measures
+    * crashed writers, not slow ones.
     */
   def withWriterLock[T](body: => T): T = withWriterLock(ignoreSeal = false)(body)
 
@@ -490,7 +410,7 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
     * the publish (every other writer stays refused).
     */
   private[graft] def withWriterLock[T](ignoreSeal: Boolean)(body: => T): T = {
-    acquireLock()
+    control.acquire()
     var beat: Option[(ScheduledExecutorService, ScheduledFuture[_])] = None
     try {
       // sealed stores refuse mutations LOUDLY (checked inside the lease so
@@ -504,44 +424,13 @@ private[graft] final class GenLedger(spark: SparkSession, root: String) {
       })
       val period = math.max(staleMs / 3, 100L)
       val task = exec.scheduleAtFixedRate(
-        () => try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
-          catch { case _: IOException => () }, // next beat retries; staleMs >> period
+        () => control.beat(), // never throws; a lost lease is caught by the fence
         period, period, TimeUnit.MILLISECONDS)
       beat = Some((exec, task))
       body
     } finally {
       beat.foreach { case (exec, task) => task.cancel(false); exec.shutdownNow() }
-      // release only OUR lock: if a pathological heartbeat outage let a
-      // reclaimer poach it mid-run, deleting here would free THEIR lease too
-      if (lockHolder() == holderId) fs.delete(lockPath, false)
-    }
-  }
-
-  private def acquireLock(): Unit = {
-    if (tryCreateLock()) return
-    val status = try Some(fs.getFileStatus(lockPath))
-      catch { case _: FileNotFoundException => None }
-    status match {
-      case None =>
-        // released between our create and the stat — one clean retry; a
-        // loss here is a genuinely concurrent acquirer, which is the error
-        if (!tryCreateLock())
-          throw new GenLedger.ConcurrentWriterException(
-            s"store at $root: writer lock contended (held by ${lockHolder()})")
-      case Some(st) =>
-        val age = System.currentTimeMillis() - st.getModificationTime
-        if (age <= staleMs)
-          throw new GenLedger.ConcurrentWriterException(
-            s"store at $root is locked by another writer [${lockHolder()}], " +
-              s"heartbeat ${age} ms ago (stale after $staleMs ms) — stores are " +
-              s"single-writer; stop the other mutation (e.g. an ingest stream) first")
-        // stale: CLAIM by rename — exactly one of N racing reclaimers wins
-        val claim = new Path(root, s"tmp_lock_reclaim_${java.util.UUID.randomUUID()}")
-        if (fs.rename(lockPath, claim)) fs.delete(claim, false)
-        if (!tryCreateLock())
-          throw new GenLedger.ConcurrentWriterException(
-            s"store at $root: lost the race for a stale writer lock to " +
-              s"[${lockHolder()}] — retry when it releases")
+      control.release()
     }
   }
 }
@@ -554,6 +443,45 @@ private[graft] object GenLedger {
     * healthy writer can be poached.
     */
   val DefaultLockStaleMs: Long = 10 * 60 * 1000L
+
+  // ---- control-plane backend registry (r15) --------------------------------
+
+  private val casBackends =
+    new java.util.concurrent.ConcurrentHashMap[String, ConditionalStore]()
+
+  /** Route the control plane (markers, lease, seal) of every ledger whose
+    * root starts with `prefix` through `store`'s conditional-put CAS ops
+    * instead of rename — the wiring for object stores WITHOUT atomic
+    * rename (plain S3/GCS/ABFS: register the bucket's URI prefix with a
+    * thin SDK adapter). The DATA plane (parquet generations) keeps using
+    * the root's Hadoop FileSystem. Longest registered prefix wins;
+    * resolution happens when the ledger is CONSTRUCTED (store open), so
+    * register before opening. Versioned IVF roots resolve their `v=N`
+    * sub-ledgers through the same prefix automatically.
+    */
+  def registerCasBackend(prefix: String, store: ConditionalStore): Unit =
+    casBackends.put(prefix, store)
+
+  def unregisterCasBackend(prefix: String): Unit =
+    casBackends.remove(prefix)
+
+  /** The control plane for `root`: the longest-prefix-registered CAS
+    * backend, or rename. CAS staleness is resolved here once (the rename
+    * backend re-reads the conf per call; a CAS ledger wanting a new
+    * `lockStaleMs` re-opens the store).
+    */
+  private[meta] def controlFor(spark: SparkSession, root: String,
+      holderId: String, staleMs: () => Long): LedgerControl = {
+    var best: Option[java.util.Map.Entry[String, ConditionalStore]] = None
+    casBackends.entrySet().forEach { e =>
+      if (root.startsWith(e.getKey) &&
+        best.forall(_.getKey.length < e.getKey.length)) best = Some(e)
+    }
+    best match {
+      case Some(e) => new CasLedgerOps(e.getValue, root, holderId, staleMs())
+      case None => new RenameControl(spark, root, holderId, staleMs)
+    }
+  }
 
   /** Deployment-facing store snapshot — see [[GenLedger.stats]]. */
   final case class StoreStats(
