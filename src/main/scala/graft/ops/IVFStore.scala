@@ -563,17 +563,21 @@ object IVFStore {
       * commit via the compaction kind marker (readers then ignore lower
       * generations, so the sweep below is lazy-safe).
       */
-    def compact(keyRetention: Int = 128): Unit = ledger.withWriterLock {
+    def compact(keyRetention: Int = 128,
+        retainKeys: String => Boolean = _ => false): Unit = ledger.withWriterLock {
       val gens = committedGens()
-      if (gens.size > 1) compactLocked(gens, keyRetention)
+      if (gens.size > 1) compactLocked(gens, keyRetention, retainKeys)
     }
 
-    private def compactLocked(gens: Seq[Int], keyRetention: Int): Unit = {
+    private def compactLocked(gens: Seq[Int], keyRetention: Int,
+        retainKeys: String => Boolean = _ => false): Unit = {
       val gen = gens.max + 1
       // survive the fold — idempotence outlives it; bounded to the newest
       // keyRetention generations' keys (GenLedger.foldedKeys — an
-      // unbounded fold re-parses every micro-batch key ever, forever)
-      val keys = ledger.foldedKeys(keyRetention)
+      // unbounded fold re-parses every micro-batch key ever, forever),
+      // except keys the ingest checkpoint could still re-offer (retainKeys
+      // — see IvfIngestStream.compactSafely)
+      val keys = ledger.foldedKeys(keyRetention, retainKeys)
       val live = cells().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         live

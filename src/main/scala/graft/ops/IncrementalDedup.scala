@@ -662,12 +662,19 @@ object IncrementalDedup {
       * micro-batch key ever, and every later mutation re-parses them all).
       * The default comfortably exceeds any Structured Streaming replay
       * window (replays re-offer only the trailing uncommitted batches).
+      *
+      * `retainKeys` additionally exempts keys from expiry regardless of
+      * the horizon — the checkpoint-derived gate
+      * ([[graft.streaming.DedupIngestStream.compactSafely]]) passes the
+      * "still replayable by the ingest checkpoint" predicate here, so
+      * expiry can never outrun the actual replay window.
       */
-    def compact(keyRetention: Int = 128): Unit = ledger.withWriterLock {
+    def compact(keyRetention: Int = 128,
+        retainKeys: String => Boolean = _ => false): Unit = ledger.withWriterLock {
       val gens = committedGens()
       if (gens.size > 1) {
         val gen = gens.max + 1
-        val keys = ledger.foldedKeys(keyRetention)
+        val keys = ledger.foldedKeys(keyRetention, retainKeys)
         val s = sigs(); val b = bands(); val p = pairs()
         val touchedAll = b.select("band_idx", "band_key").distinct()
         s.write.mode(SaveMode.Overwrite).parquet(genPath(gen, "sigs"))

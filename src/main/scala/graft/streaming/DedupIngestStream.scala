@@ -73,4 +73,23 @@ object DedupIngestStream {
       }
       .start()
   }
+
+  /** Compact the store WITHOUT expiring any idempotency key this stream's
+    * checkpoint could still re-offer — the enforced form of the
+    * keyRetention precondition (ADVICE r14: a generation-count horizon is
+    * measured in the store's history, not the driver's replay window).
+    * Reads the checkpoint's commit log; keys at or below its last
+    * committed batch (minus `backupWindow` batches of restore slack) can
+    * never be re-presented by this checkpoint and expire; later ones —
+    * and any key this stream did not mint — survive the fold regardless
+    * of `keyRetention`. Run while the ingest query is stopped (the writer
+    * lease refuses otherwise).
+    */
+  def compactSafely(spark: SparkSession, storeRoot: String, checkpointDir: String,
+      cfg: IncrementalDedup.Config = IncrementalDedup.Config(),
+      keyRetention: Int = 1, backupWindow: Long = 0L): Unit = {
+    val retain = StreamCheckpoints.replayableKeys(
+      StreamCheckpoints.lastCommittedBatch(spark, checkpointDir), backupWindow)
+    IncrementalDedup.store(spark, storeRoot, cfg).compact(keyRetention, retain)
+  }
 }

@@ -70,4 +70,16 @@ object IvfIngestStream {
       }
       .start()
   }
+
+  /** Compact the IVF store without expiring any key this stream's
+    * checkpoint could still re-offer — see
+    * [[DedupIngestStream.compactSafely]] (same gate, same rationale).
+    * Run while the ingest query is stopped.
+    */
+  def compactSafely(spark: SparkSession, storeRoot: String, checkpointDir: String,
+      keyRetention: Int = 1, backupWindow: Long = 0L): Unit = {
+    val retain = StreamCheckpoints.replayableKeys(
+      StreamCheckpoints.lastCommittedBatch(spark, checkpointDir), backupWindow)
+    IVFStore.open(spark, storeRoot).compact(keyRetention, retain)
+  }
 }
