@@ -3706,7 +3706,7 @@ object QueryCatalog {
     "dedup_incremental", "dedup_incremental_multi", "dedup_incremental_verified",
     "dedup_incremental_corpus", "dedup_incremental_delete",
     "dedup_incremental_takedowns", "dedup_incremental_bucketed",
-    "dedup_incremental_batch_scoped",
+    "dedup_incremental_batch_scoped", "dedup_incremental_snapshot",
     "knn_ivf_incremental", "knn_ivf_incremental_delete",
     "knn_ivf_incremental_takedowns", "knn_ivf_retrain_swap")
 }

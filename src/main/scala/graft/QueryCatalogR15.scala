@@ -53,5 +53,25 @@ object QueryCatalogR15 {
         st.candidatesForGen(1, minEstJaccard = 0.25)
       },
       Some(QueryCatalog.minhashCandidatesSqlOver("doc_id % 9 <> 1") +
-        "\n  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)")))
+        "\n  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)")),
+
+    // Snapshot-isolated reads: pin the store after two appends, then
+    // MUTATE the live store (a third append and a takedown) — the
+    // snapshot's candidates must equal the full recompute over exactly
+    // the two pinned batches, blind to everything committed after it
+    // ([[IncrementalDedup.SignatureStore.snapshot]]; one-epoch validity
+    // by the compaction reader grace). The live read sees all three
+    // batches minus the takedown — same store, two consistent answers.
+    CatalogEntry("dedup_incremental_snapshot",
+      (s, d) => withTempStore { root =>
+        val dd = docs(s, d)
+        val st = IncrementalDedup.store(s, root)
+        st.append(dd.filter(pmod(col("doc_id"), lit(5)).isin(1, 2)))
+        st.append(dd.filter(pmod(col("doc_id"), lit(5)).isin(3, 4)))
+        val snap = st.snapshot()
+        st.append(dd.filter(pmod(col("doc_id"), lit(5)) === 0))
+        st.delete(dd.filter(pmod(col("doc_id"), lit(9)) === 2).select("doc_id"))
+        snap.candidates(minEstJaccard = 0.25)
+      },
+      Some(QueryCatalog.minhashCandidatesSqlOver("doc_id % 5 <> 0"))))
 }

@@ -607,20 +607,53 @@ object IVFStore {
       * Equal to [[IVF.topK]] over the union of all appended batches minus
       * deleted ids.
       */
-    def topK(query: Seq[Float], k: Int, nprobe: Int = defaultNprobe): DataFrame = {
+    def topK(query: Seq[Float], k: Int, nprobe: Int = defaultNprobe): DataFrame =
+      topKOver(cells(), query, k, nprobe)
+
+    private def topKOver(cellRows: DataFrame, query: Seq[Float], k: Int,
+        nprobe: Int): DataFrame = {
       val probeCells = index.centroids.zipWithIndex
         .map { case (ctr, i) =>
           i -> graft.functions.CosineSimilarity.compute(query.toArray, ctr.toArray)
         }
         .sortBy { case (i, s) => (-s, i) }
         .take(nprobe).map(_._1)
-      cells()
+      cellRows
         .filter(col("cell").isin(probeCells: _*)) // partition pruning
         .select(col("vec_id"),
           graft.functions.VectorFunctions.cosine(col("embedding"), typedLit(query)).as("score"))
         .filter(!isnan(col("score")))
         .orderBy(col("score").desc, col("vec_id").asc)
         .limit(k)
+    }
+
+    /** A consistent probe view pinned to the generations committed when
+      * [[snapshot]] was called — a batch of queries ranks against ONE
+      * corpus even while ingest keeps committing (the dedup twin's
+      * [[IncrementalDedup.SignatureStore.Snapshot]], for ANN). Valid for
+      * one compaction epoch, by the same reader-grace contract.
+      */
+    final class Snapshot private[Store] (
+        val generations: Seq[Int], val tombstoneGens: Seq[Int]) {
+
+      /** The snapshot's live (vec_id, cell, embedding) assignment rows. */
+      def cells(): DataFrame = cellsAt(generations, tombstoneGens)
+
+      /** ANN top-k over the snapshot's corpus — [[Store.topK]] evaluated
+        * at snapshot time, whatever has committed since.
+        */
+      def topK(query: Seq[Float], k: Int, nprobe: Int = defaultNprobe): DataFrame =
+        topKOver(cells(), query, k, nprobe)
+    }
+
+    /** Pin the current committed state for consistent multi-probe reads —
+      * see [[Snapshot]]. Driver-side listing only; readers never block
+      * writers.
+      */
+    def snapshot(): Snapshot = {
+      val gens = committedGens()
+      require(gens.nonEmpty, s"IVF store at $root has no committed generation yet")
+      new Snapshot(gens, deleteGens())
     }
   }
 }

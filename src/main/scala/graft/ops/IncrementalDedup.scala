@@ -299,9 +299,15 @@ object IncrementalDedup {
       * bucketed layout's `bkt isin`) land on the scans themselves.
       */
     private def liveRows(part: String,
-        pre: DataFrame => DataFrame = identity): DataFrame = {
-      val gens = committedGens()
-      val dels = deleteGens()
+        pre: DataFrame => DataFrame = identity): DataFrame =
+      liveRowsAt(committedGens(), deleteGens(), part, pre)
+
+    /** [[liveRows]] over an EXPLICIT (generations, tombstones) pair — the
+      * [[Snapshot]] read primitive (same shape as
+      * [[IVFStore.Store.cellsAt]], the swap path's pinning primitive).
+      */
+    private def liveRowsAt(gens: Seq[Int], dels: Seq[Int], part: String,
+        pre: DataFrame => DataFrame): DataFrame = {
       val dataGens = gens.filterNot(dels.toSet)
       val bucketed = part == "bands" && cfg.bandBuckets > 0
       def readGens(gs: Seq[Int], f: DataFrame => DataFrame) =
@@ -353,8 +359,11 @@ object IncrementalDedup {
       * resolution reads O(touched/bandBuckets) of the corpus, not all of
       * it (r14 verdict item 3 / ROUNDLOG open thread 1).
       */
-    private def pairsPruned(pre: DataFrame => DataFrame): DataFrame = {
-      val gens = committedGens()
+    private def pairsPruned(pre: DataFrame => DataFrame): DataFrame =
+      pairsPrunedAt(committedGens(), pre)
+
+    private def pairsPrunedAt(gens: Seq[Int],
+        pre: DataFrame => DataFrame): DataFrame = {
       require(gens.nonEmpty, s"signature store at $root has no committed generation yet")
       val touched = gens.map(g => readKeyedPart(g, "touched", pre).withColumn("g", lit(g)))
         .reduce(_ unionByName _)
@@ -607,13 +616,16 @@ object IncrementalDedup {
       estJaccard(involving, minEstJaccard)
     }
 
-    /** Signature-estimate join shared by the corpus-wide and batch-scoped
-      * candidate reads: attach each side's stored sketch (which also drops
-      * tombstone-masked docs — sigs() is the live view) and estimate
-      * Jaccard from matching minhash positions.
+    /** Signature-estimate join shared by the corpus-wide, batch-scoped,
+      * and snapshot candidate reads: attach each side's stored sketch
+      * (which also drops tombstone-masked docs — `sg` is a live view) and
+      * estimate Jaccard from matching minhash positions.
       */
-    private def estJaccard(pairIds: DataFrame, minEstJaccard: Double): DataFrame = {
-      val sg = sigs()
+    private def estJaccard(pairIds: DataFrame, minEstJaccard: Double): DataFrame =
+      estJaccardOver(pairIds, minEstJaccard, sigs())
+
+    private def estJaccardOver(pairIds: DataFrame, minEstJaccard: Double,
+        sg: DataFrame): DataFrame = {
       pairIds
         .join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
         .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
@@ -646,6 +658,55 @@ object IncrementalDedup {
         .select(col("doc_a"), col("doc_b"),
           (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
         .filter(col("jaccard") >= threshold)
+    }
+
+    /** A consistent multi-read view pinned to the generations committed
+      * when [[snapshot]] was called: every read resolves against the SAME
+      * corpus, so an analysis issuing several queries (sigs + candidates +
+      * verified pairs) never straddles a concurrent ingest commit — the
+      * isolation problem any live 100 TB store has, solved the same way
+      * the swap path pins its bulk load ([[IVFStore.Store.cellsAt]]).
+      *
+      * Validity is ONE COMPACTION EPOCH, by the reader-grace contract
+      * ([[graft.meta.GenLedger.commitCompaction]]): a fold committed after
+      * this snapshot retains the generations it supersedes until the NEXT
+      * fold (or [[SignatureStore.vacuum]]), so the snapshot keeps reading
+      * its exact corpus across one fold and fails LOUDLY (missing paths)
+      * beyond that — take it, use it, drop it.
+      */
+    final class Snapshot private[SignatureStore] (
+        val generations: Seq[Int], val tombstoneGens: Seq[Int]) {
+
+      /** The snapshot's sketches (its generations minus its tombstones). */
+      def sigs(): DataFrame = liveRowsAt(generations, tombstoneGens, "sigs", identity)
+
+      /** The snapshot's bands (layout columns stripped). */
+      def bands(): DataFrame =
+        dropBkt(liveRowsAt(generations, tombstoneGens, "bands", identity))
+
+      /** The snapshot's provenance pair set (latest-wins resolved within
+        * the snapshot's generations only).
+        */
+      def pairs(): DataFrame = pairsPrunedAt(generations, identity)
+
+      /** Candidate pairs over the snapshot's corpus — equal to
+        * [[SignatureStore.candidates]] evaluated when the snapshot was
+        * taken, whatever has committed since.
+        */
+      def candidates(minEstJaccard: Double = 0.0): DataFrame =
+        estJaccardOver(
+          pairs().select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b"),
+          minEstJaccard, sigs())
+    }
+
+    /** Pin the current committed state for consistent multi-query reads —
+      * see [[Snapshot]]. Driver-side listing only; no lease taken (readers
+      * never block writers).
+      */
+    def snapshot(): Snapshot = {
+      val gens = committedGens()
+      require(gens.nonEmpty, s"signature store at $root has no committed generation yet")
+      new Snapshot(gens, deleteGens())
     }
 
     /** Fold all committed generations into a single fresh one (bounding
