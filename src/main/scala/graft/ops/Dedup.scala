@@ -463,11 +463,16 @@ object Dedup {
       .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
         .cast("double") / lit(k.toDouble) >= candidateFloor)
       .select(col("doc_a"), col("doc_b"))
-    val grams = (side: String) => sketches
-      .select(col("doc_id").as(side), col("grams").as(s"grams_$side"))
+    // identical build subtree on both pair ends (rename AFTER each join):
+    // per-side projections (`doc_id as doc_a`) are not `sameResult`, so the
+    // planner built and broadcast the gram table twice; with one shared
+    // subtree ReuseExchange serves the second join from the first's build
+    val gramSide = sketches.select(col("doc_id"), col("grams"))
     val verified = cands
-      .join(grams("doc_a"), "doc_a")
-      .join(grams("doc_b"), "doc_b")
+      .join(gramSide, col("doc_a") === col("doc_id")).drop("doc_id")
+      .withColumnRenamed("grams", "grams_doc_a")
+      .join(gramSide, col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumnRenamed("grams", "grams_doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.TextSketches.sortedIntersectCount(
           col("grams_doc_a"), col("grams_doc_b")).as("shared"),
@@ -503,9 +508,12 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
+    // identical sizes subtree on both ends — see verifiedNearDupPairs
     val out = shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
+      .join(sizes, col("doc_a") === col("doc_id")).drop("doc_id")
+      .withColumnRenamed("n_grams", "na")
+      .join(sizes, col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumnRenamed("n_grams", "nb")
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -101,7 +101,13 @@ object IVFStore {
     val centroidsExist = fs.exists(new org.apache.hadoop.fs.Path(path, "centroids"))
     require(fs.exists(cfgPath) || centroidsExist,
       s"no _config or centroids at $path — not an IVF store")
-    val rows = spark.read.parquet(s"$path/centroids")
+    // centroids/ is our own fixed format (written by create() above) — a
+    // static schema skips the per-open footer-inference round trip
+    val centroidsSchema = new org.apache.spark.sql.types.StructType()
+      .add("cell", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("dim", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("weight", org.apache.spark.sql.types.FloatType, nullable = false)
+    val rows = spark.read.schema(centroidsSchema).parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
     require(rows.nonEmpty, s"no centroids at $path — not an IVF store")
     val centroids = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, ds) =>
@@ -380,6 +386,25 @@ object IVFStore {
     private val ledger = new graft.meta.GenLedger(spark, root)
     private def fs = ledger.fs
 
+    /** Per-part schema cache, mirroring
+      * [[IncrementalDedup.SignatureStore]]'s: part schemas are fixed per
+      * root, so re-inferring them (footer listing + a tiny job, ~0.1 s)
+      * on every per-generation relation construction is pure driver
+      * overhead (guide §7.3). Only the inference round trip is skipped.
+      */
+    private val partSchemas =
+      new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+    private def readParquetPart(part: String, path: String): DataFrame = {
+      val cached = partSchemas.get(part)
+      if (cached != null) spark.read.schema(cached).parquet(path)
+      else {
+        val df = spark.read.parquet(path)
+        partSchemas.put(part, df.schema)
+        df
+      }
+    }
+
     /** Committed generations, ascending; a committed compaction supersedes
       * everything below it (see [[graft.meta.GenLedger.committedGens]]).
       */
@@ -540,17 +565,18 @@ object IVFStore {
       // discovery rejects sibling gen=N roots as conflicting structures,
       // and per-root reads keep cell-partition pruning intact
       if (dels.isEmpty)
-        dataGens.map(g => spark.read.parquet(s"$root/gen=$g/cells")).reduce(_ unionByName _)
+        dataGens.map(g => readParquetPart("cells", s"$root/gen=$g/cells"))
+          .reduce(_ unionByName _)
       else {
         val rows = dataGens.map(g =>
-          spark.read.parquet(s"$root/gen=$g/cells").withColumn("g", lit(g)))
+          readParquetPart("cells", s"$root/gen=$g/cells").withColumn("g", lit(g)))
           .reduce(_ unionByName _)
         // per-vector latest tombstone: a row from generation g is live
         // unless some tombstone at dg >= g covers it (re-append at
         // g > dg resurrects). Tombstones are takedown-scale — AQE
         // broadcasts; compact() restores the join-free path.
         val ts = dels.map(g =>
-          spark.read.parquet(s"$root/gen=$g/deletes").withColumn("dg", lit(g)))
+          readParquetPart("deletes", s"$root/gen=$g/deletes").withColumn("dg", lit(g)))
           .reduce(_ unionByName _)
           .groupBy("vec_id").agg(max("dg").as("dg"))
         rows.join(ts, Seq("vec_id"), "left")

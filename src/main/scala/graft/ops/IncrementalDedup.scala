@@ -254,10 +254,32 @@ object IncrementalDedup {
     /** Committed TOMBSTONE generations, ascending. */
     def deleteGens(): Seq[Int] = ledger.deleteGens()
 
+    /** Per-part schema cache: a bare `spark.read.parquet` re-infers the
+      * schema (footer listing + a tiny Spark job) on EVERY relation
+      * construction, and the read paths below build one relation per
+      * generation per part — profiled at ~0.1 s per relation, pure driver
+      * overhead (guide §7.3). Part schemas are fixed per root (sketch
+      * parameters and layout are pinned by `_config`, and the empty-fold
+      * fallback keeps `bkt` in the schema), so the first read's inferred
+      * schema serves every later construction. Only the footer round trip
+      * is skipped — the data plane is untouched.
+      */
+    private val partSchemas =
+      new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+    private def readParquetPart(part: String, paths: Seq[String]): DataFrame = {
+      val cached = partSchemas.get(part)
+      if (cached != null) spark.read.schema(cached).parquet(paths: _*)
+      else {
+        val df = spark.read.parquet(paths: _*)
+        partSchemas.put(part, df.schema)
+        df
+      }
+    }
+
     private def readPart(gens: Seq[Int], part: String): DataFrame = {
       require(gens.nonEmpty, s"signature store at $root has no committed generation yet")
-      val paths = gens.map(g => genPath(g, part))
-      spark.read.parquet(paths: _*)
+      readParquetPart(part, gens.map(g => genPath(g, part)))
     }
 
     /** The bands part's layout column: hash bucket of the LSH bucket key.
@@ -278,7 +300,8 @@ object IncrementalDedup {
       */
     private def readBandGens(gens: Seq[Int], pre: DataFrame => DataFrame): DataFrame = {
       require(gens.nonEmpty, s"signature store at $root has no committed generation yet")
-      gens.map(g => pre(spark.read.parquet(genPath(g, "bands")))).reduce(_ unionByName _)
+      gens.map(g => pre(readParquetPart("bands", Seq(genPath(g, "bands")))))
+        .reduce(_ unionByName _)
     }
 
     /** Per-doc latest tombstone: (doc_id, dg). */
@@ -341,7 +364,7 @@ object IncrementalDedup {
       */
     private def readKeyedPart(g: Int, part: String,
         pre: DataFrame => DataFrame = identity): DataFrame = {
-      val df = spark.read.parquet(genPath(g, part))
+      val df = readParquetPart(part, Seq(genPath(g, part)))
       if (df.columns.contains("bkt")) dropBkt(pre(df)) else df
     }
 
@@ -626,9 +649,19 @@ object IncrementalDedup {
 
     private def estJaccardOver(pairIds: DataFrame, minEstJaccard: Double,
         sg: DataFrame): DataFrame = {
+      // both pair ends join the IDENTICAL sg subtree — same projection,
+      // same join key (doc_id), renames applied AFTER each join — so
+      // ReuseExchange serves the second join's build side from the first's
+      // (one evaluation of the live-sig union + any tombstone mask join
+      // per read, not one per pair end). The per-side projection form
+      // (`doc_id as doc_a`) defeated that reuse: two almost-identical
+      // subtrees differing only in output names are not `sameResult`.
+      val s = sg.select(col("doc_id"), col("sig"))
       pairIds
-        .join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-        .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .join(s, col("doc_a") === col("doc_id")).drop("doc_id")
+        .withColumnRenamed("sig", "sig_a")
+        .join(s, col("doc_b") === col("doc_id")).drop("doc_id")
+        .withColumnRenamed("sig", "sig_b")
         .select(col("doc_a"), col("doc_b"),
           (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
             .cast("double") / lit(cfg.k.toDouble)).as("est_jaccard"))
@@ -642,13 +675,15 @@ object IncrementalDedup {
       */
     def verifiedPairs(threshold: Double = 0.3, minMatches: Int = 10): DataFrame = {
       require(cfg.withGrams, "verifiedPairs needs a store built with withGrams = true")
-      val sg = sigs()
+      // identical sg subtree on both pair ends (renames after the join) so
+      // ReuseExchange builds the sig+gram side once — see estJaccardOver
+      val sg = sigs().select(col("doc_id"), col("sig"), col("grams"))
       val cand = pairs()
         .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
-        .join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-          col("grams").as("grams_a")), "doc_a")
-        .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-          col("grams").as("grams_b")), "doc_b")
+        .join(sg, col("doc_a") === col("doc_id")).drop("doc_id")
+        .withColumnRenamed("sig", "sig_a").withColumnRenamed("grams", "grams_a")
+        .join(sg, col("doc_b") === col("doc_id")).drop("doc_id")
+        .withColumnRenamed("sig", "sig_b").withColumnRenamed("grams", "grams_b")
         .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
           >= minMatches)
       cand

@@ -175,14 +175,21 @@ object Similarity {
       .filter(col("__n").between(2, maxBucket))
       .select(col("table_idx"), col("bucket"))
     val capped = bucketed.join(sizes, Seq("table_idx", "bucket"), "left_semi")
-    val out = capped.select(col("table_idx"), col("bucket"), col("doc_id").as("id_a"))
-      .join(capped.select(col("table_idx"), col("bucket"), col("doc_id").as("id_b")),
-        Seq("table_idx", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // identical subtrees on both sides of the self-join and of the two
+    // vector-attach joins (aliases / renames ABOVE the join): per-side
+    // projections (`doc_id as id_a`) are not `sameResult`, so the planner
+    // shuffled the capped table and scanned the vector side twice; one
+    // shared subtree lets ReuseExchange serve the second side for free
+    val out = capped.as("a")
+      .join(capped.as("b"),
+        col("a.table_idx") === col("b.table_idx") && col("a.bucket") === col("b.bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .join(slim.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), "id_a")
-      .join(slim.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), "id_b")
+      .join(slim, col("id_a") === col(idCol)).drop(idCol)
+      .withColumnRenamed(vecCol, "vec_a")
+      .join(slim, col("id_b") === col(idCol)).drop(idCol)
+      .withColumnRenamed(vecCol, "vec_b")
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(!isnan(col("cosine")) && col("cosine") >= threshold)

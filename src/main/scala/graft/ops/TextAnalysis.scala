@@ -95,15 +95,21 @@ object TextAnalysis {
       .filter(col("bs").between(2, maxBucket))
     val capped = inverted.join(bucketSizes.select("fp"), "fp")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shared = capped.select(col("fp"), col("doc_id").as("doc_a"))
-      .join(capped.select(col("fp"), col("doc_id").as("doc_b")), "fp")
-      .filter(col("doc_a") < col("doc_b"))
+    // identical subtrees on both join sides (aliases; renames ABOVE the
+    // join) so ReuseExchange shuffles the capped index once and builds the
+    // sizes side once — see Replay.fingerprintOverlapPairs
+    val shared = capped.as("a")
+      .join(capped.as("b"), col("a.fp") === col("b.fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
     val out = shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_fp", "nb"), "doc_b")
+      .join(sizes, col("doc_a") === col("doc_id")).drop("doc_id")
+      .withColumnRenamed("n_fp", "na")
+      .join(sizes, col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumnRenamed("n_fp", "nb")
       .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("shared").cast("double") / least(col("na"), col("nb"))).as("overlap"))
       .filter(col("overlap") >= minOverlap)
