@@ -40,11 +40,16 @@ object QueryCatalogR7 {
       .select(QueryCatalog.usBucket("ts_us", 60000000L).as("h"),
         col("event_type"), col("user_id"))
       .distinct()
-    b.select(col("h"), col("event_type"), col("user_id").as("src"))
-      .join(b.select(col("h"), col("event_type"), col("user_id").as("dst")),
-        Seq("h", "event_type"))
-      .filter(col("src") < col("dst"))
-      .select(col("src"), col("dst")).distinct()
+    // IDENTICAL subtree on both sides of the self-join (aliases; the
+    // src/dst renames live in the projection ABOVE the join): per-side
+    // renamed projections are not `sameResult`, so the distinct's shuffle
+    // ran twice — one shared subtree lets ReuseExchange serve the second
+    // side from the first's exchange (r15 optimization round)
+    b.as("a")
+      .join(b.as("b"),
+        col("a.h") === col("b.h") && col("a.event_type") === col("b.event_type"))
+      .filter(col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("src"), col("b.user_id").as("dst")).distinct()
   }
 
   val entries: Seq[CatalogEntry] = Seq(

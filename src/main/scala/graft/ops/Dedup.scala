@@ -124,16 +124,30 @@ object Dedup {
       s"k=$k must be divisible by bands=$bands — otherwise the trailing " +
         s"${k % bands} signature positions are never banded and recall drops silently")
     val rowsPerBand = k / bands
+    // persisted: feeds the banding AND both pair ends of the join-back.
+    // The previous shape carried the k-long signature through the banding
+    // explode and the bucket shuffle (bands copies per document) where the
+    // pair decision needs only (band hash, doc_id) — guide §2.3/§8:
+    // shuffle keys, attach payloads to the survivors.
     val sigs = signatures(docs, k, shingleLen, textCol, idCol)
-    val banded = lshBands(sigs, bands, rowsPerBand)
-    bucketPairs(banded, Seq("band_idx", "band_hash"), "doc_id", Seq("sig"), maxBucket)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = lshBands(sigs, bands, rowsPerBand).drop("sig")
+    val pairIds = bucketPairs(banded, Seq("band_idx", "band_hash"), "doc_id",
+        Seq.empty, maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // identical sig subtree on both ends so ReuseExchange builds it once
+    val s = sigs.select(col("doc_id"), col("sig"))
+    val out = pairIds
+      .join(s, col("doc_a") === col("doc_id")).drop("doc_id")
+      .withColumnRenamed("sig", "sig_a")
+      .join(s, col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumnRenamed("sig", "sig_b")
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
           .cast("double") / lit(k.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+    materializeAndRelease(out, sigs)
   }
 
   /** Shared LSH candidate-pair generator: aggregate each bucket with
@@ -455,24 +469,26 @@ object Dedup {
       .filter(size(col("grams")) > 0)
       // read three times (banding + both pair ends) — persist, don't rescan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucket shuffle carries only (band hash, doc_id) — sig and grams
+    // re-attach from the cache after the pair decision (guide §2.3/§8).
+    // One join per pair end brings BOTH payloads; the identical subtree on
+    // each end (renames ABOVE the join) lets ReuseExchange build that side
+    // once — per-side projections (`doc_id as doc_a`) are not `sameResult`
+    // and forced two builds.
     val banded = lshBands(sketches.select(col("doc_id"), col("sig")), bands, k / bands)
-    val cands = bucketPairs(banded, Seq("band_idx", "band_hash"), "doc_id", Seq("sig"), maxBucket)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .drop("sig")
+    val candIds = bucketPairs(banded, Seq("band_idx", "band_hash"), "doc_id",
+        Seq.empty, maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val side = sketches.select(col("doc_id"), col("sig"), col("grams"))
+    val verified = candIds
+      .join(side, col("doc_a") === col("doc_id")).drop("doc_id")
+      .withColumnRenamed("sig", "sig_a").withColumnRenamed("grams", "grams_doc_a")
+      .join(side, col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumnRenamed("sig", "sig_b").withColumnRenamed("grams", "grams_doc_b")
       .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
         .cast("double") / lit(k.toDouble) >= candidateFloor)
-      .select(col("doc_a"), col("doc_b"))
-    // identical build subtree on both pair ends (rename AFTER each join):
-    // per-side projections (`doc_id as doc_a`) are not `sameResult`, so the
-    // planner built and broadcast the gram table twice; with one shared
-    // subtree ReuseExchange serves the second join from the first's build
-    val gramSide = sketches.select(col("doc_id"), col("grams"))
-    val verified = cands
-      .join(gramSide, col("doc_a") === col("doc_id")).drop("doc_id")
-      .withColumnRenamed("grams", "grams_doc_a")
-      .join(gramSide, col("doc_b") === col("doc_id")).drop("doc_id")
-      .withColumnRenamed("grams", "grams_doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.TextSketches.sortedIntersectCount(
           col("grams_doc_a"), col("grams_doc_b")).as("shared"),

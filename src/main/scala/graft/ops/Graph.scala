@@ -146,12 +146,19 @@ object Graph {
       if (dedupEdges) e0
       else {
         // the caller's edge expression usually embeds a distinct — cache the
-        // directed list ONCE so the union's two branches read the cache
-        // instead of re-running that shuffle per branch
+        // directed list ONCE so downstream consumers read the cache instead
+        // of re-running that shuffle
         val e = e0.persist(level); transients += e; e
       }
     }
-    val sym = directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+    // one-pass symmetrization (explode of both orientations) instead of a
+    // union of two projections: the union form evaluated `directed` twice —
+    // a second cache scan on the persisted branch, a second full scan of
+    // the caller's edge expression on the dedupEdges branch
+    val sym = directed.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val adjPlan =
       if (hubSalts == 1) {
         if (dedupEdges)
@@ -317,9 +324,14 @@ object Graph {
       when(col("skey") < col("dkey"), col("dst")).otherwise(col("src")).as("v"),
       greatest(col("skey"), col("dkey")).as("vkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wedgePairs = oriented.select(col("u"), col("v").as("a"), col("vkey").as("akey"))
-      .join(oriented.select(col("u"), col("v").as("b"), col("vkey").as("bkey")), "u")
-      .filter(col("akey") < col("bkey"))
+    // IDENTICAL subtrees on both sides of the wedge self-join (aliases;
+    // renames in the projection above): per-side renamed projections are
+    // not `sameResult`, so the persisted oriented list was shuffled twice
+    // on u — the shared subtree lets ReuseExchange serve the second side
+    val wedgePairs = oriented.as("p")
+      .join(oriented.as("q"), col("p.u") === col("q.u"))
+      .filter(col("p.vkey") < col("q.vkey"))
+      .select(col("p.v").as("a"), col("q.v").as("b"))
     val triangles = wedgePairs
       .join(oriented.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
@@ -365,8 +377,17 @@ object Graph {
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(k >= 1, s"k=$k must be positive")
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+    // symmetrize in ONE pass over the (possibly expensive, un-persisted)
+    // edge expression: the union-of-two-projections form evaluated the
+    // caller's whole edge subtree twice before the persist ever filled
+    // (r15 optimization round — the co-activity edge list behind the bench
+    // graph entries is a distinct + self-join, so the double evaluation
+    // was the dominant cost of the first peel)
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
+        struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(level)
     // broadcast the alive set, NOT the edges — the pageRank vector pattern
     // (lesson 22: a frame behind an aggregate has no planner stats, so
@@ -449,8 +470,13 @@ object Graph {
       // predictions when inputs weren't pre-normalized (review r9)
       .join(e.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")), Seq("u", "v"), "left_anti")
-      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      // identical deg subtree on both ends (renames above the join) so the
+      // degree aggregate is built once and ReuseExchange serves the second
+      // join — per-side renamed projections recomputed it per end
+      .join(deg, col("u") === col("node")).drop("node")
+      .withColumnRenamed("deg", "du")
+      .join(deg, col("v") === col("node")).drop("node")
+      .withColumnRenamed("deg", "dv")
       .withColumn("jaccard", col("common").cast("double")
         / (col("du") + col("dv") - col("common")))
       // top-k via orderBy+limit (TakeOrderedAndProject: per-partition

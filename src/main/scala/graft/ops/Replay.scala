@@ -49,14 +49,21 @@ object Replay {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rowsPerBand = k / bands
+    // persisted: feeds the banding AND both pair ends of the join-back
+    // below. The previous shape instead carried the full signature through
+    // the banding explode and the bucket shuffle — bands copies of k longs
+    // per document where the pair decision needs only (band key, doc_id) —
+    // the exact "shuffle keys and metadata instead of payloads" case
+    // (guide §2.3/§8); sigs re-attach to the surviving pairs here.
     val sigs = docs
       .repartition(col(idCol))
       .withColumn("norm", Shingles.normalize(col(textCol)))
       .select(col(idCol).as("doc_id"),
         PortableSketches.portableMinhashSig(col("norm"), shingleLen, k).as("sig"))
       .filter(size(col("sig")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(
           lit(b).as("band_idx"),
@@ -67,15 +74,24 @@ object Replay {
           // concat burned ~0.7 s at sf0.1 (MinhashProfile)
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
             .as("band_key"))): _*)).as("band"))
-      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_key"))
-    Dedup.bucketPairs(banded, Seq("band_idx", "band_key"), "doc_id", Seq("sig"), maxBucket)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+    val pairIds = Dedup.bucketPairs(banded, Seq("band_idx", "band_key"), "doc_id",
+        Seq.empty, maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // identical sig subtree on both ends (renames above the join) so
+    // ReuseExchange builds the cached sig side once
+    val s = sigs.select(col("doc_id"), col("sig"))
+    val out = pairIds
+      .join(s, col("doc_a") === col("doc_id")).drop("doc_id")
+      .withColumnRenamed("sig", "sig_a")
+      .join(s, col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumnRenamed("sig", "sig_b")
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
           .cast("double") / lit(k.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+    Dedup.materializeAndRelease(out, sigs)
   }
 
   /** Replayable two-stage verified near-dup pairs: LSH candidates from the
@@ -118,26 +134,30 @@ object Replay {
         PortableSketches.portableGramHashes(col("norm"), shingleLen).as("grams"))
       .filter(size(col("grams")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucket shuffle carries only (band key, doc_id) — sig and grams
+    // re-attach from the cache after the pair decision (guide §2.3/§8);
+    // one join per pair end brings BOTH payloads, and the identical
+    // subtree on each end lets ReuseExchange build that side once
     val banded = sketches.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(
           lit(b).as("band_idx"),
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("band_key"))): _*))
         .as("band"))
-      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_key"))
-    val cands = Dedup.bucketPairs(banded, Seq("band_idx", "band_key"), "doc_id", Seq("sig"), maxBucket)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+    val candIds = Dedup.bucketPairs(banded, Seq("band_idx", "band_key"), "doc_id",
+        Seq.empty, maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val side = sketches.select(col("doc_id"), col("sig"), col("grams"))
+    val verified = candIds
+      .join(side, col("doc_a") === col("doc_id")).drop("doc_id")
+      .withColumnRenamed("sig", "sig_a").withColumnRenamed("grams", "grams_doc_a")
+      .join(side, col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumnRenamed("sig", "sig_b").withColumnRenamed("grams", "grams_doc_b")
       .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
         >= minMatches)
-      .select(col("doc_a"), col("doc_b"))
-    val grams = (side: String) => sketches
-      .select(col("doc_id").as(side), col("grams").as(s"grams_$side"))
-    val verified = cands
-      .join(grams("doc_a"), "doc_a")
-      .join(grams("doc_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.TextSketches.sortedIntersectCount(
           col("grams_doc_a"), col("grams_doc_b")).as("shared"),

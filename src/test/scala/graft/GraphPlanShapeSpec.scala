@@ -124,13 +124,23 @@ class GraphPlanShapeSpec extends SparkSpec {
     assert(all.contains("BroadcastHashJoin"), all.take(4000))
   }
 
-  test("dedup_minhash: banded collect_list pairing — one shuffle, no self-join of the sketch pipeline") {
+  test("dedup_minhash: banded collect_list pairing; sigs re-attach from the cache, kernel runs once") {
     val plans = executedPlans("dedup_minhash")
     val all = plans.mkString("\n===\n")
     // bucket aggregation via collect_list (ObjectHashAggregate), then
-    // in-bucket pair expansion — the plan must contain NO join at all
-    // (a bucket self-join would re-run the sketch pipeline per side)
+    // in-bucket pair expansion — never a bucket SELF-join (which would
+    // square the sketch pipeline)
     assert(all.contains("ObjectHashAggregate") && all.contains("collect_list"), all.take(4000))
-    assert(!all.contains("Join"), all.take(4000))
+    // r15 shuffle-bytes shape: the banding shuffle carries only (band key,
+    // doc_id); signatures re-attach to pair SURVIVORS by joining the
+    // persisted sketch cache. The kernel must only ever appear as the
+    // cached relation's definition (InMemoryTableScan prints its child
+    // plan) — a plan computing the sketch OUTSIDE the cache would mean the
+    // text is being re-sketched per consumer
+    assert(all.contains("InMemoryTableScan"), all.take(4000))
+    val rogue = plans.filter(p =>
+      p.contains("portable_minhash_sig") && !p.contains("InMemoryRelation"))
+    assert(rogue.isEmpty,
+      "sketch kernel evaluated outside the persisted sketch frame:\n" + rogue.mkString.take(4000))
   }
 }

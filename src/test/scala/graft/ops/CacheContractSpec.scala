@@ -44,6 +44,17 @@ class CacheContractSpec extends SparkSpec {
     assert(released === 0)
   }
 
+  test("minhashCandidates twins leak exactly one handle; unpersist clears all (r15 opt)") {
+    // the r15 shuffle-bytes optimization re-attaches signatures to pair
+    // survivors from a persisted sketch cache instead of carrying them
+    // through the banding shuffle — the operators became eager with the
+    // standard one-leaked-handle contract
+    val (heldA, releasedA) = deltaAround(Dedup.minhashCandidates(docs))
+    assert(heldA === 1 && releasedA === 0) // result handle only — sigs released
+    val (heldB, releasedB) = deltaAround(Replay.minhashCandidates(docs))
+    assert(heldB === 1 && releasedB === 0)
+  }
+
   test("ngramJaccardPairs leaks exactly one handle; unpersist clears all") {
     val (held, released) = deltaAround(Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3))
     assert(held === 1)
