@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   *    few-files input (one file = one scan partition) still uses the whole
   *    cluster; at real scale with thousands of input files the repartition
   *    cost is one pass of the text, traded for balanced compute;
-  *  - candidate generation shuffles only (band_key, doc_id, sketch) — never
-  *    the text; degenerate LSH buckets (boilerplate shared by millions of
-  *    docs) are capped by `maxBucket` before the pair join, bounding the
-  *    quadratic blowup and doubling as skew protection;
+  *  - candidate generation shuffles only (band_key, doc_id) — never the
+  *    text, and since r15 not the sketch either: signatures re-attach to
+  *    the pair SURVIVORS from the persisted sketch frame (shuffle keys
+  *    and metadata, not payloads — optimization guide §2.3/§8);
+  *    degenerate LSH buckets (boilerplate shared by millions of docs) are
+  *    capped by `maxBucket` before the pair join, bounding the quadratic
+  *    blowup and doubling as skew protection;
   *  - exact-verify joins happen only on surviving candidate pairs;
   *  - caching contract: operators that cache intermediates release them
   *    internally once the result is materialized ([[materializeAndRelease]]);

@@ -55,6 +55,12 @@ import org.apache.spark.sql.functions._
   */
 object IVFStore {
 
+  /** JVM-wide part-schema cache for [[Store.readParquetPart]], keyed by
+    * (store root, part name). Schemas only — never data.
+    */
+  private val partSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
   /** Create a new store at `path` with frozen `index` centroids.
     *
     * Alongside the centroids, a `_config` file persists the search
@@ -83,6 +89,10 @@ object IVFStore {
     val out = fs.create(new org.apache.hadoop.fs.Path(path, "_config"), true)
     try out.write(configLine(index, defaultNprobe).getBytes("UTF-8"))
     finally out.close()
+    // a FRESH store at this path: drop part schemas cached for a previous
+    // store that lived at the same root (e.g. retrainAndSwap wiping and
+    // re-creating a crashed vNext, or a test reusing a directory)
+    partSchemaCache.keySet.removeIf(_._1 == path)
     new Store(spark, path, index, defaultNprobe)
   }
 
@@ -391,16 +401,16 @@ object IVFStore {
       * root, so re-inferring them (footer listing + a tiny job, ~0.1 s)
       * on every per-generation relation construction is pure driver
       * overhead (guide §7.3). Only the inference round trip is skipped.
+      * JVM-wide and keyed by (root, part) — the streaming ingest opens a
+      * fresh Store per micro-batch.
       */
-    private val partSchemas =
-      new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
-
     private def readParquetPart(part: String, path: String): DataFrame = {
-      val cached = partSchemas.get(part)
+      val key = (root, part)
+      val cached = IVFStore.partSchemaCache.get(key)
       if (cached != null) spark.read.schema(cached).parquet(path)
       else {
         val df = spark.read.parquet(path)
-        partSchemas.put(part, df.schema)
+        IVFStore.partSchemaCache.put(key, df.schema)
         df
       }
     }

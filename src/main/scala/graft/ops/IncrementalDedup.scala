@@ -241,6 +241,10 @@ object IncrementalDedup {
       } else {
         val out = fs.create(configPath, true)
         try out.write(configLine.getBytes("UTF-8")) finally out.close()
+        // a FRESH store at this root (first append): drop any part schemas
+        // cached for a previous store that lived at the same path — e.g. a
+        // test recreating a root with a different withGrams/layout
+        IncrementalDedup.partSchemaCache.keySet.removeIf(_._1 == root)
       }
     }
 
@@ -262,17 +266,17 @@ object IncrementalDedup {
       * parameters and layout are pinned by `_config`, and the empty-fold
       * fallback keeps `bkt` in the schema), so the first read's inferred
       * schema serves every later construction. Only the footer round trip
-      * is skipped — the data plane is untouched.
+      * is skipped — the data plane is untouched. JVM-wide and keyed by
+      * (root, part), because the streaming ingest constructs a fresh
+      * Store per micro-batch (one store() call per foreachBatch).
       */
-    private val partSchemas =
-      new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
-
     private def readParquetPart(part: String, paths: Seq[String]): DataFrame = {
-      val cached = partSchemas.get(part)
+      val key = (root, part)
+      val cached = IncrementalDedup.partSchemaCache.get(key)
       if (cached != null) spark.read.schema(cached).parquet(paths: _*)
       else {
         val df = spark.read.parquet(paths: _*)
-        partSchemas.put(part, df.schema)
+        IncrementalDedup.partSchemaCache.put(key, df.schema)
         df
       }
     }
@@ -817,6 +821,13 @@ object IncrementalDedup {
       trip
     }
   }
+
+  /** JVM-wide part-schema cache for [[SignatureStore.readParquetPart]],
+    * keyed by (store root, part name). Schemas only — never data or row
+    * counts; entries are a few hundred bytes each.
+    */
+  private val partSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
 
   /** Run independent store-delta write jobs concurrently on a transient
     * daemon pool (Spark job submission is thread-safe; the writes read
