@@ -98,9 +98,12 @@ object Dedup {
     docs
       .repartition(col(idCol))
       .withColumn("norm", Shingles.normalize(col(textCol)))
+      // exact empty contract of the xxhash64 kernel (bytes < shingleLen ⇒
+      // empty sig) — filtering on size(sig) pushed the predicate below the
+      // projection and ran the kernel twice per row (guide §4.4)
+      .filter(octet_length(col("norm")) >= shingleLen)
       .select(col(idCol).as("doc_id"),
         graft.functions.TextSketches.minhashSig(col("norm"), shingleLen, k).as("sig"))
-      .filter(size(col("sig")) > 0)
 
   /** LSH banding: one row per (doc, band) with the band's hash. Docs sharing
     * any (band_idx, band_hash) are candidates. b bands of r rows: collision
@@ -466,10 +469,12 @@ object Dedup {
     val sketches = docs
       .repartition(col(idCol))
       .withColumn("norm", Shingles.normalize(col(textCol)))
+      // exact empty contract of charShingleHashes (bytes < shingleLen ⇒
+      // empty grams) — see signatures for the duplicated-kernel rationale
+      .filter(octet_length(col("norm")) >= shingleLen)
       .select(col(idCol).as("doc_id"),
         graft.functions.TextSketches.minhashSig(col("norm"), shingleLen, k).as("sig"),
         graft.functions.TextSketches.charShingleHashes(col("norm"), shingleLen).as("grams"))
-      .filter(size(col("grams")) > 0)
       // read three times (banding + both pair ends) — persist, don't rescan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket shuffle carries only (band hash, doc_id) — sig and grams
@@ -513,12 +518,16 @@ object Dedup {
       maxBucket: Int = 200, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // distinct n-gram HASHES from the one-pass kernel (TextSketches): the
     // inverted index below shuffles 8-byte keys, never gram strings
+    // no short-doc filter: a size(grams) predicate pushed below the
+    // projection re-evaluates the kernel per row (guide §4.4), and empty
+    // gram sets are inert anyway — they vanish in the explode and a doc
+    // with no grams can never appear in a pair, so the sizes join never
+    // sees it. Results are identical with or without the filter.
     val grams = docs
       .repartition(col(idCol))
       .withColumn("norm", Shingles.normalize(col(textCol)))
       .select(col(idCol).as("doc_id"),
         graft.functions.TextSketches.ngramHashes(col("norm"), n).as("grams"))
-      .filter(size(col("grams")) > 0)
       // read twice below (sizes + inverted index) — persist or recompute
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.select(col("doc_id"), size(col("grams")).as("n_grams"))

@@ -155,9 +155,19 @@ object IncrementalDedup {
     */
   private[graft] def sketch(docs: DataFrame, cfg: Config,
       textCol: String, idCol: String): DataFrame = {
+    // the short-doc drop-out is the kernel's exact empty contract stated
+    // on `norm` directly — portable kernels count code points, xxhash64
+    // kernels count bytes. Filtering on size(sig) pushed the predicate
+    // below the projection and evaluated the sketch kernel TWICE per row
+    // (scan-stage filter + post-shuffle projection; guide §4.4) — per
+    // APPEND, on every batch.
+    val shortDoc =
+      if (cfg.portable) length(col("norm")) >= cfg.shingleLen
+      else octet_length(col("norm")) >= cfg.shingleLen
     val base = docs
       .repartition(col(idCol))
       .withColumn("norm", Shingles.normalize(col(textCol)))
+      .filter(shortDoc)
     val sig =
       if (cfg.portable) PortableSketches.portableMinhashSig(col("norm"), cfg.shingleLen, cfg.k)
       else TextSketches.minhashSig(col("norm"), cfg.shingleLen, cfg.k)
@@ -166,7 +176,7 @@ object IncrementalDedup {
         (if (cfg.portable) PortableSketches.portableGramHashes(col("norm"), cfg.shingleLen)
          else TextSketches.charShingleHashes(col("norm"), cfg.shingleLen)).as("grams"))
        else Seq.empty)
-    base.select(cols: _*).filter(size(col("sig")) > 0)
+    base.select(cols: _*)
   }
 
   /** (doc_id, band_idx, band_key) — band_key is the raw signature slice

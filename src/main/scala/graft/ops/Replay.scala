@@ -55,12 +55,19 @@ object Replay {
     // per document where the pair decision needs only (band key, doc_id) —
     // the exact "shuffle keys and metadata instead of payloads" case
     // (guide §2.3/§8); sigs re-attach to the surviving pairs here.
+    // the short-doc drop-out is `length(norm) >= shingleLen` — the kernel's
+    // exact empty contract (code points < k ⇒ empty sig). Filtering on
+    // size(sig) pushed the predicate below the projection and evaluated
+    // the md5 kernel TWICE per row (once in the scan-stage filter, once in
+    // the post-shuffle projection — guide §4.4's duplication, here for a
+    // Catalyst expression); the length form keeps the filter cheap and the
+    // kernel single-pass.
     val sigs = docs
       .repartition(col(idCol))
       .withColumn("norm", Shingles.normalize(col(textCol)))
+      .filter(length(col("norm")) >= shingleLen)
       .select(col(idCol).as("doc_id"),
         PortableSketches.portableMinhashSig(col("norm"), shingleLen, k).as("sig"))
-      .filter(size(col("sig")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col("doc_id"),
@@ -129,10 +136,13 @@ object Replay {
     val sketches = docs
       .repartition(col(idCol))
       .withColumn("norm", Shingles.normalize(col(textCol)))
+      // exact empty contract of portableGramHashes (code points < k ⇒
+      // empty) — a size(grams) filter re-evaluated the kernel per row in
+      // the pushed-down filter stage (see minhashCandidates)
+      .filter(length(col("norm")) >= shingleLen)
       .select(col(idCol).as("doc_id"),
         PortableSketches.portableMinhashSig(col("norm"), shingleLen, k).as("sig"),
         PortableSketches.portableGramHashes(col("norm"), shingleLen).as("grams"))
-      .filter(size(col("grams")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket shuffle carries only (band key, doc_id) — sig and grams
     // re-attach from the cache after the pair decision (guide §2.3/§8);
@@ -226,9 +236,12 @@ object Replay {
     docs
       .repartition(col(idCol))
       .withColumn("norm", Shingles.normalize(col(textCol)))
+      // exact empty contract of the winnow kernel (code points < k+w-1 ⇒
+      // no full window ⇒ empty) — a size(fingerprint) filter re-evaluated
+      // the kernel per row in the pushed-down filter stage (guide §4.4)
+      .filter(length(col("norm")) >= k + w - 1)
       .select(col(idCol).as("doc_id"), hash60(col(textCol)).as("content_hash"),
         PortableSketches.portableWinnowedFingerprint(col("norm"), k, w).as("fingerprint"))
-      .filter(size(col("fingerprint")) > 0)
 
   /** Replayable fingerprint-overlap pairs — the portable twin of
     * [[TextAnalysis.fingerprintOverlapPairs]] (same inverted index,

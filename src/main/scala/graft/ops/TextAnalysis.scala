@@ -338,10 +338,13 @@ object TextAnalysis {
     docs
       .repartition(col(idCol))
       .withColumn("norm", Shingles.normalize(col(textCol)))
+      // exact empty contract of the winnow kernel (bytes < k+w-1 ⇒ no full
+      // window ⇒ empty) — a size(fingerprint) filter re-evaluated the
+      // kernel per row in the pushed-down filter stage (guide §4.4)
+      .filter(octet_length(col("norm")) >= k + w - 1)
       .select(col(idCol).as("doc_id"),
         graft.functions.TextSketches.winnowedFingerprint(col("norm"), k, w).as("fingerprint"),
         xxhash64(col(textCol)).as("content_hash"))
-      .filter(size(col("fingerprint")) > 0)
       .select(col("doc_id"), col("fingerprint"), col("content_hash"))
 
   /** Per-doc term frequencies — the shared first stage of the retrieval /
