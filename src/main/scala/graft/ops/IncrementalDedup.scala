@@ -642,13 +642,21 @@ object IncrementalDedup {
       // sides of it are batch-scale, hence the broadcast
       val scoped = pairsPruned(pre)
         .join(broadcast(touchedG), Seq("band_idx", "band_key"), "left_semi")
-      val batchDocs = readKeyedPart(gen, "sigs").select("doc_id")
+      // "involving" = a side in the batch, decided in ONE pass over
+      // `scoped`: the previous union-of-two-semi-joins evaluated the whole
+      // latest-wins resolution once per pair side (r15 optimization
+      // round). Two LEFT joins against the IDENTICAL batch-id subtree
+      // (broadcast built once via ReuseExchange; batch ids are unique per
+      // generation, so no row multiplication) mark each side's membership,
+      // and the OR filter replaces the union; dropDuplicates keeps its
+      // multi-bucket dedup role exactly as before.
+      val bd = readKeyedPart(gen, "sigs").select(col("doc_id"), lit(true).as("hit"))
       val involving = scoped
-        .join(broadcast(batchDocs.withColumnRenamed("doc_id", "doc_a")),
-          Seq("doc_a"), "left_semi")
-        .unionByName(scoped
-          .join(broadcast(batchDocs.withColumnRenamed("doc_id", "doc_b")),
-            Seq("doc_b"), "left_semi"))
+        .join(broadcast(bd), col("doc_a") === col("doc_id"), "left")
+        .drop("doc_id").withColumnRenamed("hit", "hit_a")
+        .join(broadcast(bd), col("doc_b") === col("doc_id"), "left")
+        .drop("doc_id").withColumnRenamed("hit", "hit_b")
+        .filter(col("hit_a").isNotNull || col("hit_b").isNotNull)
         .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
       estJaccard(involving, minEstJaccard)
     }
