@@ -97,13 +97,16 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs
       .repartition(col(idCol))
-      .withColumn("norm", Shingles.normalize(col(textCol)))
-      // exact empty contract of the xxhash64 kernel (bytes < shingleLen ⇒
-      // empty sig) — filtering on size(sig) pushed the predicate below the
-      // projection and ran the kernel twice per row (guide §4.4)
-      .filter(octet_length(col("norm")) >= shingleLen)
+      // short-doc drop-out via the kernel's exact empty contract (bytes <
+      // shingleLen ⇒ empty sig), stated as a one-row Generate so normalize
+      // AND the kernel evaluate exactly once per row — the r15 length-
+      // precondition filter kept the kernel single-pass but still ran the
+      // normalize regex twice (pushed filter + projection; guide §4.4)
       .select(col(idCol).as("doc_id"),
-        graft.functions.TextSketches.minhashSig(col("norm"), shingleLen, k).as("sig"))
+        Shingles.onceOrDrop(
+          graft.functions.TextSketches.minhashSig(
+            Shingles.normalize(col(textCol)), shingleLen, k),
+          s => size(s) > 0).as("sig"))
 
   /** LSH banding: one row per (doc, band) with the band's hash. Docs sharing
     * any (band_idx, band_hash) are candidates. b bands of r rows: collision
@@ -466,15 +469,23 @@ object Dedup {
     val candidateFloor = math.max(0.0, threshold - 2.6 * math.sqrt(threshold * (1 - threshold) / k))
     // ONE text scan builds both sketches: the minhash signature (candidate
     // generation) and the full sorted shingle-hash set (exact verification)
+    // short-doc drop-out via the kernels' shared empty contract (bytes <
+    // shingleLen ⇒ empty sig AND empty grams), stated as a one-row Generate
+    // over a (sig, grams) struct so normalize and both kernels evaluate
+    // exactly once per row (guide §4.4 — see signatures). `norm` is
+    // materialized in its own projection BELOW the Generate: both kernels
+    // read the attribute, and CollapseProject keeps the alias un-inlined
+    // (a non-cheap alias referenced twice is never substituted).
     val sketches = docs
       .repartition(col(idCol))
-      .withColumn("norm", Shingles.normalize(col(textCol)))
-      // exact empty contract of charShingleHashes (bytes < shingleLen ⇒
-      // empty grams) — see signatures for the duplicated-kernel rationale
-      .filter(octet_length(col("norm")) >= shingleLen)
-      .select(col(idCol).as("doc_id"),
-        graft.functions.TextSketches.minhashSig(col("norm"), shingleLen, k).as("sig"),
-        graft.functions.TextSketches.charShingleHashes(col("norm"), shingleLen).as("grams"))
+      .select(col(idCol).as("doc_id"), Shingles.normalize(col(textCol)).as("norm"))
+      .select(col("doc_id"),
+        Shingles.onceOrDrop(
+          struct(
+            graft.functions.TextSketches.minhashSig(col("norm"), shingleLen, k).as("sig"),
+            graft.functions.TextSketches.charShingleHashes(col("norm"), shingleLen).as("grams")),
+          p => size(p.getField("sig")) > 0).as("sk"))
+      .select(col("doc_id"), col("sk.sig").as("sig"), col("sk.grams").as("grams"))
       // read three times (banding + both pair ends) — persist, don't rescan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket shuffle carries only (band hash, doc_id) — sig and grams

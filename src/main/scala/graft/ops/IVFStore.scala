@@ -404,12 +404,12 @@ object IVFStore {
       * JVM-wide and keyed by (root, part) — the streaming ingest opens a
       * fresh Store per micro-batch.
       */
-    private def readParquetPart(part: String, path: String): DataFrame = {
+    private def readParquetPart(part: String, path: String*): DataFrame = {
       val key = (root, part)
       val cached = IVFStore.partSchemaCache.get(key)
-      if (cached != null) spark.read.schema(cached).parquet(path)
+      if (cached != null) spark.read.schema(cached).parquet(path: _*)
       else {
-        val df = spark.read.parquet(path)
+        val df = spark.read.parquet(path: _*)
         IVFStore.partSchemaCache.put(key, df.schema)
         df
       }
@@ -584,10 +584,14 @@ object IVFStore {
         // per-vector latest tombstone: a row from generation g is live
         // unless some tombstone at dg >= g covers it (re-append at
         // g > dg resurrects). Tombstones are takedown-scale — AQE
-        // broadcasts; compact() restores the join-free path.
-        val ts = dels.map(g =>
-          readParquetPart("deletes", s"$root/gen=$g/deletes").withColumn("dg", lit(g)))
-          .reduce(_ unionByName _)
+        // broadcasts; compact() restores the join-free path. ONE multi-path
+        // read, the generation tag recovered from the row's file path (it
+        // is a physical path component) — a per-generation union of
+        // relations paid planning latency per tombstone generation.
+        val ts = readParquetPart("deletes", dels.map(g => s"$root/gen=$g/deletes"): _*)
+          .withColumn("dg",
+            element_at(regexp_extract_all(input_file_name(), lit("gen=(\\d+)/"), lit(1)), -1)
+              .cast("int"))
           .groupBy("vec_id").agg(max("dg").as("dg"))
         rows.join(ts, Seq("vec_id"), "left")
           .filter(col("dg").isNull || col("g") > col("dg"))

@@ -155,28 +155,33 @@ object IncrementalDedup {
     */
   private[graft] def sketch(docs: DataFrame, cfg: Config,
       textCol: String, idCol: String): DataFrame = {
-    // the short-doc drop-out is the kernel's exact empty contract stated
-    // on `norm` directly — portable kernels count code points, xxhash64
-    // kernels count bytes. Filtering on size(sig) pushed the predicate
-    // below the projection and evaluated the sketch kernel TWICE per row
-    // (scan-stage filter + post-shuffle projection; guide §4.4) — per
-    // APPEND, on every batch.
-    val shortDoc =
-      if (cfg.portable) length(col("norm")) >= cfg.shingleLen
-      else octet_length(col("norm")) >= cfg.shingleLen
-    val base = docs
-      .repartition(col(idCol))
-      .withColumn("norm", Shingles.normalize(col(textCol)))
-      .filter(shortDoc)
-    val sig =
-      if (cfg.portable) PortableSketches.portableMinhashSig(col("norm"), cfg.shingleLen, cfg.k)
-      else TextSketches.minhashSig(col("norm"), cfg.shingleLen, cfg.k)
-    val cols = Seq(col(idCol).as("doc_id"), sig.as("sig")) ++
-      (if (cfg.withGrams) Seq(
-        (if (cfg.portable) PortableSketches.portableGramHashes(col("norm"), cfg.shingleLen)
-         else TextSketches.charShingleHashes(col("norm"), cfg.shingleLen)).as("grams"))
-       else Seq.empty)
-    base.select(cols: _*)
+    // short-doc drop-out via the kernels' exact empty contract (code
+    // points / bytes < shingleLen ⇒ empty sig), stated as a one-row
+    // Generate so normalize AND the kernels evaluate exactly once per row
+    // — per APPEND, on every batch. The r15 length-precondition filter
+    // kept the kernels single-pass but still ran the normalize regex
+    // twice (pushed scan-stage filter + projection; guide §4.4). With
+    // grams, `norm` is materialized below the Generate — a non-cheap
+    // alias referenced twice is never inlined by CollapseProject.
+    def sig(norm: org.apache.spark.sql.Column) =
+      if (cfg.portable) PortableSketches.portableMinhashSig(norm, cfg.shingleLen, cfg.k)
+      else TextSketches.minhashSig(norm, cfg.shingleLen, cfg.k)
+    val base = docs.repartition(col(idCol))
+    if (cfg.withGrams) {
+      def grams(norm: org.apache.spark.sql.Column) =
+        if (cfg.portable) PortableSketches.portableGramHashes(norm, cfg.shingleLen)
+        else TextSketches.charShingleHashes(norm, cfg.shingleLen)
+      base
+        .select(col(idCol).as("doc_id"), Shingles.normalize(col(textCol)).as("norm"))
+        .select(col("doc_id"),
+          Shingles.onceOrDrop(
+            struct(sig(col("norm")).as("sig"), grams(col("norm")).as("grams")),
+            p => size(p.getField("sig")) > 0).as("sk"))
+        .select(col("doc_id"), col("sk.sig").as("sig"), col("sk.grams").as("grams"))
+    } else
+      base.select(col(idCol).as("doc_id"),
+        Shingles.onceOrDrop(sig(Shingles.normalize(col(textCol))),
+          s => size(s) > 0).as("sig"))
   }
 
   /** (doc_id, band_idx, band_key) — band_key is the raw signature slice
@@ -296,6 +301,20 @@ object IncrementalDedup {
       readParquetPart(part, gens.map(g => genPath(g, part)))
     }
 
+    /** Generation number recovered from the row's file path (`gen=N` is a
+      * physical path component of every part file). Lets a read that needs
+      * per-row generation tags stay ONE multi-path relation instead of one
+      * relation per generation unioned — the per-generation trees paid AQE
+      * planning latency per generation per part on every store read (the
+      * r15 wall-vs-job gap; guide §7.3 driver-side work). Values are
+      * identical to the `lit(g)` tags they replace: the path IS the
+      * generation. Last match wins so a store root containing `gen=` in
+      * its own path cannot alias the tag.
+      */
+    private def genFromPath: org.apache.spark.sql.Column =
+      element_at(regexp_extract_all(input_file_name(), lit("gen=(\\d+)/"), lit(1)), -1)
+        .cast("int")
+
     /** The bands part's layout column: hash bucket of the LSH bucket key.
       * Must be byte-stable between write and read — Murmur3 `hash` is.
       */
@@ -318,10 +337,11 @@ object IncrementalDedup {
         .reduce(_ unionByName _)
     }
 
-    /** Per-doc latest tombstone: (doc_id, dg). */
+    /** Per-doc latest tombstone: (doc_id, dg) — one multi-path read, the
+      * generation tag recovered from the file path ([[genFromPath]]).
+      */
     private def tombstones(dels: Seq[Int]): DataFrame =
-      dels.map(g => readPart(Seq(g), "deletes").withColumn("dg", lit(g)))
-        .reduce(_ unionByName _)
+      readPart(dels, "deletes").withColumn("dg", genFromPath)
         .groupBy("doc_id").agg(max("dg").as("dg"))
 
     /** Union of a part across committed generations, masked by tombstones:
@@ -352,8 +372,12 @@ object IncrementalDedup {
         else f(readPart(gs, part))
       if (dels.isEmpty) readGens(dataGens, pre)
       else {
-        val rows = dataGens.map(g =>
-          readGens(Seq(g), pre).withColumn("g", lit(g))).reduce(_ unionByName _)
+        // per-row generation tags come off the file path (genFromPath), so
+        // the masked read is still ONE relation over all generations (one
+        // per root on the bucketed-bands branch, where partition discovery
+        // forces per-root scans) — the per-generation union-of-relations
+        // tree it replaces paid planning latency per generation per read
+        val rows = readGens(dataGens, df => pre(df).withColumn("g", genFromPath))
         // tombstones are takedown-scale, not corpus-scale — AQE broadcasts
         // this join when it measures small, and compact() removes it
         rows.join(tombstones(dels), Seq("doc_id"), "left")
@@ -402,11 +426,19 @@ object IncrementalDedup {
     private def pairsPrunedAt(gens: Seq[Int],
         pre: DataFrame => DataFrame): DataFrame = {
       require(gens.nonEmpty, s"signature store at $root has no committed generation yet")
-      val touched = gens.map(g => readKeyedPart(g, "touched", pre).withColumn("g", lit(g)))
-        .reduce(_ unionByName _)
+      // plain layout: ONE multi-path relation per part, generation tags off
+      // the file path — the per-generation relations this replaces paid AQE
+      // planning latency per generation per part on every pairs() read.
+      // Bucketed layout keeps the per-generation reads: partition discovery
+      // over mixed bkt= roots (an empty fold is unpartitioned) needs the
+      // per-root schema check, and `pre`'s bkt pruning must sit on the scan.
+      def keyed(part: String): DataFrame =
+        if (cfg.bandBuckets == 0) readPart(gens, part).withColumn("g", genFromPath)
+        else gens.map(g => readKeyedPart(g, part, pre).withColumn("g", lit(g)))
+          .reduce(_ unionByName _)
+      val touched = keyed("touched")
       val latest = touched.groupBy("band_idx", "band_key").agg(max("g").as("g"))
-      val allPairs = gens.map(g => readKeyedPart(g, "pairs", pre).withColumn("g", lit(g)))
-        .reduce(_ unionByName _)
+      val allPairs = keyed("pairs")
       // latest is one row per bucket ever touched — CORPUS-scale, so no
       // broadcast hint (AQE broadcasts it when it measures small; at
       // 100 TB this join co-partitions two bucket-keyed sides)
@@ -466,6 +498,62 @@ object IncrementalDedup {
           withBkt.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
       }
 
+    /** [[writeBucketed]] for a frame that ALREADY carries `bkt` and is
+      * partitioned by it (the fused mutation-side shapes below): the
+      * dynamic-partition write consumes the existing layout directly — no
+      * second repartition exchange per part per mutation (guide §2.4; r15
+      * verdict item 1).
+      */
+    private def writeBucketedPre(df: DataFrame, path: String): Unit = {
+      df.write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(path)
+      if (!ledger.hasDataFiles(new org.apache.hadoop.fs.Path(path)))
+        df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+    }
+
+    /** The batch's touched-bucket set, laid out for its own write: on the
+      * bucketed layout the distinct is fused onto a `bkt` pre-partitioning
+      * (the repartition's hash partitioning satisfies the distinct's
+      * clustering requirement because `bkt` is one of its keys — guide
+      * §2.4), so the later [[writeBucketedPre]] pays no repartition and the
+      * whole touched path costs ONE exchange instead of two. The extra
+      * `bkt` column rides along; consumers join on (band_idx, band_key).
+      */
+    private def touchedOf(bands: DataFrame): DataFrame = {
+      val t = bands.select(col("band_idx"), col("band_key"))
+      if (cfg.bandBuckets == 0) t.distinct()
+      else t.withColumn("bkt", bktOf)
+        .repartition(cfg.bandBuckets, col("bkt")).distinct()
+    }
+
+    /** The pairs part's expansion + write, fused on the bucketed layout:
+      * members are pre-partitioned by `bkt` once, the expansion groupBy
+      * reuses that exchange (its grouping keys contain the partitioning
+      * expression — `bkt` is a pure function of the bucket key, so the
+      * groups are identical to [[bucketPairsKeyed]]'s), and the
+      * dynamic-partition write consumes the same layout — ONE exchange
+      * where the unfused shape paid the groupBy's AND the write
+      * repartition's per mutation (r15 verdict item 1). Plain layout:
+      * unchanged expansion + coalesced write.
+      */
+    private def writePairsPart(members: DataFrame, path: String): Unit =
+      if (cfg.bandBuckets == 0)
+        bucketPairsKeyed(members, cfg.maxBucket)
+          .coalesce(cfg.writePartitions).write.mode(SaveMode.Overwrite).parquet(path)
+      else {
+        val pairs = members.withColumn("bkt", bktOf)
+          .repartition(cfg.bandBuckets, col("bkt"))
+          .groupBy(col("bkt"), col("band_idx"), col("band_key"))
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")).between(2, cfg.maxBucket))
+          .select(col("band_idx"), col("band_key"),
+            explode(flatten(transform(col("ids"), x =>
+              transform(filter(col("ids"), y => y > x), y => struct(x.as("a"), y.as("b")))))).as("p"),
+            col("bkt"))
+          .select(col("band_idx"), col("band_key"),
+            col("p.a").as("doc_a"), col("p.b").as("doc_b"), col("bkt"))
+        writeBucketedPre(pairs, path)
+      }
+
     /** The append's store-side read: live bands, pruned to the touched
       * buckets' `bkt=` directories when the layout is bucketed — the
       * O(corpus-bands) → O(touched/bandBuckets) cut that makes per-append
@@ -491,7 +579,7 @@ object IncrementalDedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // three consumers (own write, members semi-join, stale-pairs mask) —
       // persist, or the distinct shuffle re-runs per consumer
-      val touched = newBands.select("band_idx", "band_key").distinct()
+      val touched = touchedOf(newBands)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // materializes the whole persisted chain (sigs → bands → touched)
@@ -505,7 +593,6 @@ object IncrementalDedup {
           else liveBandsForBuckets(touched)
             .join(broadcast(touched), Seq("band_idx", "band_key"), "left_semi")
             .unionByName(newBands)
-        val newPairs = bucketPairsKeyed(members, cfg.maxBucket)
         // data first (overwrite: a crashed predecessor may have left the
         // same uncommitted gen behind), marker last. coalesce(w): deltas
         // are batch-scale — see Config.writePartitions. The four delta
@@ -517,8 +604,9 @@ object IncrementalDedup {
         IncrementalDedup.inParallel(Seq(
           () => newSigs.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "sigs")),
           () => writeBucketed(newBands, genPath(gen, "bands")),
-          () => writeBucketed(touched, genPath(gen, "touched")),
-          () => writeBucketed(newPairs, genPath(gen, "pairs"))))
+          () => if (cfg.bandBuckets == 0) writeBucketed(touched, genPath(gen, "touched"))
+                else writeBucketedPre(touched, genPath(gen, "touched")),
+          () => writePairsPart(members, genPath(gen, "pairs"))))
         if (crashBeforeCommit) return
         ledger.commitAppend(gen, idempotencyKey)
       } finally {
@@ -567,9 +655,9 @@ object IncrementalDedup {
         // hold (r13 lesson: justify a broadcast by what the frame scales
         // WITH). No bkt pruning here: this scan is keyed by doc_id, which
         // the layout does not partition on.
-        val touched = dropBkt(readBandGens(prior.filterNot(deleteGens().toSet), identity))
-          .join(broadcast(del), Seq("doc_id"), "left_semi")
-          .select("band_idx", "band_key").distinct()
+        val touched = touchedOf(
+          dropBkt(readBandGens(prior.filterNot(deleteGens().toSet), identity))
+            .join(broadcast(del), Seq("doc_id"), "left_semi"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         touchedHandle = Some(touched)
         // the live-membership recompute CAN prune: only touched buckets'
@@ -577,7 +665,6 @@ object IncrementalDedup {
         val members = liveBandsForBuckets(touched)
           .join(broadcast(del), Seq("doc_id"), "left_anti")
           .join(broadcast(touched), Seq("band_idx", "band_key"), "left_semi")
-        val newPairs = bucketPairsKeyed(members, cfg.maxBucket)
         // no sigs/bands delta: a tombstone generation contributes no
         // sketch rows, and liveRows() reads those parts from append
         // generations only — two fewer write jobs per takedown and two
@@ -590,8 +677,9 @@ object IncrementalDedup {
         touched.count()
         IncrementalDedup.inParallel(Seq(
           () => del.coalesce(w).write.mode(SaveMode.Overwrite).parquet(genPath(gen, "deletes")),
-          () => writeBucketed(touched, genPath(gen, "touched")),
-          () => writeBucketed(newPairs, genPath(gen, "pairs"))))
+          () => if (cfg.bandBuckets == 0) writeBucketed(touched, genPath(gen, "touched"))
+                else writeBucketedPre(touched, genPath(gen, "touched")),
+          () => writePairsPart(members, genPath(gen, "pairs"))))
         if (crashBeforeCommit) return
         ledger.commitDelete(gen, idempotencyKey)
       } finally {

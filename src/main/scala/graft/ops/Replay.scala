@@ -62,12 +62,18 @@ object Replay {
     // the post-shuffle projection — guide §4.4's duplication, here for a
     // Catalyst expression); the length form keeps the filter cheap and the
     // kernel single-pass.
+    // (r16: the drop-out is now a one-row Generate on the kernel's exact
+    // empty contract — size(sig) > 0 ⟺ code points >= shingleLen — so the
+    // normalize regex evaluates ONCE per row; the r15 length filter kept
+    // the kernel single-pass but still pushed normalize into the scan-stage
+    // filter AND the projection.)
     val sigs = docs
       .repartition(col(idCol))
-      .withColumn("norm", Shingles.normalize(col(textCol)))
-      .filter(length(col("norm")) >= shingleLen)
       .select(col(idCol).as("doc_id"),
-        PortableSketches.portableMinhashSig(col("norm"), shingleLen, k).as("sig"))
+        Shingles.onceOrDrop(
+          PortableSketches.portableMinhashSig(
+            Shingles.normalize(col(textCol)), shingleLen, k),
+          s => size(s) > 0).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col("doc_id"),
@@ -133,16 +139,20 @@ object Replay {
     val rowsPerBand = k / bands
     // ONE text scan builds both portable sketches; read three times below
     // (banding + both pair ends) — persist, don't rescan
+    // short-doc drop-out as a one-row Generate over a (sig, grams) struct:
+    // both kernels AND the normalize regex evaluate once per row (guide
+    // §4.4). `norm` is materialized below the Generate — a non-cheap alias
+    // referenced twice is never inlined by CollapseProject.
     val sketches = docs
       .repartition(col(idCol))
-      .withColumn("norm", Shingles.normalize(col(textCol)))
-      // exact empty contract of portableGramHashes (code points < k ⇒
-      // empty) — a size(grams) filter re-evaluated the kernel per row in
-      // the pushed-down filter stage (see minhashCandidates)
-      .filter(length(col("norm")) >= shingleLen)
-      .select(col(idCol).as("doc_id"),
-        PortableSketches.portableMinhashSig(col("norm"), shingleLen, k).as("sig"),
-        PortableSketches.portableGramHashes(col("norm"), shingleLen).as("grams"))
+      .select(col(idCol).as("doc_id"), Shingles.normalize(col(textCol)).as("norm"))
+      .select(col("doc_id"),
+        Shingles.onceOrDrop(
+          struct(
+            PortableSketches.portableMinhashSig(col("norm"), shingleLen, k).as("sig"),
+            PortableSketches.portableGramHashes(col("norm"), shingleLen).as("grams")),
+          p => size(p.getField("sig")) > 0).as("sk"))
+      .select(col("doc_id"), col("sk.sig").as("sig"), col("sk.grams").as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket shuffle carries only (band key, doc_id) — sig and grams
     // re-attach from the cache after the pair decision (guide §2.3/§8);
@@ -235,13 +245,18 @@ object Replay {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs
       .repartition(col(idCol))
-      .withColumn("norm", Shingles.normalize(col(textCol)))
-      // exact empty contract of the winnow kernel (code points < k+w-1 ⇒
-      // no full window ⇒ empty) — a size(fingerprint) filter re-evaluated
-      // the kernel per row in the pushed-down filter stage (guide §4.4)
-      .filter(length(col("norm")) >= k + w - 1)
-      .select(col(idCol).as("doc_id"), hash60(col(textCol)).as("content_hash"),
-        PortableSketches.portableWinnowedFingerprint(col("norm"), k, w).as("fingerprint"))
+      // short-doc drop-out via the winnow kernel's exact empty contract
+      // (code points < k+w-1 ⇒ no full window ⇒ empty fingerprint), as a
+      // one-row Generate: kernel AND normalize run once per row (guide
+      // §4.4 — the r15 length filter still evaluated normalize twice)
+      .select(col(idCol).as("doc_id"),
+        Shingles.onceOrDrop(
+          struct(hash60(col(textCol)).as("content_hash"),
+            PortableSketches.portableWinnowedFingerprint(
+              Shingles.normalize(col(textCol)), k, w).as("fingerprint")),
+          p => size(p.getField("fingerprint")) > 0).as("fp"))
+      .select(col("doc_id"), col("fp.content_hash").as("content_hash"),
+        col("fp.fingerprint").as("fingerprint"))
 
   /** Replayable fingerprint-overlap pairs — the portable twin of
     * [[TextAnalysis.fingerprintOverlapPairs]] (same inverted index,

@@ -33,6 +33,21 @@ object Shingles {
   /** Whitespace tokens of a materialized normalized column. */
   def tokensOfNorm(norm: Column): Column = split(norm, " ")
 
+  /** One-row Generate used as a non-duplicating row filter: keeps the row
+    * iff `keep(v)` is TRUE, evaluating `v` exactly ONCE per row. The plain
+    * spelling — project `v`, then `filter(pred(v))` — gets the predicate
+    * pushed below the projection with `v`'s definition substituted in, so
+    * everything `v` computes runs TWICE per surviving row (scan-stage
+    * filter + projection; guide §4.4, observed for both the sketch kernels
+    * pre-r15 and the normalize regex through r15). `explode` over a 0/1-
+    * element array is the drop: the optimizer cannot split a Generate, so
+    * the expression stays single-evaluation by construction. A row where
+    * `keep` evaluates to NULL is dropped (higher-order `filter` keeps only
+    * TRUE) — identical to a Filter's null semantics.
+    */
+  def onceOrDrop(v: Column, keep: Column => Column): Column =
+    explode(filter(array(v), e => keep(e)))
+
   /** Distinct character k-grams of a materialized normalized column. */
   def charShingles(norm: Column, k: Int): Column =
     when(length(norm) >= k,

@@ -337,15 +337,19 @@ object TextAnalysis {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs
       .repartition(col(idCol))
-      .withColumn("norm", Shingles.normalize(col(textCol)))
-      // exact empty contract of the winnow kernel (bytes < k+w-1 ⇒ no full
-      // window ⇒ empty) — a size(fingerprint) filter re-evaluated the
-      // kernel per row in the pushed-down filter stage (guide §4.4)
-      .filter(octet_length(col("norm")) >= k + w - 1)
+      // short-doc drop-out via the winnow kernel's exact empty contract
+      // (bytes < k+w-1 ⇒ no full window ⇒ empty), as a one-row Generate:
+      // kernel AND normalize evaluate once per row (guide §4.4 — the r15
+      // length filter still ran the normalize regex twice)
       .select(col(idCol).as("doc_id"),
-        graft.functions.TextSketches.winnowedFingerprint(col("norm"), k, w).as("fingerprint"),
-        xxhash64(col(textCol)).as("content_hash"))
-      .select(col("doc_id"), col("fingerprint"), col("content_hash"))
+        Shingles.onceOrDrop(
+          struct(
+            graft.functions.TextSketches.winnowedFingerprint(
+              Shingles.normalize(col(textCol)), k, w).as("fingerprint"),
+            xxhash64(col(textCol)).as("content_hash")),
+          p => size(p.getField("fingerprint")) > 0).as("fp"))
+      .select(col("doc_id"), col("fp.fingerprint").as("fingerprint"),
+        col("fp.content_hash").as("content_hash"))
 
   /** Per-doc term frequencies — the shared first stage of the retrieval /
     * distribution operators below: normalize once, explode tokens, one
