@@ -24,7 +24,7 @@ class GraphPlanShapeSpec extends SparkSpec {
     * plans (listener events are async on the bus — poll until the set is
     * stable rather than sleeping a fixed interval).
     */
-  private def executedPlans(name: String): Seq[String] = {
+  private def executedPlans(name: String, dir: String = "sf0.001"): Seq[String] = {
     val plans = mutable.ArrayBuffer.empty[String]
     val listener = new QueryExecutionListener {
       override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit =
@@ -33,7 +33,7 @@ class GraphPlanShapeSpec extends SparkSpec {
     }
     spark.listenerManager.register(listener)
     try {
-      val out = QueryCatalog.all.find(_.name == name).get.run(spark, sf())
+      val out = QueryCatalog.all.find(_.name == name).get.run(spark, sf(dir))
       out.collect()
       var last = -1
       var stable = 0
@@ -62,7 +62,14 @@ class GraphPlanShapeSpec extends SparkSpec {
   }
 
   test("link_prediction: per-partition top-k heaps feed the rank window, anti-join excludes adjacency") {
-    val plans = executedPlans("link_prediction")
+    // pin the DISTRIBUTED branch: at test scale the r16 driver gate would
+    // short-circuit the wedge pipeline this test exists to shape-check
+    // (equivalence of the two branches is AnalyticsOpsSpec's job)
+    sys.props("graft.forceDistributed") = "true"
+    // sf0.01: the sf0.001 co-activity graph is EMPTY and AQE folds the
+    // whole pipeline to an EmptyRelation — nothing left to shape-check
+    val plans = try executedPlans("link_prediction", "sf0.01")
+      finally sys.props -= "graft.forceDistributed"
     val all = plans.mkString("\n===\n")
     // top-k via TakeOrderedAndProject (k-heaps), NOT a global sort
     assert(all.contains("TakeOrderedAndProject"), all.take(4000))

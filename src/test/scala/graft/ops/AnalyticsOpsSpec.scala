@@ -70,6 +70,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(pairs.contains((4L, 6L)))
   }
 
+  test("commonNeighborScores driver path equals the distributed plan (multiset semantics)") {
+    // duplicate edges multiply wedge counts AND degrees, a self-loop bumps
+    // its node's degree by 2, and a backwards-stored closing edge must stay
+    // excluded — the r16 driver-local fast path must reproduce the
+    // join/aggregate pipeline bit-for-bit on all of it
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (7L, 7L), (7L, 5L), (2L, 4L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("src", "dst")
+    val local = Graph.commonNeighborScores(edges, minCommon = 1, topK = 50)
+      .collect().map(_.toString).toSeq
+    sys.props("graft.forceDistributed") = "true"
+    val dist = try {
+      val d = Graph.commonNeighborScores(edges, minCommon = 1, topK = 50)
+      val rows = d.collect().map(_.toString).toSeq
+      d.unpersist()
+      rows
+    } finally sys.props -= "graft.forceDistributed"
+    assert(local === dist)
+  }
+
   test("pageRank on an empty edge list fails loudly, leaking no cache") {
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
     val base = spark.sparkContext.getPersistentRDDs.size

@@ -155,8 +155,18 @@ class CacheContractSpec extends SparkSpec {
   }
 
   test("commonNeighborScores leaks exactly one handle; unpersist clears all") {
-    val (held, released) = deltaAround(Graph.commonNeighborScores(triEdges, minCommon = 1))
-    assert(held === 1)
-    assert(released === 0)
+    // under the r16 driver gate the operator returns a LOCAL frame and
+    // releases its edge cache internally — nothing stays persisted at all;
+    // the distributed branch keeps the classic one-handle contract
+    val (heldLocal, releasedLocal) =
+      deltaAround(Graph.commonNeighborScores(triEdges, minCommon = 1))
+    assert(heldLocal === 0)
+    assert(releasedLocal === 0)
+    sys.props("graft.forceDistributed") = "true"
+    try {
+      val (held, released) = deltaAround(Graph.commonNeighborScores(triEdges, minCommon = 1))
+      assert(held === 1)
+      assert(released === 0)
+    } finally sys.props -= "graft.forceDistributed"
   }
 }
