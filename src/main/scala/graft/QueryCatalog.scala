@@ -533,9 +533,21 @@ object QueryCatalog {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
 
-    // A-family beyond the reference: sum/avg/min/max/count/count-distinct
+    // A-family beyond the reference: sum/avg/min/max/count/count-distinct.
+    // The pre-aggregate repartition parallelizes the scan-fused expand:
+    // testdata parquet carries ONE row group per file, so the scan stage —
+    // and the COUNT(DISTINCT) Expand (2× rows) plus decimal partial sums
+    // fused into it — runs on one core regardless of core count (r16;
+    // measured 2.0 s -> 0.8 s at 32 cores). Exchange count is UNCHANGED:
+    // hashpartitioning(l_orderkey) satisfies the distinct-rewrite
+    // aggregate's clustering ((flag, status, l_orderkey, gid) ⊇ the
+    // partitioning key — guide §2.4), so the aggregate's own exchange is
+    // subsumed and the shuffle merely moves below the aggregate; partial
+    // reduction barely shrank this shape anyway (600k -> 438k rows) because
+    // the distinct key is order-grained.
     CatalogEntry("agg_suite",
       (s, d) => T(s, d, "lineitem")
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           Cols.moneySum(col("l_quantity")).as("sum_qty"),
@@ -757,7 +769,12 @@ object QueryCatalog {
     // typical error <2%, so the bound has margin while still catching a
     // broken sketch).
     CatalogEntry("agg_approx",
+      // same single-row-group spread as agg_suite: hashpartitioning
+      // (l_partkey) is subsumed by the distinct-rewrite's (flag, l_partkey,
+      // gid) clustering, so the exchange count stays 1 while the Expand and
+      // both sketches run on every core instead of one (r16)
       (s, d) => T(s, d, "lineitem")
+        .repartition(col("l_partkey"))
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
@@ -3350,7 +3367,16 @@ object QueryCatalog {
     // One-pass column profiling (ops.Profiler): per-column null/distinct
     // counts from a single wide aggregate + stack() unpivot
     CatalogEntry("profile_lineitem",
-      (s, d) => ops.Profiler.profile(T(s, d, "lineitem"),
+      // pre-aggregate spread (r16): the 5-way COUNT(DISTINCT) Expand (6×
+      // rows) was fused into a ONE-core scan stage (single row group per
+      // testdata file); one hash repartition of the profiled columns lets
+      // the expand + partial aggregation use the whole machine. This one IS
+      // an extra exchange — worth it because the expand's own exchange
+      // ships ~|input|×5 partially-aggregated rows anyway (high-cardinality
+      // distinct keys defeat partial reduction), so the added raw-row hop
+      // is a ~1/6 byte increase for full parallelism.
+      (s, d) => ops.Profiler.profile(
+        T(s, d, "lineitem").repartition(col("l_orderkey")),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_shipdate")),
       Some(Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_shipdate")
         .map(c => s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,

@@ -268,13 +268,31 @@ object Graph {
     * final clustering ratio (one division). The ordering key packs
     * (degree, id) into one long — valid while ids < 2^32.
     */
-  def triangleStats(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+  def triangleStats(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      maxDriverEdges: Long = 5000000L): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size-adaptive driver path (the commonNeighborScores / connected-
+    // Components pattern): under the edge gate the whole census — guards
+    // included — replays locally on the collected edge list; the wedge
+    // pipeline below is the 100 TB fallback. One cache-filling count is
+    // the only job the gate adds; it doubles as the null-id detector (a
+    // null endpoint falls through to the distributed guard, which throws
+    // the canonical error).
+    val gateCounts = e.agg(count(lit(1)).as("n"),
+      count(when(col("src").isNull || col("dst").isNull, 1)).as("nBad")).head()
+    if (gateCounts.getLong(1) == 0L &&
+        gateCounts.getLong(0) <= graft.ScaleGates.cap(maxDriverEdges)) {
+      localTriangleStats(e) match {
+        case Some(out) => e.unpersist(); return out
+        case None => () // oriented-wedge budget exceeded — distributed below
+      }
+    }
     val deg = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (driver gate above may have short-circuited; from here on: 100 TB plan)
     // packing precondition as a cheap runtime guard (ADVICE r7): ids must
     // fit in [0, 2^32) and degrees in [0, 2^31) or deg*2^32+id silently
     // corrupts the orientation. One 1-row agg over the persisted deg frame —
@@ -355,6 +373,140 @@ object Graph {
     Dedup.materializeAndRelease(out, e, deg, oriented)
   }
 
+  /** Driver-local exact replica of the triangle census for edge lists under
+    * the gate: same multiset degrees, same (degree, id) packing guard (and
+    * its exact error text, with the edge cache released before the throw),
+    * same degree-ordered orientation, same strict `p.vkey < q.vkey` wedge
+    * expansion and set-membership closure check. Returns None when the
+    * oriented wedge-pair count exceeds `maxWedges` (hub-heavy graphs keep
+    * the distributed plan, whose orientation bound is the point).
+    */
+  private def localTriangleStats(e: DataFrame,
+      maxWedges: Long = 20000000L): Option[DataFrame] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pairs = e.as[(Long, Long)].collect()
+    val nEdges = pairs.length.toLong
+    // node index: sorted distinct endpoints
+    val endpoints = new Array[Long](pairs.length * 2)
+    var i = 0
+    while (i < pairs.length) {
+      endpoints(2 * i) = pairs(i)._1; endpoints(2 * i + 1) = pairs(i)._2; i += 1
+    }
+    java.util.Arrays.parallelSort(endpoints)
+    var nNodes = 0
+    i = 0
+    while (i < endpoints.length) {
+      if (i == 0 || endpoints(i) != endpoints(i - 1)) nNodes += 1
+      i += 1
+    }
+    val nodes = new Array[Long](nNodes)
+    var j = 0; i = 0
+    while (i < endpoints.length) {
+      if (i == 0 || endpoints(i) != endpoints(i - 1)) { nodes(j) = endpoints(i); j += 1 }
+      i += 1
+    }
+    def idx(x: Long): Int = java.util.Arrays.binarySearch(nodes, x)
+    val degA = new Array[Long](nNodes)
+    i = 0
+    while (i < pairs.length) {
+      degA(idx(pairs(i)._1)) += 1; degA(idx(pairs(i)._2)) += 1; i += 1
+    }
+    // the packing guard, locally (null ids cannot reach here — the gate
+    // sends them to the distributed guard): same precondition, same error
+    if (nNodes > 0) {
+      val mn = nodes(0); val mx = nodes(nNodes - 1)
+      val md = degA.max
+      if (!(mn >= 0L && mx < 4294967296L && md < Int.MaxValue.toLong)) {
+        e.unpersist()
+        throw new IllegalArgumentException(
+          s"triangleStats packs (degree,id) into one long: node ids must " +
+            s"be in [0, 2^32) and degrees < 2^31; got id range " +
+            s"[$mn, $mx], max degree $md")
+      }
+    }
+    var nWedgesL = 0L
+    i = 0
+    while (i < nNodes) { nWedgesL += degA(i) * (degA(i) - 1) / 2; i += 1 }
+    // degree-ordered orientation: out-adjacency of (v, vkey) per u
+    val outDeg = new Array[Int](nNodes)
+    def skeyOf(node: Long): Long = degA(idx(node)) * 4294967296L + node
+    i = 0
+    while (i < pairs.length) {
+      val (s, d) = pairs(i)
+      val u = if (skeyOf(s) < skeyOf(d)) s else d
+      outDeg(idx(u)) += 1
+      i += 1
+    }
+    var orientedWedges = 0L
+    i = 0
+    while (i < nNodes) { orientedWedges += outDeg(i).toLong * (outDeg(i) - 1) / 2; i += 1 }
+    if (orientedWedges > maxWedges) return None
+    val off = new Array[Int](nNodes + 1)
+    i = 0
+    while (i < nNodes) { off(i + 1) = off(i) + outDeg(i); i += 1 }
+    val fill = java.util.Arrays.copyOf(off, nNodes)
+    val outV = new Array[Long](pairs.length)    // v per oriented edge
+    val outVk = new Array[Long](pairs.length)   // its vkey (sort key)
+    val member = new Array[Long](pairs.length)  // packed (u, v) set
+    i = 0
+    while (i < pairs.length) {
+      val (s, d) = pairs(i)
+      val sk = skeyOf(s); val dk = skeyOf(d)
+      val u = if (sk < dk) s else d
+      val v = if (sk < dk) d else s
+      val ui = idx(u)
+      outV(fill(ui)) = v; outVk(fill(ui)) = math.max(sk, dk); fill(ui) += 1
+      member(i) = (u << 32) | v
+      i += 1
+    }
+    java.util.Arrays.parallelSort(member)
+    // per-u out-lists sorted by vkey; strict vkey ordering drops duplicate
+    // oriented edges exactly like the p.vkey < q.vkey join filter
+    var nTriangles = 0L
+    var n = 0
+    while (n < nNodes) {
+      val lo = off(n); val hi = off(n + 1)
+      if (hi - lo >= 2) {
+        // insertion sort of the (vkey, v) slice by vkey (out-lists are
+        // √E-bounded by orientation; tiny in practice)
+        var a = lo + 1
+        while (a < hi) {
+          val vk = outVk(a); val vv = outV(a)
+          var b = a - 1
+          while (b >= lo && outVk(b) > vk) {
+            outVk(b + 1) = outVk(b); outV(b + 1) = outV(b); b -= 1
+          }
+          outVk(b + 1) = vk; outV(b + 1) = vv
+          a += 1
+        }
+        a = lo
+        while (a < hi) {
+          var b = a + 1
+          while (b < hi) {
+            if (outVk(a) < outVk(b) &&
+              java.util.Arrays.binarySearch(member, (outV(a) << 32) | outV(b)) >= 0)
+              nTriangles += 1
+            b += 1
+          }
+          a += 1
+        }
+      }
+      n += 1
+    }
+    val nWedges: java.lang.Long = if (nNodes == 0) null else Long.box(nWedgesL)
+    // same output expressions as the distributed tail (schema-identical):
+    // lit(count) for the aggregate's non-null long, the same null-vs-ratio
+    // clustering branch on the same driver constant
+    val clustering =
+      if (nWedges == null || nWedges.longValue == 0L) lit(null).cast("double")
+      else lit(nTriangles).cast("double") * 3.0 / lit(nWedges.longValue)
+    Some(spark.range(1).select(
+      lit(nNodes.toLong).as("n_nodes"), lit(nEdges).as("n_edges"),
+      lit(nWedges).cast("long").as("n_wedges"), lit(nTriangles).as("n_triangles"),
+      clustering.as("global_clustering")))
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly drop nodes whose
     * degree among the still-alive nodes is < k, to fixpoint. Returns the
     * surviving nodes with their in-core degree — the dense backbone of the
@@ -374,21 +526,37 @@ object Graph {
     * to cut lineage, exactly like the PageRank loop above.
     */
   def kCore(edges: DataFrame, k: Int = 2, maxIter: Int = 20,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      maxDriverEdges: Long = 5000000L): DataFrame = {
     require(k >= 1, s"k=$k must be positive")
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // symmetrize in ONE pass over the (possibly expensive, un-persisted)
-    // edge expression: the union-of-two-projections form evaluated the
-    // caller's whole edge subtree twice before the persist ever filled
-    // (r15 optimization round — the co-activity edge list behind the bench
-    // graph entries is a distinct + self-join, so the double evaluation
-    // was the dominant cost of the first peel)
-    val sym = edges.select(explode(array(
-        struct(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
-        struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
+    // the caller's (possibly expensive) edge expression is evaluated ONCE
+    // into this cache; every consumer below — the driver gate, the local
+    // collect, or each peel's symmetrized scan — reads the cache
+    val esel = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .persist(level)
+    // symmetrize in ONE pass over the cache: the union-of-two-projections
+    // form scanned it twice per consumer (r15 optimization round)
+    val sym = esel.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(level)
+    // Size-adaptive driver path (the commonNeighborScores pattern): peeling
+    // is a per-node counting loop — under the edge gate it runs locally in
+    // O(edges · peels) with zero per-iteration Spark jobs (each peel was a
+    // full count + aggregate job over a KB-scale graph). Null endpoints
+    // fall back to the distributed loop, where a null node is a regular
+    // group (unchanged semantics).
+    val gateCounts = esel.agg(count(lit(1)).as("n"),
+      count(when(col("src").isNull || col("dst").isNull, 1)).as("nBad")).head()
+    if (gateCounts.getLong(1) == 0L &&
+        gateCounts.getLong(0) <= graft.ScaleGates.cap(maxDriverEdges)) {
+      val out = localKCore(esel, k, maxIter, sym.schema("src").nullable)
+      esel.unpersist()
+      return out
+    }
     // broadcast the alive set, NOT the edges — the pageRank vector pattern
     // (lesson 22: a frame behind an aggregate has no planner stats, so
     // these joins default to sort-merge and re-sort the persisted edge
@@ -440,7 +608,108 @@ object Graph {
           .select(col("src").as("node"), col("deg").as("core_deg"))
       else degAmong(alive, aliveCount)
         .select(col("src").as("node"), col("deg").as("core_deg"))
-    Dedup.materializeAndRelease(out, sym, alive, deg0)
+    Dedup.materializeAndRelease(out, esel, alive, deg0)
+  }
+
+  /** Driver-local exact replica of the peeling loop for edge lists under
+    * the gate: symmetric multiset degrees (self-loops count twice), peel
+    * nodes whose degree among the still-alive set is < k to fixpoint,
+    * return survivors with their in-core degree — including the two edge
+    * behaviors the distributed loop has: an alive node with zero alive
+    * neighbours drops out of the output (it forms no group), and a
+    * non-converged run (maxIter) emits the degrees of whatever set the
+    * last peel left, sub-k rows included.
+    */
+  private def localKCore(e: DataFrame, k: Int, maxIter: Int,
+      nodeNullable: Boolean): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pairs = e.as[(Long, Long)].collect()
+    val endpoints = new Array[Long](pairs.length * 2)
+    var i = 0
+    while (i < pairs.length) {
+      endpoints(2 * i) = pairs(i)._1; endpoints(2 * i + 1) = pairs(i)._2; i += 1
+    }
+    java.util.Arrays.parallelSort(endpoints)
+    var nNodes = 0
+    i = 0
+    while (i < endpoints.length) {
+      if (i == 0 || endpoints(i) != endpoints(i - 1)) nNodes += 1
+      i += 1
+    }
+    val nodes = new Array[Long](nNodes)
+    var j = 0; i = 0
+    while (i < endpoints.length) {
+      if (i == 0 || endpoints(i) != endpoints(i - 1)) { nodes(j) = endpoints(i); j += 1 }
+      i += 1
+    }
+    def idx(x: Long): Int = java.util.Arrays.binarySearch(nodes, x)
+    val srcI = new Array[Int](pairs.length)
+    val dstI = new Array[Int](pairs.length)
+    val deg0 = new Array[Long](nNodes)
+    i = 0
+    while (i < pairs.length) {
+      srcI(i) = idx(pairs(i)._1); dstI(i) = idx(pairs(i)._2)
+      deg0(srcI(i)) += 1; deg0(dstI(i)) += 1
+      i += 1
+    }
+    val alive = new Array[Boolean](nNodes)
+    var aliveCount = 0L
+    i = 0
+    while (i < nNodes) { alive(i) = deg0(i) >= k; if (alive(i)) aliveCount += 1; i += 1 }
+    var converged = aliveCount == nNodes.toLong
+    var iter = 1
+    while (!converged && iter < maxIter) {
+      val d = new Array[Long](nNodes)
+      i = 0
+      while (i < pairs.length) {
+        if (alive(srcI(i)) && alive(dstI(i))) { d(srcI(i)) += 1; d(dstI(i)) += 1 }
+        i += 1
+      }
+      var c = 0L
+      i = 0
+      while (i < nNodes) {
+        val keep = alive(i) && d(i) >= k
+        alive(i) = keep
+        if (keep) c += 1
+        i += 1
+      }
+      converged = c == aliveCount
+      aliveCount = c
+      iter += 1
+    }
+    if (!converged)
+      System.err.println(s"[graft] WARN kCore: not converged after maxIter=$maxIter peels")
+    // output: iter == 1 short-circuit returns the full-degree aggregate
+    // filtered at k; otherwise the degree-among-final-alive map, where a
+    // node only appears if it still has an alive edge
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    if (converged && iter == 1) {
+      i = 0
+      while (i < nNodes) {
+        if (deg0(i) >= k) rows += org.apache.spark.sql.Row(nodes(i), deg0(i))
+        i += 1
+      }
+    } else {
+      val d = new Array[Long](nNodes)
+      i = 0
+      while (i < pairs.length) {
+        if (alive(srcI(i)) && alive(dstI(i))) { d(srcI(i)) += 1; d(dstI(i)) += 1 }
+        i += 1
+      }
+      i = 0
+      while (i < nNodes) {
+        if (alive(i) && d(i) > 0L) rows += org.apache.spark.sql.Row(nodes(i), d(i))
+        i += 1
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = nodeNullable),
+      org.apache.spark.sql.types.StructField("core_deg",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows.toSeq: _*)), schema)
   }
 
   /** Link prediction by common-neighbour count: top-`topK` NON-adjacent

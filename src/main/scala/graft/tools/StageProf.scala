@@ -34,6 +34,8 @@ object StageProf {
         System.err.println(f"[stage] id=${si.stageId}%4d ${ms / 1000.0}%7.3f s tasks=${si.numTasks}%4d " +
           f"sRead=${tm.shuffleReadMetrics.totalBytesRead / 1e6}%9.2f MB sWrite=${tm.shuffleWriteMetrics.bytesWritten / 1e6}%9.2f MB " +
           f"in=${tm.inputMetrics.bytesRead / 1e6}%9.2f MB exec=${tm.executorRunTime / 1000.0}%8.2f s cpu=${tm.executorCpuTime / 1e9}%8.2f s " +
+          f"gc=${tm.jvmGCTime / 1000.0}%6.2f s deser=${tm.executorDeserializeTime / 1000.0}%6.2f s " +
+          f"outRows=${tm.shuffleWriteMetrics.recordsWritten}%9d " +
           s"[${si.name.takeWhile(_ != '\n').take(60)}]")
       }
     })

@@ -51,7 +51,11 @@ class GraphPlanShapeSpec extends SparkSpec {
   private def anyPlan(plans: Seq[String])(p: String => Boolean): Boolean = plans.exists(p)
 
   test("triangle_count: gated degree broadcast + packed orientation + semi-join wedge check") {
-    val plans = executedPlans("triangle_count")
+    // pin the DISTRIBUTED branch — the r16 driver gate short-circuits it at
+    // test scale (equivalence of the branches is AnalyticsOpsSpec's job)
+    sys.props("graft.forceDistributed") = "true"
+    val plans = try executedPlans("triangle_count", "sf0.01")
+      finally sys.props -= "graft.forceDistributed"
     val all = plans.mkString("\n===\n")
     // the two degree joins must be broadcasts (gated at 10M nodes), never
     // an edge-list shuffle
@@ -126,7 +130,10 @@ class GraphPlanShapeSpec extends SparkSpec {
   }
 
   test("kcore_decomposition: alive-set joins broadcast under the gate") {
-    val plans = executedPlans("kcore_decomposition")
+    // distributed branch pinned, as in triangle_count above (r16 gate)
+    sys.props("graft.forceDistributed") = "true"
+    val plans = try executedPlans("kcore_decomposition", "sf0.01")
+      finally sys.props -= "graft.forceDistributed"
     val all = plans.mkString("\n===\n")
     assert(all.contains("BroadcastHashJoin"), all.take(4000))
   }

@@ -8,9 +8,9 @@ package graft
   */
 class PlanShapeSpec extends SparkSpec {
 
-  private def planOf(name: String): String = {
+  private def planOf(name: String, dir: String = "sf0.001"): String = {
     val run = QueryCatalog.all.find(_.name == name).get.run
-    run(spark, sf()).queryExecution.executedPlan.toString
+    run(spark, sf(dir)).queryExecution.executedPlan.toString
   }
 
   test("tpch_q7 broadcasts both nation dims (no dim shuffle)") {
@@ -102,11 +102,19 @@ class PlanShapeSpec extends SparkSpec {
 
   test("link_prediction and collocation_pmi cut top-k with per-partition heaps") {
     // orderBy+limit before the rank window: TakeOrderedAndProject must
-    // appear, so only ≤topK rows ever reach a window
-    for (q <- Seq("link_prediction", "collocation_pmi")) {
-      val p = planOf(q)
-      assert(p.contains("TakeOrderedAndProject"), s"$q: ${p.take(3000)}")
-    }
+    // appear, so only ≤topK rows ever reach a window. link_prediction's
+    // r16 driver gate returns a local relation at test scale — force the
+    // distributed branch to pin the shape it would run past the gate.
+    // sf0.01 for link_prediction: the sf0.001 co-activity graph is EMPTY,
+    // and a zero-edge input satisfies even the zeroed gate (0 <= 0), so
+    // only a non-empty graph exercises the distributed shape
+    sys.props("graft.forceDistributed") = "true"
+    try {
+      for (q <- Seq("link_prediction", "collocation_pmi")) {
+        val p = planOf(q, "sf0.01")
+        assert(p.contains("TakeOrderedAndProject"), s"$q: ${p.take(3000)}")
+      }
+    } finally sys.props -= "graft.forceDistributed"
   }
 
   test("equidepth_deciles derives buckets from boundary selections, no global sort") {

@@ -70,6 +70,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(pairs.contains((4L, 6L)))
   }
 
+  test("triangleStats and kCore driver paths equal the distributed plans (multiset semantics)") {
+    // duplicate edges, a self-loop, hub wedges, and disconnected fringe —
+    // the r16 driver-local replicas must match the distributed pipelines
+    // exactly, including multiset degrees and the strict vkey wedge filter
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (6L, 6L), (6L, 1L), (7L, 8L), (2L, 4L), (2L, 5L))
+      .toDF("src", "dst")
+    def run(f: => org.apache.spark.sql.DataFrame): Seq[String] = {
+      val d = f
+      val rows = d.collect().map(_.toString).toSeq.sorted
+      d.unpersist()
+      rows
+    }
+    val triLocal = run(Graph.triangleStats(edges))
+    val coreLocal = run(Graph.kCore(edges, k = 2))
+    sys.props("graft.forceDistributed") = "true"
+    val (triDist, coreDist) = try {
+      (run(Graph.triangleStats(edges)), run(Graph.kCore(edges, k = 2)))
+    } finally sys.props -= "graft.forceDistributed"
+    assert(triLocal === triDist)
+    assert(coreLocal === coreDist)
+  }
+
   test("commonNeighborScores driver path equals the distributed plan (multiset semantics)") {
     // duplicate edges multiply wedge counts AND degrees, a self-loop bumps
     // its node's degree by 2, and a backwards-stored closing edge must stay

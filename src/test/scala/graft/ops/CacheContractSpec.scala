@@ -143,15 +143,29 @@ class CacheContractSpec extends SparkSpec {
     (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
 
   test("triangleStats leaks exactly one handle; unpersist clears all") {
-    val (held, released) = deltaAround(Graph.triangleStats(triEdges))
-    assert(held === 1) // edge/degree/oriented caches released
-    assert(released === 0)
+    // r16 driver gate: local branch holds nothing; the distributed branch
+    // keeps the one-handle contract
+    val (heldLocal, releasedLocal) = deltaAround(Graph.triangleStats(triEdges))
+    assert(heldLocal === 0)
+    assert(releasedLocal === 0)
+    sys.props("graft.forceDistributed") = "true"
+    try {
+      val (held, released) = deltaAround(Graph.triangleStats(triEdges))
+      assert(held === 1) // edge/degree/oriented caches released
+      assert(released === 0)
+    } finally sys.props -= "graft.forceDistributed"
   }
 
   test("kCore leaks exactly one handle; unpersist clears all") {
-    val (held, released) = deltaAround(Graph.kCore(triEdges, k = 2))
-    assert(held === 1) // sym + final alive released
-    assert(released === 0)
+    val (heldLocal, releasedLocal) = deltaAround(Graph.kCore(triEdges, k = 2))
+    assert(heldLocal === 0)
+    assert(releasedLocal === 0)
+    sys.props("graft.forceDistributed") = "true"
+    try {
+      val (held, released) = deltaAround(Graph.kCore(triEdges, k = 2))
+      assert(held === 1) // edge cache + alive/deg0 released
+      assert(released === 0)
+    } finally sys.props -= "graft.forceDistributed"
   }
 
   test("commonNeighborScores leaks exactly one handle; unpersist clears all") {
